@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.batch.InvoiceOps
+import graft.functions.Exact._
+
+/** Batch relational query inventory (SURVEY.md §2.1–2.6, §2.8) over the
+  * testdata star schema. Every query here is declarative DataFrame code —
+  * filters/projections push into the parquet scan, aggregates run
+  * partial+final, small dims are broadcast — and carries a DuckDB oracle.
+  */
+object Relational {
+
+  private def ts(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** A1+P1: the reference featurize — groupBy invoice, 8 aggregates
+    * (Clustering.scala:45-58), over the lineitem⋈orders purchase view. */
+  val featurizeSql: String = s"""
+    SELECT CAST(l_orderkey AS VARCHAR) AS invoice_no,
+      ${davgSql("l_extendedprice / l_quantity", 6)} AS avg_unit_price,
+      min(l_extendedprice / l_quantity) AS min_unit_price,
+      max(l_extendedprice / l_quantity) AS max_unit_price,
+      max(CAST(extract(hour FROM o_orderdate) AS DOUBLE)) AS time_hour,
+      ${dsumSql("l_quantity", 2)} AS number_items,
+      max(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS last_date,
+      count(*) AS line_count,
+      min(CAST(o_custkey AS VARCHAR)) AS customer_id
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey"""
+
+  def featurized(s: SparkSession, d: String): DataFrame =
+    InvoiceOps.featurize(InvoiceOps.purchaseLines(s, d))
+
+  /** P3: validity filter on the featurized invoices; 'F' order status plays
+    * the cancellation flag (FIXTURES.md §4). Emits the 5-dim feature row. */
+  def validFeatures(s: SparkSession, d: String): DataFrame =
+    InvoiceOps.purchaseLines(s, d)
+      .groupBy(col("invoice_no"))
+      .agg(
+        davg(col("unit_price"), 6).as("avg_unit_price"),
+        min(col("unit_price")).as("min_unit_price"),
+        max(col("unit_price")).as("max_unit_price"),
+        max(col("invoice_hour")).as("time_hour"),
+        dsum(col("quantity"), 2).as("number_items"),
+        min(col("customer_id")).as("customer_id"),
+        max(col("order_status")).as("order_status"))
+      .filter(col("customer_id").isNotNull && length(col("customer_id")) > 0 &&
+        col("order_status") =!= "F" && !col("invoice_no").startsWith("C"))
+      .select("invoice_no", "avg_unit_price", "min_unit_price",
+        "max_unit_price", "time_hour", "number_items")
+
+  val validFeaturesSql: String = s"""
+    SELECT invoice_no, avg_unit_price, min_unit_price, max_unit_price,
+           time_hour, number_items
+    FROM (
+      SELECT CAST(l_orderkey AS VARCHAR) AS invoice_no,
+        ${davgSql("l_extendedprice / l_quantity", 6)} AS avg_unit_price,
+        min(l_extendedprice / l_quantity) AS min_unit_price,
+        max(l_extendedprice / l_quantity) AS max_unit_price,
+        max(CAST(extract(hour FROM o_orderdate) AS DOUBLE)) AS time_hour,
+        ${dsumSql("l_quantity", 2)} AS number_items,
+        min(CAST(o_custkey AS VARCHAR)) AS customer_id,
+        max(o_orderstatus) AS order_status
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey)
+    WHERE customer_id IS NOT NULL AND length(customer_id) > 0
+      AND order_status <> 'F' AND invoice_no NOT LIKE 'C%'"""
+
+  /** ST6/F3: error-classification when-cascade over the events stream table. */
+  def errorClassify(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(col("event_type") === "error", concat(lit("parse error: "), col("props")))
+          .when(col("value") < 0, lit("negative value"))
+          .when(col("user_id").isNull, lit("missing user"))
+          .otherwise(lit(null).cast("string")).as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+
+  val errorClassifySql: String = """
+    SELECT CASE WHEN event_type = 'error' THEN 'parse error: ' || props
+                WHEN value < 0 THEN 'negative value'
+                WHEN user_id IS NULL THEN 'missing user'
+           END AS reason, count(*) AS n
+    FROM events GROUP BY 1"""
+
+  /** A4/ST8 (batch mode): tumbling 1-minute count of the 'error' branch. */
+  def cancelTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(ts(col("window.start")).as("window_start"), col("n"))
+
+  val cancelTumblingSql: String = """
+    SELECT strftime(time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n
+    FROM events WHERE event_type = 'error' GROUP BY 1"""
+
+  /** ST8 faithful: 8-minute window sliding by 1 minute
+    * (InvoicePipeline.scala:326). */
+  def cancelSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "8 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(ts(col("window.start")).as("window_start"), col("n"))
+
+  val cancelSlidingSql: String = """
+    SELECT strftime(time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP))
+                      - k.r * INTERVAL '1 minute',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n
+    FROM events CROSS JOIN range(8) k(r)
+    WHERE event_type = 'error' GROUP BY 1"""
+
+  /** T1/M5: anomaly threshold = 2000th-largest distance to a fixed center
+    * (KMeansClusterInvoices.scala:44-48). TakeOrderedAndProject — no full
+    * sort, per-partition top-k then a single driver merge; at 100 TB this
+    * moves only 2000 rows per partition, never the data. */
+  private val ctr = Seq(30.0, 5.0, 80.0, 12.0, 100.0)
+  def topkThreshold(s: SparkSession, d: String): DataFrame = {
+    val f = validFeatures(s, d)
+    val dcol =
+      (col("avg_unit_price") - ctr(0)) * (col("avg_unit_price") - ctr(0)) +
+      (col("min_unit_price") - ctr(1)) * (col("min_unit_price") - ctr(1)) +
+      (col("max_unit_price") - ctr(2)) * (col("max_unit_price") - ctr(2)) +
+      (col("time_hour") - ctr(3)) * (col("time_hour") - ctr(3)) +
+      (col("number_items") - ctr(4)) * (col("number_items") - ctr(4))
+    f.select(dcol.as("d")).orderBy(col("d").desc).limit(2000)
+      .agg(min(col("d")).as("threshold"))
+  }
+
+  val topkThresholdSql: String = s"""
+    SELECT min(d) AS threshold FROM (
+      SELECT (avg_unit_price - 30.0) * (avg_unit_price - 30.0)
+           + (min_unit_price - 5.0) * (min_unit_price - 5.0)
+           + (max_unit_price - 80.0) * (max_unit_price - 80.0)
+           + (time_hour - 12.0) * (time_hour - 12.0)
+           + (number_items - 100.0) * (number_items - 100.0) AS d
+      FROM (${validFeaturesSql.replace("\n", " ")})
+      ORDER BY d DESC LIMIT 2000)"""
+
+  /** U1: union of the error/valid branches (InvoicePipeline.scala:180-181). */
+  def unionBranches(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bad  = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), lit("error").as("branch"))
+    val good = ev.filter(col("event_type") =!= "error")
+      .select(col("event_id"), lit("good").as("branch"))
+    bad.unionByName(good)
+  }
+
+  val unionBranchesSql: String = """
+    SELECT event_id, 'error' AS branch FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'good' AS branch FROM events WHERE event_type <> 'error'"""
+
+  /** J-coverage: revenue by nation — 3 shuffle joins + broadcast dims.
+    * nation/region are broadcast (tiny); customer⋈orders⋈lineitem shuffle on
+    * their keys, AQE coalesces. The flagship query. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val revenueByNationSql: String = s"""
+    SELECT n_name,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+      count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name"""
+
+  /** TPC-H Q1-shaped pricing summary — the headline hash aggregate. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 4).as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity", 2)} AS sum_qty,
+      ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 4)} AS sum_charge,
+      ${davgSql("l_quantity", 2)} AS avg_qty,
+      ${davgSql("l_extendedprice", 2)} AS avg_price,
+      ${davgSql("l_discount", 6)} AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  /** T-coverage: top order per customer (deterministic row_number). */
+  def topOrderPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val topOrderPerCustomerSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1"""
+
+  /** F2: hour extraction histogram (correct semantics, not quirk Q1). */
+  def hourHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  val hourHistogramSql: String = """
+    SELECT CAST(extract(hour FROM ts) AS INTEGER) AS h, count(*) AS n
+    FROM events GROUP BY 1"""
+
+  /** Gap-based sessionization in batch (the 40 s inactivity-session analog,
+    * gap = 1 hour over the sparser events table): lag + running sum — two
+    * window passes over one shuffle on user_id. */
+  def sessionizeGap(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ts(min(col("ts"))).as("session_start"),
+        ts(max(col("ts"))).as("session_end"))
+
+  }
+
+  val sessionizeGapSql: String = """
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 3600 THEN 1
+                    ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events)))
+    GROUP BY user_id, session_id"""
+
+  /** Exact distinct aggregate per group. */
+  def distinctUsersByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val distinctUsersByTypeSql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type"""
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val customersWithoutOrdersSql: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  /** Semi join: parts that appear in some lineitem (EXISTS). */
+  def partsWithSales(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val li = Tables.lineitem(s, d)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+  }
+
+  val partsWithSalesSql: String = """
+    SELECT p_partkey, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "q01_featurize_invoices"  -> QueryDef(featurized _, featurizeSql),
+    "q02_valid_features"      -> QueryDef(validFeatures _, validFeaturesSql),
+    "q03_error_classify"      -> QueryDef(errorClassify _, errorClassifySql),
+    "q04_cancel_tumbling"     -> QueryDef(cancelTumbling _, cancelTumblingSql),
+    "q05_cancel_sliding"      -> QueryDef(cancelSliding _, cancelSlidingSql),
+    "q06_topk_threshold"      -> QueryDef(topkThreshold _, topkThresholdSql),
+    "q07_union_branches"      -> QueryDef(unionBranches _, unionBranchesSql),
+    "q08_revenue_by_nation"   -> QueryDef(revenueByNation _, revenueByNationSql),
+    "q09_pricing_summary"     -> QueryDef(pricingSummary _, pricingSummarySql),
+    "q10_top_order_per_customer" -> QueryDef(topOrderPerCustomer _, topOrderPerCustomerSql),
+    "q11_hour_histogram"      -> QueryDef(hourHistogram _, hourHistogramSql),
+    "q12_sessionize_gap"      -> QueryDef(sessionizeGap _, sessionizeGapSql),
+    "q13_distinct_users_by_type" -> QueryDef(distinctUsersByType _, distinctUsersByTypeSql),
+    "q14_customers_without_orders" -> QueryDef(customersWithoutOrders _, customersWithoutOrdersSql),
+    "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql))
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
+
+Reads the parquet dumps written by `graft.Verify` plus oracle_sql.json,
+creates DuckDB views named after the testdata tables, runs each oracle SQL,
+and compares result sets: same columns (sorted by name), same row multiset,
+with exact match on every value (floats compared bitwise AND with a 1e-9
+relative fallback reported separately, so we can see how close 'close' is).
+"""
+import json, sys, math
+from pathlib import Path
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def rows_key(rows):
+    # sort rows by string repr for multiset compare
+    return sorted([tuple(str(c) for c in r) for r in rows])
+
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = out_dir / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()
+            got_cols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        # sort columns by name (driver behavior)
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        widx = [want_cols.index(c) for c in sorted(want_cols)]
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}")
+            n_fail += 1
+            continue
+        g = rows_key([[r[i] for i in gidx] for r in got])
+        w = rows_key([[r[i] for i in widx] for r in want])
+        if g == w:
+            print(f"PASS {name}: {len(got)} rows exact")
+            n_pass += 1
+        else:
+            # diagnose
+            print(f"FAIL {name}: {len(got)} spark rows vs {len(want)} oracle rows")
+            diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            for a, b in diff:
+                print(f"   spark:  {a}\n   oracle: {b}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
