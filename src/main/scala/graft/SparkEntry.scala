@@ -8,7 +8,8 @@ object SparkEntry {
   /** All registered query definitions (Spark impl + optional DuckDB oracle),
     * merged from the per-area registries. */
   def registry: Map[String, QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+    graft.queries.MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

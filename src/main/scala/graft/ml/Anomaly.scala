@@ -1,0 +1,106 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{BisectingKMeans, BisectingKMeansModel, KMeans, KMeansModel}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Anomaly-model layer (SURVEY.md §2.9) re-expressed on `org.apache.spark.ml`.
+  *
+  * Reference semantics (citations into /root/reference):
+  *  - KMeans sweep k=1..20 + cost:   clustering/KMeansClusterInvoices.scala:55-68
+  *  - Bisecting sweep:               clustering/BisectingKMeansClusterInvoices.scala:56-69
+  *  - elbow selection (ratio 0.7):   clustering/Clustering.scala:93-98
+  *  - threshold = 2000th distance:   clustering/KMeansClusterInvoices.scala:44-50
+  *  - nearest-centroid scoring:      realtime/InvoicePipeline.scala:340-354
+  *
+  * Scale design: scoring is NOT a UDF — the trained centers (k ≤ 20 small
+  * vectors) are folded into a `least(...)` column expression of per-center
+  * squared-distance polynomials. That keeps the hot path inside whole-stage
+  * codegen, costs k·dim fused multiply-adds per row, and ships the centers
+  * to executors as plan literals (no broadcast machinery needed). Training
+  * shuffles belong to `ml.KMeans` itself; everything around it is one hash
+  * aggregate + one TakeOrdered.
+  */
+object Anomaly {
+
+  /** The reference's 5-dim invoice feature vector (Clustering.scala:70-88). */
+  val featureCols: Seq[String] = Seq(
+    "avg_unit_price", "min_unit_price", "max_unit_price", "time_hour", "number_items")
+
+  def assemble(df: DataFrame, outputCol: String = "features"): DataFrame =
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol(outputCol)
+      .transform(df)
+
+  /** Squared Euclidean distance from the feature columns to a constant
+    * center, as a codegen-friendly column polynomial (F7 / M4). */
+  def sqdistTo(center: Seq[Double]): Column =
+    featureCols.zip(center).map { case (f, c) =>
+      (col(f) - lit(c)) * (col(f) - lit(c))
+    }.reduce(_ + _)
+
+  /** Distance to the nearest of `centers` — the reference's
+    * predict-then-sqdist (InvoicePipeline.scala:349-353) collapsed into
+    * min-over-centers. */
+  def minSqdist(centers: Seq[Seq[Double]]): Column = centers match {
+    case Seq(only) => sqdistTo(only)
+    case many      => least(many.map(sqdistTo): _*)
+  }
+
+  /** M1: seeded KMeans fit. */
+  def trainKMeans(features: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 20): KMeansModel =
+    new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(assemble(features))
+
+  /** M2: seeded BisectingKMeans fit. */
+  def trainBisecting(features: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 20): BisectingKMeansModel =
+    new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(assemble(features))
+
+  /** M1/M2 sweep: (k, trainingCost, centers) per candidate k. The input is
+    * cached once for the whole sweep (M6). */
+  def sweep(features: DataFrame, ks: Seq[Int], seed: Long = 42L,
+            maxIter: Int = 20, bisecting: Boolean = false): Seq[(Int, Double, Seq[Seq[Double]])] = {
+    val assembled = assemble(features).cache()
+    try ks.map { k =>
+      if (bisecting) {
+        val m = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(assembled)
+        (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
+      } else {
+        val m = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(assembled)
+        (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
+      }
+    } finally assembled.unpersist()
+  }
+
+  /** M3: elbow — first index whose cost ratio vs the previous exceeds
+    * `ratio`, else the last (Clustering.scala:93-98). Driver-side on the
+    * collected cost list. */
+  def elbowSelection(costs: Seq[Double], ratio: Double = 0.7): Int = {
+    val i = (1 until costs.length).find(i => costs(i) / costs(i - 1) > ratio)
+    i.getOrElse(costs.length - 1)
+  }
+
+  /** T1/M5: anomaly threshold = the `topK`-th largest score. Runs as
+    * TakeOrderedAndProject: per-partition top-k, single driver merge —
+    * moves topK rows per partition, never the dataset. */
+  def threshold(scored: DataFrame, scoreCol: String = "score", topK: Int = 2000): Double =
+    scored.select(col(scoreCol)).orderBy(col(scoreCol).desc).limit(topK)
+      .agg(min(col(scoreCol))).head.getDouble(0)
+
+  /** P6: score every row against the centers, keep those beyond the
+    * threshold. */
+  def anomalies(features: DataFrame, centers: Seq[Seq[Double]], thresh: Double): DataFrame =
+    features.withColumn("score", minSqdist(centers))
+      .filter(col("score") > lit(thresh))
+
+  /** K4/S3: one-scalar threshold persistence (Clustering.scala:100-106). */
+  def saveThreshold(path: String, value: Double): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), value.toString)
+  def loadThreshold(path: String): Double =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path)).trim.toDouble
+}
