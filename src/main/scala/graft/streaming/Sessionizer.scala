@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-invoice session state: accumulated lines plus a sticky error reason
+  * (realtime/InvoicePipeline.scala:59-64). The DStream tick counter is gone —
+  * the state-store timeout IS the expiry clock. */
+final case class SessionState(
+    lines: List[Purchase],
+    errorReason: Option[String])
+
+/** A finished session, already classified (ST6/ST7 merged into one emit).
+  * `status` ∈ {"error", "valid"}; feature fields are NaN-free only for
+  * valid invoices. */
+final case class InvoiceResult(
+    invoiceNo: String,
+    status: String,
+    reason: String,
+    avgUnitPrice: Double,
+    minUnitPrice: Double,
+    maxUnitPrice: Double,
+    time: Double,
+    numberItems: Double,
+    lineCount: Int,
+    customerId: String)
+
+/** ST4/ST5/ST6/ST7: keyed sessionization with inactivity expiry, rebuilt on
+  * `flatMapGroupsWithState` + ProcessingTimeTimeout.
+  *
+  * Reference state machine (InvoicePipeline.scala:192-248):
+  *  - any parse-error event in a batch records the reason and DROPS that
+  *    batch's good lines (quirk Q3);
+  *  - good lines append and reset the inactivity clock;
+  *  - ≥40 s of silence completes the session; completed state is removed, so
+  *    a late line re-opens a fresh (duplicate) session — same as the
+  *    reference's post-expiry `None` (ST11).
+  *
+  * Scale: state lives in the state store keyed by invoiceNo (RocksDB provider
+  * in production — `spark.sql.streaming.stateStore.providerClass`), sessions
+  * are bounded (tens of lines), and each micro-batch shuffles only the new
+  * lines, not the state. At 1000 executors the shuffle key (invoiceNo) is
+  * high-cardinality and unskewed.
+  */
+object Sessionizer {
+
+  val DefaultTimeout = "40 seconds"
+
+  /** ST6 priority cascade + A2 fold at emit time. Stream semantics: hour and
+    * customer come from the FIRST line (quirk Q2 — batch uses max(hour);
+    * documented, stream keeps first-line semantics as primary). */
+  def classify(invoiceNo: String, st: SessionState): InvoiceResult = {
+    def error(reason: String) =
+      InvoiceResult(invoiceNo, "error", reason,
+        Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, st.lines.size, null)
+    st.errorReason match {
+      case Some(reason) => error(reason)
+      case None if st.lines.isEmpty => error("no purchase lines")
+      case None =>
+        val lines = st.lines
+        if (lines.exists(p => p.customerID == null || p.customerID.isEmpty))
+          error("missing customer ID")
+        else if (lines.exists(p => PurchaseCsv.extractHour(p.invoiceDate) < 0))
+          error("invalid invoice date")
+        else if (lines.exists(p => p.country == null || p.country.isEmpty))
+          error("missing country")
+        else {
+          val prices = lines.map(_.unitPrice)
+          InvoiceResult(
+            invoiceNo, "valid", null,
+            avgUnitPrice = prices.sum / prices.size,
+            minUnitPrice = prices.min,
+            maxUnitPrice = prices.max,
+            time = PurchaseCsv.extractHour(lines.head.invoiceDate),
+            numberItems = lines.map(_.quantity).sum.toDouble,
+            lineCount = lines.size,
+            customerId = lines.head.customerID)
+        }
+    }
+  }
+
+  /** The flatMapGroupsWithState update function. Public so tests can drive
+    * it with TestGroupState. */
+  def updateSession(timeout: String)(
+      invoiceNo: String,
+      events: Iterator[LineEvent],
+      state: GroupState[SessionState]): Iterator[InvoiceResult] = {
+    if (state.hasTimedOut) {
+      val out = classify(invoiceNo, state.get)
+      state.remove()
+      Iterator.single(out)
+    } else {
+      val evs = events.toSeq
+      val prev = state.getOption.getOrElse(SessionState(Nil, None))
+      val next = evs.collectFirst { case LineEvent(_, _, Some(reason)) => reason } match {
+        // Q3: an error event wins the batch; its good lines are dropped.
+        case Some(reason) => prev.copy(errorReason = Some(reason))
+        case None         => prev.copy(lines = prev.lines ++ evs.flatMap(_.purchase))
+      }
+      state.update(next)
+      state.setTimeoutDuration(timeout)
+      Iterator.empty
+    }
+  }
+
+  /** Wire the sessionizer over a stream (or batch) of routed events. */
+  def sessionize(events: Dataset[LineEvent], timeout: String = DefaultTimeout)
+                (implicit spark: SparkSession): Dataset[InvoiceResult] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.invoiceNo)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        updateSession(timeout))
+  }
+
+  /** Parse + route + sessionize raw CSV lines end-to-end (ST3 → ST4). */
+  def fromRawLines(lines: Dataset[String], timeout: String = DefaultTimeout)
+                  (implicit spark: SparkSession): Dataset[InvoiceResult] = {
+    import spark.implicits._
+    sessionize(lines.flatMap(PurchaseCsv.route _), timeout)
+  }
+}
