@@ -9,7 +9,8 @@ object SparkEntry {
     * merged from the per-area registries. */
   def registry: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
-    graft.queries.MlQueries.defs
+    graft.queries.MlQueries.defs ++
+    graft.queries.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

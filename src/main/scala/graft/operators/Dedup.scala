@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline, designed around
+  * 100 TB-scale plans:
+  *
+  *  - exact dedup is a single hash aggregate on a 64-bit content hash (no
+  *    sort, no full-text shuffle — only (hash, id) pairs move);
+  *  - near-dup via MinHash+LSH: shingle → minhash → band → bucket join. The
+  *    self-join happens on (band index, band hash), keeping candidate pairs
+  *    ~linear instead of the quadratic all-pairs cross join;
+  *  - SimHash gives a 64-bit per-doc signature whose Hamming distance
+  *    approximates cosine similarity of the token sets — cheap to store and
+  *    to range-join at scale.
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per identical value — window
+    * variant (sort within groups; oracle-friendly, keeps whole rows). */
+  def exactKeepFirst(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Exact dedup at scale: group by xxhash64(value) and keep min(id). Only
+    * the (hash, id) pair shuffles; collision probability at 64 bits is
+    * ~n²/2⁶⁵ (≈1e-6 for 10 billion docs) — acceptable for corpus dedup and
+    * the standard trade at 100 TB. */
+  def exactByHash(df: DataFrame, valueCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(valueCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: `numHashes` independent min-hashes over the distinct
+    * word-`shingleN`-gram set, each seeded by its index through xxhash64.
+    * Pure expressions — one pass, no UDF, no shuffle. */
+  def minhashSignature(textCol: Column, numHashes: Int = 32, shingleN: Int = 3): Column = {
+    val shingles = array_distinct(wordNgrams(tokens(textCol), shingleN))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shingles, s => xxhash64(i, s))))
+  }
+
+  /** LSH banding: split the signature into `bands` equal bands and emit one
+    * (bandIdx, bandHash) bucket key per band. Docs sharing any bucket are
+    * candidate pairs. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleN)
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(b, concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+      ).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate near-duplicate pairs from shared LSH buckets (id_a < id_b,
+    * distinct). The join key (band_idx, band_hash) bounds the blow-up to
+    * bucket sizes — the scale-path alternative to a cross join. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleN)
+    val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified by exact n-gram Jaccard ≥ `minJaccard`. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     minJaccard: Double, numHashes: Int = 32, bands: Int = 8,
+                     shingleN: Int = 3): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleN)
+    val docs = df.select(col(idCol), col(textCol))
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val bDocs = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    pairs.join(a, "id_a").join(bDocs, "id_b")
+      .withColumn("jaccard", ngramJaccard(tokens(col("text_a")), tokens(col("text_b")), shingleN))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup scan: 64-bit signatures, pairs within `maxHamming`.
+    * Pairs are generated per identical high-bit prefix block (cheap
+    * blocking) — full-scale variants use multi-table rotation. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 8, prefixBits: Int = 16): DataFrame = {
+    val withSig = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+      .withColumn("block", shiftright(col("sig"), 64 - prefixBits))
+    val l = withSig.select(col("block"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = withSig.select(col("block"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

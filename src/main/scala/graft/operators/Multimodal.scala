@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + typed metadata. */
+final case class MediaRecord(
+    doc_id: Long,
+    format: String,
+    content: Array[Byte],
+    byte_len: Long)
+
+/** Decoded media features. `feature` is a fixed-width embedding-like vector;
+  * `frames` counts sampled frames for video-like payloads. */
+final case class MediaFeatures(
+    doc_id: Long,
+    format: String,
+    byte_len: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feature: Array[Float])
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
+  * with typed metadata, decoded per-partition.
+  *
+  * The actual decode step is a STUB — image/audio codecs are not in this
+  * container — replaced by a deterministic fake that derives metadata and a
+  * feature vector from the bytes themselves. Everything around it is the
+  * real Spark shape for this workload:
+  *  - binary payloads stay columnar (parquet BYTE_ARRAY) and are never
+  *    shuffled by the decode (mapPartitions is narrow);
+  *  - the decode is batched per partition, exactly where a JNI/FFI decoder
+  *    (or `mapInPandas` on the Python side) would sit;
+  *  - feature output is `array<float>`, ready for the Similarity operators.
+  */
+object Multimodal {
+
+  /** Build a binary media table from the documents fixture: the UTF-8 bytes
+    * play the payload, the format rotates deterministically. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(typedLit(Seq("jpeg", "png", "webp")), (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("content"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+
+  /** STUB decoder: deterministic fake metadata/features from the payload.
+    * Swap `decodeOne` for a real codec binding; the partition-batched shape
+    * (one decoder instance per partition, streaming iterator) is the part
+    * that matters at scale. */
+  def decodeFeatures(media: Dataset[MediaRecord], featureDim: Int = 8)
+                    (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { records =>
+      // a real implementation would initialise the codec ONCE here
+      records.map(decodeOne(_, featureDim))
+    }
+  }
+
+  /** Deterministic fake decode (??? stand-in): metadata from byte stats. */
+  private[operators] def decodeOne(r: MediaRecord, featureDim: Int): MediaFeatures = {
+    val bytes = r.content
+    val checksum = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    val width = 64 + (checksum % 1024).toInt
+    val height = 64 + ((checksum / 1024) % 1024).toInt
+    val nFrames = if (r.format == "webp") 1 + (checksum % 30).toInt else 1
+    val feature = Array.tabulate(featureDim) { i =>
+      val slice = bytes.drop(i).grouped(featureDim).map(_.headOption.getOrElse(0: Byte))
+      slice.foldLeft(0.0f)((acc, b) => acc + (b & 0xff) / 255.0f)
+    }
+    MediaFeatures(r.doc_id, r.format, r.byte_len, width, height, nFrames, feature)
+  }
+
+  /** Frame sampling plumbing: explode video-like payloads into one row per
+    * sampled frame index (every `everyN`-th frame). */
+  def frameSample(features: DataFrame, everyN: Int = 5): DataFrame =
+    features
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN))))
+      .select(col("doc_id"), col("format"), col("frame_idx"))
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline (and is exact); the
+  * IVF variant is the 100 TB path: a KMeans coarse quantizer partitions the
+  * corpus into cells, each query probes only its `nProbe` nearest cells, so
+  * the scored candidate set shrinks by ~cells/nProbe. At scale the corpus
+  * would additionally be storage-partitioned by cell id, making a probe a
+  * partition-pruned scan instead of a filter.
+  *
+  * All arithmetic is fold-based column expressions (left-to-right sums),
+  * bit-reproducible against the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbours for each query vector by brute-force cosine.
+    * `queries` is expected to be small — it is broadcast, so the corpus is
+    * scanned once with no shuffle of the embeddings themselves; only the
+    * (query, candidate, sim) triples reach the per-query top-k window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: KMeans cells + nProbe probing.
+    * Returns the same shape as bruteForceTopK; recall < 1 by design. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+             (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // 1. coarse quantizer: KMeans over the corpus embeddings
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(10).fit(train)
+    val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+
+    // distance of an array<double> column to each center, as fold expressions
+    def distTo(vec: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    def distArray(vec: Column): Column = array(centers.map(c => distTo(vec, c)): _*)
+
+    // 2. assign every corpus vector to its nearest cell (argmin, first-wins)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("dists", distArray(col("c_vec")))
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
+      .drop("dists")
+
+    // 3. each query probes its nProbe nearest cells
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cellDists", distArray(col("q_vec")))
+      .withColumn("probe_cells",
+        slice(transform(
+          array_sort(arrays_zip(col("cellDists"), sequence(lit(1), lit(cells)))),
+          s => s.getField("1").cast("int")), 1, nProbe))
+      .drop("cellDists")
+      .withColumn("cell", explode(col("probe_cells")))
+      .drop("probe_cells")
+
+    // 4. score only within probed cells, then per-query top-k
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ `minCosine` among pairs that
+    * share an IVF cell (the LSH-bucket analog for dense vectors). */
+  def embeddingNearDups(corpus: DataFrame, minCosine: Double,
+                        cells: Int = 16, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding")
+                       (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(10).fit(train)
+    val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    def distTo(vec: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    val assigned = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("dists", array(centers.map(c => distTo(col("v"), c)): _*))
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
+      .drop("dists")
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

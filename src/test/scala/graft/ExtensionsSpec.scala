@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup: planted duplicate collapses to the lowest id") {
+    import spark.implicits._
+    val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactKeepFirst(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+    val byHash = Dedup.exactByHash(df, "text", "doc_id")
+    assert(byHash.count() === 2)
+    assert(byHash.agg(sum("n_copies")).head.getLong(0) === 3L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = "spark shuffles data between stages when the partitioning changes " +
+      "and broadcast joins avoid moving the large side of the join at all"
+    val nearDup = base.replace("large", "big") // 1-word edit → high jaccard
+    val unrelated = "completely different words about cooking pasta with tomatoes " +
+      "and basil in a warm kitchen on a sunday afternoon with fresh bread"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text", minJaccard = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at distance 0, near-dups closer than unrelated") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base.replace("today", "tonight")
+    val far = "entirely unrelated text with other words about databases and indexes"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+      .select(col("id"), TextFunctions.simhash64(col("text")).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("IVF top-k achieves decent recall vs brute force") {
+    implicit val s = spark
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, cells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (|brute|=${brute.size}, |ivf|=${ivf.size})")
+  }
+
+  test("embedding near-dups finds a planted duplicate vector") {
+    import spark.implicits._
+    implicit val s = spark
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextFloat())
+    val v = vec()
+    val rows = (0 until 50).map(i => (i.toLong, vec())) :+
+      (100L, v) :+ (101L, v.map(x => x * 1.0001f)) // planted near-identical pair
+    val df = rows.toDF("vec_id", "embedding")
+    val dups = Similarity.embeddingNearDups(df, minCosine = 0.999, cells = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((100L, 101L)), s"dups=$dups")
+  }
+
+  test("language ID predicts the language of clearly marked texts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house in the garden is that"),
+      (2L, "el perro y la casa de un gato que en el por"),
+      (3L, "le chat et la maison de un pour est une")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextFunctions.langId(TextFunctions.tokens(col("text"))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "fr"))
+  }
+
+  test("multimodal decode plumbing is deterministic and frame sampling explodes") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sf))
+      .as[graft.operators.MediaRecord]
+    val feats = Multimodal.decodeFeatures(media).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(feats.count() === n)
+    val again = Multimodal.decodeFeatures(media)
+    assert(feats.toDF().exceptAll(again.toDF()).isEmpty) // deterministic
+    val frames = Multimodal.frameSample(feats.toDF(), everyN = 5)
+    assert(frames.count() >= n) // every doc yields at least frame 0
+    feats.unpersist()
+  }
+
+  test("fingerprint is stable and collision-free on distinct prefixes at sf0.001") {
+    val fp = graft.queries.Extensions.fingerprint(spark, sf).cache()
+    val docs = fp.count()
+    // same prefix ⇒ same fingerprint; distinct fingerprint count bounded by docs
+    assert(fp.select("fp").distinct().count() <= docs)
+    assert(fp.filter(col("fp").isNull).count() === 0)
+    fp.unpersist()
+  }
+}

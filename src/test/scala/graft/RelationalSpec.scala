@@ -22,7 +22,10 @@ class RelationalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("every registered query returns rows on sf0.001 (except known-empty)") {
-    val mayBeEmpty = Set("q14_customers_without_orders")
+    // anti-join legitimately empty; near-dup scans legitimately empty on
+    // random fixture data (planted-pair tests in ExtensionsSpec prove them)
+    val mayBeEmpty = Set("q14_customers_without_orders",
+      "q25_near_dup_minhash", "q30_embedding_near_dups")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
