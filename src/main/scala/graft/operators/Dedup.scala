@@ -37,11 +37,11 @@ object Dedup {
   /** MinHash signature: `numHashes` independent min-hashes over the distinct
     * word-`shingleN`-gram set, each seeded by its index through xxhash64.
     * Pure expressions — one pass, no UDF, no shuffle. */
-  def minhashSignature(textCol: Column, numHashes: Int = 32, shingleN: Int = 3): Column = {
-    val shingles = array_distinct(wordNgrams(tokens(textCol), shingleN))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(i, s))))
-  }
+  def minhashSignature(textCol: Column, numHashes: Int = 32, shingleN: Int = 3): Column =
+    bindOnce(array_distinct(wordNgrams(tokens(textCol), shingleN))) { shingles =>
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(shingles, s => xxhash64(i, s))))
+    }
 
   /** LSH banding: split the signature into `bands` equal bands and emit one
     * (bandIdx, bandHash) bucket key per band. Docs sharing any bucket are
@@ -50,12 +50,14 @@ object Dedup {
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleN)
-    df.select(col(idCol), sig.as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(b, concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
-      ).as(Seq("band_idx", "band_hash")))
+    // bindOnce both stages: the signature (32 minhashes over the shingle
+    // set) and the band hashes are each evaluated once per row even though
+    // Catalyst collapses these projections into one.
+    val bandArray = bindOnce(minhashSignature(col(textCol), numHashes, shingleN)) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, concat_ws("_", slice(sig, b * rows + 1, lit(rows)))))
+    }
+    df.select(col(idCol), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
   }
 
   /** Candidate near-duplicate pairs from shared LSH buckets (id_a < id_b,
@@ -63,7 +65,11 @@ object Dedup {
     * bucket sizes — the scale-path alternative to a cross join. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleN)
+    // Materialize the bucket table once: the self-join would otherwise
+    // recompute the full shingle→minhash→band pipeline on BOTH sides. The
+    // bucket table is tiny ((id, band, hash) per band) relative to the corpus
+    // — at 100 TB this is the stage you'd write to storage between passes.
+    val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleN).persist()
     val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))
