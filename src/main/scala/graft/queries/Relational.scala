@@ -290,6 +290,15 @@ object Relational {
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
     FROM events GROUP BY event_type"""
 
+  /** A-coverage: HyperLogLog distinct estimate per group — the sketch path
+    * for 100 TB cardinalities (constant memory per group vs exact distinct's
+    * shuffle of every key). Algorithms differ across engines, so this is a
+    * rows-only query; DistinctSpec pins the estimate within 5% of exact. */
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+
   /** Anti join: customers with no orders (NOT EXISTS). */
   def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -329,5 +338,6 @@ object Relational {
     "q12_sessionize_gap"      -> QueryDef(sessionizeGap _, sessionizeGapSql),
     "q13_distinct_users_by_type" -> QueryDef(distinctUsersByType _, distinctUsersByTypeSql),
     "q14_customers_without_orders" -> QueryDef(customersWithoutOrders _, customersWithoutOrdersSql),
-    "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql))
+    "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql),
+    "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, None))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.streaming.{PurchaseCsv, Sessionizer, SessionState, Purchase}
+
+/** Property-based coverage (SURVEY §5.5): parser totality, quirk routing,
+  * hour-extraction equivalence, elbow bounds, classification totality. */
+object ParserProperties extends Properties("PurchaseCsv") {
+
+  private val anyLine: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("\"x,y\""), Gen.numStr))
+      .map(_.mkString(",")),
+    Gen.const(null).map(_.asInstanceOf[String]))
+
+  property("parse is total: never throws on arbitrary input") = forAll(anyLine) { line =>
+    PurchaseCsv.parse(line)
+    true
+  }
+
+  property("route only admits good purchases or 'parse error:' reasons") =
+    forAll(anyLine) { line =>
+      PurchaseCsv.route(line) match {
+        case None => true
+        case Some(ev) =>
+          ev.purchase.isDefined != ev.errorReason.isDefined &&
+            ev.errorReason.forall(_.startsWith("parse error:"))
+      }
+    }
+
+  private val hourGen = Gen.choose(0, 23)
+  private val dateGen: Gen[(String, Int)] = for {
+    m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    y <- Gen.choose(2000, 2030); h <- hourGen; mi <- Gen.choose(0, 59)
+  } yield (s"$m/$d/$y $h:$mi", h)
+
+  property("extractHour recovers the generated hour for M/d/yyyy H:mm") =
+    forAll(dateGen) { case (s, h) => PurchaseCsv.extractHour(s) == h.toDouble }
+
+  property("valid 8-field numeric lines always parse as Good") = forAll(
+    for {
+      inv <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      qty <- Gen.choose(-999, 999)
+      price <- Gen.choose(0, 100000).map(_ / 100.0)
+      (date, _) <- dateGen
+    } yield (inv, qty, date, price)) { case (inv, qty, date, price) =>
+    PurchaseCsv.parse(s"$inv,SC,DESC,$qty,$date,$price,CUST,Country") match {
+      case PurchaseCsv.Good(p) =>
+        p.invoiceNo == inv && p.quantity == qty && p.unitPrice == price
+      case _ => false
+    }
+  }
+}
+
+object ElbowProperties extends Properties("Anomaly.elbow") {
+  private val costsGen = Gen.nonEmptyListOf(Gen.choose(1.0, 1e9))
+
+  property("selection index is always in range") = forAll(costsGen) { cs =>
+    val i = graft.ml.Anomaly.elbowSelection(cs)
+    i >= 0 && i < cs.length
+  }
+
+  property("a plateau at position 1 selects index 1") =
+    forAll(Gen.choose(1.0, 1e6)) { c =>
+      graft.ml.Anomaly.elbowSelection(Seq(c, c * 0.9, c * 0.1)) == 1
+    }
+}
+
+object SessionizerProperties extends Properties("Sessionizer.classify") {
+  private val purchaseGen: Gen[Purchase] = for {
+    inv <- Gen.alphaNumStr
+    qty <- Gen.choose(-99, 99)
+    date <- Gen.oneOf("7/19/2011 12:19", "garbage", "")
+    price <- Gen.choose(0.0, 1000.0)
+    cust <- Gen.oneOf("", "c1", "c2")
+    country <- Gen.oneOf("", "ES", "UK")
+  } yield Purchase(inv, qty, date, price, cust, country)
+
+  private val stateGen: Gen[SessionState] = for {
+    lines <- Gen.listOf(purchaseGen)
+    err <- Gen.option(Gen.const("parse error: x"))
+  } yield SessionState(lines, err)
+
+  property("classify is total and status matches reason nullability") =
+    forAll(stateGen) { st =>
+      val r = Sessionizer.classify("I", st)
+      (r.status == "error" && r.reason != null) ||
+        (r.status == "valid" && r.reason == null)
+    }
+
+  property("valid results only from clean states, with exact fold") =
+    forAll(stateGen) { st =>
+      val r = Sessionizer.classify("I", st)
+      if (r.status == "valid") {
+        val prices = st.lines.map(_.unitPrice)
+        st.errorReason.isEmpty && st.lines.nonEmpty &&
+          r.minUnitPrice == prices.min && r.maxUnitPrice == prices.max &&
+          r.numberItems == st.lines.map(_.quantity).sum.toDouble
+      } else true
+    }
+}
