@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two array<double> columns. */
+  /** Left-fold dot product of two array<double> columns. Uses the native
+    * codegen DotProduct expression — bit-identical to the higher-order
+    * `aggregate(zip_with(...))` fold (same summation order) but compiled
+    * instead of interpreted. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
