@@ -31,18 +31,25 @@ object TextFunctions {
 
   /** Exact mean token length: integer length sum folded exactly, then one
     * double division. */
-  def avgTokenLen(toks: Column): Column =
-    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
-      .cast("double") / size(toks)
+  def avgTokenLen(toksExpr: Column): Column =
+    bindOnce(toksExpr) { toks =>
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+        .cast("double") / size(toks)
+    }
 
   /** Word n-grams joined by single spaces; empty array when there are fewer
     * than n tokens (DuckDB's range() yields empty on negative bounds, Spark's
     * sequence() would count backwards — hence the guard). */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(0), size(toks) - n), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  def wordNgrams(toksExpr: Column, n: Int): Column =
+    // bindOnce is load-bearing: the n element_at references per ngram would
+    // otherwise each re-evaluate the tokenizer expression (measured ~180
+    // re-splits per document before binding)
+    bindOnce(toksExpr) { toks =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(0), size(toks) - n), i =>
+            concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    }
 
   /** Jaccard similarity of the distinct n-gram sets of two token arrays.
     * NULL when the union is empty. Exact: int/int division. */
@@ -79,7 +86,7 @@ object TextFunctions {
   /** Heuristic language ID: argmax of stopword hits, ties broken by the
     * fixed language order en > es > fr > de > zh (a deterministic CASE
     * cascade — mirrors the DuckDB oracle exactly). */
-  def langId(toks: Column): Column = {
+  def langId(toksExpr: Column): Column = bindOnce(toksExpr) { toks =>
     val order = Seq("en", "es", "fr", "de", "zh")
     val hits = order.map(l => wordHits(toks, stopwords(l)))
     order.zip(hits).foldRight(lit("und")) { case ((lang, h), rest) =>
@@ -92,12 +99,12 @@ object TextFunctions {
 
   /** Simple quality score: stopword density minus punctuation and digit
     * noise (each term exact, so the combination is reproducible). */
-  def qualityScore(c: Column): Column = {
-    val toks = tokens(c)
-    val stopRatio = wordHits(toks, stopwords("en")).cast("double") /
-      nullif(size(toks).cast("double"), lit(0.0))
-    stopRatio - charClassRatio(c, "[.,!?;:]") - charClassRatio(c, "[0-9]")
-  }
+  def qualityScore(c: Column): Column =
+    bindOnce(tokens(c)) { toks =>
+      val stopRatio = wordHits(toks, stopwords("en")).cast("double") /
+        nullif(size(toks).cast("double"), lit(0.0))
+      stopRatio - charClassRatio(c, "[.,!?;:]") - charClassRatio(c, "[0-9]")
+    }
 
   /** Rolling polynomial fingerprint of the first `prefixLen` characters:
     * fold (acc*31 + codepoint) mod 1e9+7 — the same left fold DuckDB's

@@ -38,10 +38,8 @@ object Dedup {
     * word-`shingleN`-gram set, each seeded by its index through xxhash64.
     * Pure expressions — one pass, no UDF, no shuffle. */
   def minhashSignature(textCol: Column, numHashes: Int = 32, shingleN: Int = 3): Column =
-    bindOnce(array_distinct(wordNgrams(tokens(textCol), shingleN))) { shingles =>
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(shingles, s => xxhash64(i, s))))
-    }
+    graft.expressions.MinHashSignature.minhash(
+      array_distinct(wordNgrams(tokens(textCol), shingleN)), numHashes)
 
   /** LSH banding: split the signature into `bands` equal bands and emit one
     * (bandIdx, bandHash) bucket key per band. Docs sharing any bucket are
