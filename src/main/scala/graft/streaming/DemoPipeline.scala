@@ -21,6 +21,10 @@ object DemoPipeline {
       .appName("graft-demo-pipeline")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // production state-store provider: RocksDB keeps session state off
+      // the executor heap — the 100 TB posture for long-running keyed state
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
