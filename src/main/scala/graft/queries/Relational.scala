@@ -323,6 +323,59 @@ object Relational {
     SELECT p_partkey, p_brand FROM part
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"""
 
+  /** Rollup aggregate: per-(flag,status) plus subtotals and grand total. */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+
+  val rollupRevenueSql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${dsumSql("l_extendedprice", 2)} AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  /** Left outer join keeping order-less customers with zeroed aggregates. */
+  def customerOrderSummary(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").as("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        coalesce(dsum(o("o_totalprice"), 2), lit(0.0)).as("total_spent"))
+  }
+
+  val customerOrderSummarySql: String = s"""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           coalesce(${dsumSql("o_totalprice", 2)}, 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey"""
+
+  /** HAVING filter over a grouped aggregate. */
+  def bigCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+
+  val bigCustomersSql: String = """
+    SELECT o_custkey, count(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING count(*) >= 15"""
+
+  /** Deterministic top-N: revenue per part, ordered with an id tiebreak. */
+  def top10Parts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(10)
+
+  val top10PartsSql: String = s"""
+    SELECT l_partkey,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey LIMIT 10"""
+
   val defs: Map[String, QueryDef] = Map(
     "q01_featurize_invoices"  -> QueryDef(featurized _, featurizeSql),
     "q02_valid_features"      -> QueryDef(validFeatures _, validFeaturesSql),
@@ -339,5 +392,9 @@ object Relational {
     "q13_distinct_users_by_type" -> QueryDef(distinctUsersByType _, distinctUsersByTypeSql),
     "q14_customers_without_orders" -> QueryDef(customersWithoutOrders _, customersWithoutOrdersSql),
     "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql),
-    "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, None))
+    "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, None),
+    "q34_rollup_revenue"      -> QueryDef(rollupRevenue _, rollupRevenueSql),
+    "q35_customer_order_summary" -> QueryDef(customerOrderSummary _, customerOrderSummarySql),
+    "q36_big_customers"       -> QueryDef(bigCustomers _, bigCustomersSql),
+    "q37_top10_parts"         -> QueryDef(top10Parts _, top10PartsSql))
 }
