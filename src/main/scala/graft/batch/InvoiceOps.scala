@@ -53,6 +53,18 @@ object InvoiceOps {
       .otherwise(h.cast("double"))
   }
 
+  /** A1 over raw retail purchase lines (the CSV schema): derives the hour
+    * column then aggregates. `legacyHourQuirk=true` reproduces the
+    * reference's batch-side Q1 bug (tens digit dropped for short dates) for
+    * golden/model-parity experiments; default is the correct F2 semantics. */
+  def featurizePurchases(purchases: DataFrame, legacyHourQuirk: Boolean = false): DataFrame = {
+    val hourCol = if (legacyHourQuirk) legacyHour(col("invoice_date"))
+                  else hourOf(col("invoice_date"))
+    featurize(purchases
+      .withColumn("invoice_hour", hourCol)
+      .withColumn("invoice_date_str", col("invoice_date")))
+  }
+
   /** A1: the 8-aggregate featurize. Input: purchase-line shaped DataFrame
     * (invoice_no, quantity, unit_price, customer_id, invoice_hour pre-derived).
     * One hash aggregate, partial+final; `first` in the reference is replaced

@@ -56,7 +56,7 @@ object MlQueries {
   def bisectingAnomalies(s: SparkSession, d: String): DataFrame = {
     val feats = Relational.validFeatures(s, d).cache()
     try {
-      val model = Anomaly.trainBisecting(feats, k = 3, seed = 42L, maxIter = 10)
+      val model = Anomaly.trainBisecting(feats, k = 3, seed = 42L, maxIter = 5)
       val ctrs = model.clusterCenters.toSeq.map(_.toArray.toSeq)
       val scored = feats.withColumn("score", Anomaly.minSqdist(ctrs))
       val thresh = Anomaly.threshold(scored, "score", 500)
