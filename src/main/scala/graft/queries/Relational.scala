@@ -376,6 +376,52 @@ object Relational {
     FROM lineitem GROUP BY l_partkey
     ORDER BY revenue DESC, l_partkey LIMIT 10"""
 
+  /** Window-after-aggregate: each nation's share of total revenue. The
+    * window total is an exact decimal sum (the per-nation revenues are
+    * already 1e-4-quantized), so shares are bit-identical cross-engine. */
+  def revenueShare(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = revenueByNation(s, d)
+    val total = sum(col("revenue").cast(DecimalType(27, 4)))
+      .over(Window.partitionBy())
+      .cast("double")
+    base.select(col("n_name"), col("revenue"), (col("revenue") / total).as("share"))
+  }
+
+  val revenueShareSql: String = s"""
+    SELECT n_name, revenue,
+           revenue / CAST(sum(CAST(revenue AS DECIMAL(27,4))) OVER () AS DOUBLE) AS share
+    FROM (${revenueByNationSql.replace("\n", " ")})"""
+
+  /** Correlated scalar subquery (Catalyst decorrelation): orders above 2×
+    * their customer's exact mean order value. The SQL text is engine-
+    * portable, so the oracle IS the same string. */
+  val ordersAboveCustomerAvgSql: String = s"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2 * (${davgSql("o2.o_totalprice", 2)})
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
+
+  def ordersAboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(ordersAboveCustomerAvgSql)
+  }
+
+  /** JSON extraction over the events props column. */
+  def jsonPropsSum(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  val jsonPropsSumSql: String = """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+    FROM events GROUP BY event_type"""
+
   val defs: Map[String, QueryDef] = Map(
     "q01_featurize_invoices"  -> QueryDef(featurized _, featurizeSql),
     "q02_valid_features"      -> QueryDef(validFeatures _, validFeaturesSql),
@@ -396,5 +442,8 @@ object Relational {
     "q34_rollup_revenue"      -> QueryDef(rollupRevenue _, rollupRevenueSql),
     "q35_customer_order_summary" -> QueryDef(customerOrderSummary _, customerOrderSummarySql),
     "q36_big_customers"       -> QueryDef(bigCustomers _, bigCustomersSql),
-    "q37_top10_parts"         -> QueryDef(top10Parts _, top10PartsSql))
+    "q37_top10_parts"         -> QueryDef(top10Parts _, top10PartsSql),
+    "q38_revenue_share"       -> QueryDef(revenueShare _, revenueShareSql),
+    "q39_orders_above_cust_avg" -> QueryDef(ordersAboveCustomerAvg _, ordersAboveCustomerAvgSql),
+    "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql))
 }
