@@ -102,6 +102,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
   }
 
+  /** Materialize an IVF index as a cell-partitioned parquet layout: train
+    * the coarse quantizer, assign every vector, write partitioned by cell.
+    * Returns the centers (the "index metadata" — at scale this is the only
+    * driver-side state, cells × dim doubles). Probing a query then reads
+    * ONLY its nProbe cell directories — partition pruning turns the ANN
+    * probe into a fraction-of-corpus scan, which is the actual 100 TB
+    * serving path (ScaleSpec-style pruning applied to vectors). */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String,
+                    cells: Int = 16, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+                   (implicit spark: SparkSession): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(10).fit(train)
+    val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    def distTo(vec: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("dists", array(centers.map(c => distTo(col("v"), c)): _*))
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
+      .drop("dists")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    centers
+  }
+
+  /** Top-k against a materialized IVF index: per query, figure the nProbe
+    * nearest cells from the (tiny, driver-held) centers and push a `cell IN
+    * (...)` filter into the partitioned read — only those directories are
+    * scanned. */
+  def ivfTopKIndexed(indexDir: String, centers: Seq[Seq[Double]],
+                     queries: DataFrame, k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+                    (implicit spark: SparkSession): DataFrame = {
+    val cells = centers.length
+    def distTo(vec: Column, ctr: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cellDists", array(centers.map(c => distTo(col("q_vec"), c)): _*))
+      .withColumn("probe_cells",
+        slice(transform(
+          array_sort(arrays_zip(col("cellDists"), sequence(lit(1), lit(cells)))),
+          s => s.getField("1").cast("int")), 1, nProbe))
+      .drop("cellDists")
+
+    // collect the union of probed cells (tiny) to push a partition filter
+    val probed = q.select(explode(col("probe_cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col("v").as("c_vec"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(q.withColumn("cell", explode(col("probe_cells")))
+        .drop("probe_cells")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `minCosine` among pairs that
     * share an IVF cell (the LSH-bucket analog for dense vectors). */
   def embeddingNearDups(corpus: DataFrame, minCosine: Double,

@@ -26,6 +26,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("materialized IVF index: partition-pruned probes match in-memory IVF") {
+    implicit val s = spark
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    val centers = graft.operators.Similarity.buildIvfIndex(emb, dir, cells = 8)
+    val indexed = graft.operators.Similarity.ivfTopKIndexed(dir, centers, queries, 5, nProbe = 4)
+    // the probed read must carry a partition filter on cell
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe not partition-pruned:\n$plan")
+    val inMemory = graft.operators.Similarity
+      .ivfTopK(emb, queries, 5, cells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = indexed.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === inMemory)
+  }
+
   test("salted join equals the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf)

@@ -189,6 +189,17 @@ class StreamingIntegrationSpec extends AnyFunSuite {
       assert(cancel === List("C300"), s"cancel=$cancel")
       assert(km.contains("I100"), s"km=$km")
       assert(bk.isEmpty, s"bk=$bk") // threshold 1e12 → nothing anomalous
+
+      // ST11: a line arriving AFTER expiry re-opens a fresh session for the
+      // same invoice — the reference removes expired state, so a duplicate
+      // partial invoice is emitted (InvoicePipeline.scala:208, 243-245)
+      input.addData("I100,S9,LATE LINE,2,7/19/2011 12:30,5.0,cust7,Spain")
+      val dup = await {
+        collected.synchronized {
+          collected.getOrElse("km", Nil).count(_ == "I100") >= 2
+        }
+      }
+      assert(dup, s"late line did not re-open session: km=${collected.synchronized(collected.get("km"))}")
     } finally q.stop()
   }
 }
