@@ -422,6 +422,22 @@ object Relational {
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
     FROM events GROUP BY event_type"""
 
+  /** Date-range predicate that pushes to the parquet scan (PushedFilters).
+    * Ship-mode style slice of lineitem by shipdate window. */
+  def shipdateSlice(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-01-01").cast("date"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"))
+
+  val shipdateSliceSql: String = s"""
+    SELECT l_returnflag, count(*) AS n, ${dsumSql("l_extendedprice", 2)} AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag"""
+
   val defs: Map[String, QueryDef] = Map(
     "q01_featurize_invoices"  -> QueryDef(featurized _, featurizeSql),
     "q02_valid_features"      -> QueryDef(validFeatures _, validFeaturesSql),
@@ -445,5 +461,6 @@ object Relational {
     "q37_top10_parts"         -> QueryDef(top10Parts _, top10PartsSql),
     "q38_revenue_share"       -> QueryDef(revenueShare _, revenueShareSql),
     "q39_orders_above_cust_avg" -> QueryDef(ordersAboveCustomerAvg _, ordersAboveCustomerAvgSql),
-    "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql))
+    "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql),
+    "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql))
 }

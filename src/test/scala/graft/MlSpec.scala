@@ -49,6 +49,31 @@ class MlSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("TopKMinAggregator matches orderBy/limit threshold, incl. per-group use") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val rnd = new scala.util.Random(3)
+    val scores = Seq.fill(5000)(rnd.nextDouble() * 1e6)
+    val df = scores.zipWithIndex
+      .map { case (s, i) => (i % 3, s) }.toDF("g", "score").cache()
+
+    // global: same value as the TakeOrdered path
+    val agg = udaf(new graft.ml.TopKMinAggregator(100))
+    val viaAgg = df.select(agg(org.apache.spark.sql.functions.col("score")))
+      .head.getDouble(0)
+    val viaSort = Anomaly.threshold(df, "score", 100)
+    assert(viaAgg === viaSort)
+
+    // per-group: expressible only with the aggregator
+    val perGroup = df.groupBy("g").agg(agg($"score").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val expected = scores.zipWithIndex.groupBy(_._2 % 3).map { case (g, vs) =>
+      g -> vs.map(_._1).sorted(Ordering[Double].reverse).take(100).last
+    }
+    assert(perGroup === expected)
+    df.unpersist()
+  }
+
   test("threshold file roundtrip") {
     val p = java.nio.file.Files.createTempFile("thresh", ".txt").toString
     Anomaly.saveThreshold(p, 25089.874540632012)
