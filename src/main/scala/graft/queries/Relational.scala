@@ -422,6 +422,17 @@ object Relational {
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
     FROM events GROUP BY event_type"""
 
+  /** CUBE aggregate over order status × priority. */
+  def cubeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+
+  val cubeOrdersSql: String = s"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           ${dsumSql("o_totalprice", 2)} AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
   /** Date-range predicate that pushes to the parquet scan (PushedFilters).
     * Ship-mode style slice of lineitem by shipdate window. */
   def shipdateSlice(s: SparkSession, d: String): DataFrame =
@@ -462,5 +473,6 @@ object Relational {
     "q38_revenue_share"       -> QueryDef(revenueShare _, revenueShareSql),
     "q39_orders_above_cust_avg" -> QueryDef(ordersAboveCustomerAvg _, ordersAboveCustomerAvgSql),
     "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql),
-    "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql))
+    "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql),
+    "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql))
 }
