@@ -29,6 +29,21 @@ class CoverageSpec extends AnyFunSuite {
     assert(df.filter(InvoiceOps.isCancellation(col("invoice_no"))).count() === 1)
   }
 
+  test("featurizePurchases aggregates the CSV schema, legacy flag flips short-date hours") {
+    import spark.implicits._
+    val purchases = Seq(
+      ("I1", 2, "7/1/2011 12:19", 3.0, "c1", "ES"),
+      ("I1", 3, "7/1/2011 12:30", 5.0, "c1", "ES"),
+      ("I2", 1, "7/19/2011 9:05", 2.0, "c2", "UK"))
+      .toDF("invoice_no", "quantity", "invoice_date", "unit_price", "customer_id", "country")
+    val correct = InvoiceOps.featurizePurchases(purchases)
+      .collect().map(r => r.getAs[String]("invoice_no") -> r.getAs[Double]("time_hour")).toMap
+    assert(correct === Map("I1" -> 12.0, "I2" -> 9.0))
+    val legacy = InvoiceOps.featurizePurchases(purchases, legacyHourQuirk = true)
+      .collect().map(r => r.getAs[String]("invoice_no") -> r.getAs[Double]("time_hour")).toMap
+    assert(legacy === Map("I1" -> 2.0, "I2" -> 9.0)) // quirk Q1 drops the tens digit
+  }
+
   test("K3/S4: trained model save/load roundtrip preserves centers") {
     val feats = graft.queries.Relational.validFeatures(spark, sf)
     val m = Anomaly.trainKMeans(feats, k = 3, seed = 11L, maxIter = 5)
