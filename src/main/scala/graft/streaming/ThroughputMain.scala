@@ -31,13 +31,9 @@ object ThroughputMain {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val emitted = new java.util.concurrent.atomic.AtomicLong()
-    val sinks = new InvoiceSinks {
-      private def add(b: org.apache.spark.sql.DataFrame): Unit = emitted.addAndGet(b.count())
-      def erroneous(b: org.apache.spark.sql.DataFrame, id: Long): Unit = add(b)
-      def cancellations(b: org.apache.spark.sql.DataFrame, id: Long): Unit = add(b)
-      def anomaliesKMeans(b: org.apache.spark.sql.DataFrame, id: Long): Unit = add(b)
-      def anomaliesBisecting(b: org.apache.spark.sql.DataFrame, id: Long): Unit = add(b)
-    }
+    // unified sink: one count job per trigger over the tagged batch
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => emitted.addAndGet(b.count())
     // threshold -1 ⇒ every valid invoice scores above it and reaches the
     // kmeans sink, so "all invoices emitted" is observable at the sinks
     val models = InvoicePipeline.Models(
@@ -46,7 +42,7 @@ object ThroughputMain {
 
     val input = MemoryStream[String]
     val ckpt = java.nio.file.Files.createTempDirectory("tp-ckpt").toString
-    val q = InvoicePipeline.run(input.toDS(), models, sinks, ckpt,
+    val q = InvoicePipeline.runUnified(input.toDS(), models, sink, ckpt,
       sessionTimeout = "2 seconds",
       trigger = Trigger.ProcessingTime("1 second"))
 

@@ -125,6 +125,42 @@ class SessionizerSpec extends AnyFunSuite {
   }
 }
 
+class UnifiedRouterSpec extends AnyFunSuite {
+  test("unified router emits the same (topic, value) set as the 4-sink router") {
+    implicit val spark = SparkTestSession.spark
+    import spark.implicits._
+    val models = InvoicePipeline.Models(
+      Seq(Seq(0.0, 0.0, 0.0, 0.0, 0.0)), 10.0,
+      Seq(Seq(0.0, 0.0, 0.0, 0.0, 0.0)), 1e12)
+    val batch = Seq(
+      InvoiceResult("I1", "valid", null, 5.0, 1.0, 9.0, 12.0, 20.0, 3, "c1"),   // km anomaly
+      InvoiceResult("I2", "valid", null, 0.1, 0.1, 0.1, 0.0, 1.0, 1, "c2"),     // quiet: no sink
+      InvoiceResult("C9", "valid", null, 5.0, 1.0, 9.0, 12.0, 20.0, 2, "c3"),   // cancellation
+      InvoiceResult("E1", "error", "parse error: x", Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, Double.NaN, 0, null)).toDS()
+
+    val unified = InvoicePipeline.routeBatchUnified(models)(batch)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val classic = scala.collection.mutable.Set[(String, String)]()
+    val sinks = new InvoiceSinks {
+      private def grab(t: String, b: org.apache.spark.sql.DataFrame): Unit =
+        b.collect().foreach(r => classic += (t -> r.getString(0)))
+      def erroneous(b: org.apache.spark.sql.DataFrame, id: Long): Unit = grab("facturas_erroneas", b)
+      def cancellations(b: org.apache.spark.sql.DataFrame, id: Long): Unit = grab("cancelaciones", b)
+      def anomaliesKMeans(b: org.apache.spark.sql.DataFrame, id: Long): Unit = grab("anomalias_kmeans", b)
+      def anomaliesBisecting(b: org.apache.spark.sql.DataFrame, id: Long): Unit = grab("anomalias_bisect_kmeans", b)
+    }
+    InvoicePipeline.routeBatch(models, sinks)(batch, 0L)
+
+    assert(unified === classic.toSet)
+    assert(unified === Set(
+      ("anomalias_kmeans", "I1"),
+      ("cancelaciones", "C9"),
+      ("facturas_erroneas", "E1,parse error: x")))
+  }
+}
+
 class StreamingIntegrationSpec extends AnyFunSuite {
   test("memory-stream end-to-end: sessions expire and classify through the pipeline") {
     implicit val spark = SparkTestSession.spark
