@@ -88,9 +88,13 @@ object Anomaly {
   /** T1/M5: anomaly threshold = the `topK`-th largest score. Runs as
     * TakeOrderedAndProject: per-partition top-k, single driver merge —
     * moves topK rows per partition, never the dataset. */
-  def threshold(scored: DataFrame, scoreCol: String = "score", topK: Int = 2000): Double =
-    scored.select(col(scoreCol)).orderBy(col(scoreCol).desc).limit(topK)
-      .agg(min(col(scoreCol))).head.getDouble(0)
+  def threshold(scored: DataFrame, scoreCol: String = "score", topK: Int = 2000): Double = {
+    val row = scored.select(col(scoreCol)).orderBy(col(scoreCol).desc).limit(topK)
+      .agg(min(col(scoreCol))).head
+    // empty input → min() is NULL; NaN makes every `score > threshold`
+    // comparison false (no anomalies), instead of an NPE after the fits
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
 
   /** P6: score every row against the centers, keep those beyond the
     * threshold. */

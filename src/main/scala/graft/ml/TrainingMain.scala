@@ -37,15 +37,23 @@ object TrainingMain {
     val results = Anomaly.sweep(feats, kMin to kMax, seed = 42L, maxIter = 10, bisecting)
     val costs = results.map(_._2)
     val sel = Anomaly.elbowSelection(costs)
-    val (k, cost, centers) = results(sel)
+    val (k, cost, _) = results(sel)
     results.foreach { case (kk, c, _) => println(f"SWEEP k=$kk cost=$c%.4f") }
     println(s"SELECTED k=$k (elbow over ${costs.size} fits)")
 
-    // final fit persisted as a real ml model (K3)
-    val model =
-      if (bisecting) Anomaly.trainBisecting(feats, k, seed = 42L, maxIter = 10).write
-      else Anomaly.trainKMeans(feats, k, seed = 42L, maxIter = 10).write
-    model.overwrite().save(s"$outDir/model")
+    // final fit persisted as a real ml model (K3); the threshold below is
+    // derived from THIS model's centers so the two saved artifacts can
+    // never drift apart, whatever the fit parameters
+    val centers: Seq[Seq[Double]] =
+      if (bisecting) {
+        val m = Anomaly.trainBisecting(feats, k, seed = 42L, maxIter = 10)
+        m.write.overwrite().save(s"$outDir/model")
+        m.clusterCenters.toSeq.map(_.toArray.toSeq)
+      } else {
+        val m = Anomaly.trainKMeans(feats, k, seed = 42L, maxIter = 10)
+        m.write.overwrite().save(s"$outDir/model")
+        m.clusterCenters.toSeq.map(_.toArray.toSeq)
+      }
 
     // M5/T1 threshold from the topK-th training distance (K4)
     val scored = feats.withColumn("score", Anomaly.minSqdist(centers))

@@ -48,14 +48,22 @@ object Dedup {
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // Docs with fewer than shingleN tokens have an EMPTY shingle set and
+    // would all share one degenerate signature — putting every short doc in
+    // the same bucket and making the candidate self-join quadratic. Filter
+    // them out before bucketing (they cannot be shingle-near-dups anyway).
+    val withShingles = df.select(col(idCol),
+      array_distinct(wordNgrams(tokens(col(textCol)), shingleN)).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
     // bindOnce both stages: the signature (32 minhashes over the shingle
     // set) and the band hashes are each evaluated once per row even though
     // Catalyst collapses these projections into one.
-    val bandArray = bindOnce(minhashSignature(col(textCol), numHashes, shingleN)) { sig =>
+    val bandArray = bindOnce(
+      graft.expressions.MinHashSignature.minhash(col("__shingles"), numHashes)) { sig =>
       transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(b, concat_ws("_", slice(sig, b * rows + 1, lit(rows)))))
     }
-    df.select(col(idCol), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+    withShingles.select(col(idCol), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
   }
 
   /** Candidate near-duplicate pairs from shared LSH buckets (id_a < id_b,
@@ -68,12 +76,18 @@ object Dedup {
     // bucket table is tiny ((id, band, hash) per band) relative to the corpus
     // — at 100 TB this is the stage you'd write to storage between passes.
     val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleN).persist()
-    val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    try {
+      val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+      val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+      // localCheckpoint materializes the (small) pair set so the bucket
+      // cache can be released before returning — otherwise every call leaks
+      // a pinned cached table for the session's lifetime
+      l.join(r, Seq("band_idx", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally b.unpersist()
   }
 
   /** LSH candidates verified by exact n-gram Jaccard ≥ `minJaccard`. */

@@ -65,9 +65,13 @@ object Multimodal {
     val width = 64 + (checksum % 1024).toInt
     val height = 64 + ((checksum / 1024) % 1024).toInt
     val nFrames = if (r.format == "webp") 1 + (checksum % 30).toInt else 1
-    val feature = Array.tabulate(featureDim) { i =>
-      val slice = bytes.drop(i).grouped(featureDim).map(_.headOption.getOrElse(0: Byte))
-      slice.foldLeft(0.0f)((acc, b) => acc + (b & 0xff) / 255.0f)
+    // single indexed pass: feature(i) sums bytes i, i+dim, i+2·dim, …
+    // (no per-dimension array copies in the hot decode loop)
+    val feature = new Array[Float](featureDim)
+    var idx = 0
+    while (idx < bytes.length) {
+      feature(idx % featureDim) += (bytes(idx) & 0xff) / 255.0f
+      idx += 1
     }
     MediaFeatures(r.doc_id, r.format, r.byte_len, width, height, nFrames, feature)
   }

@@ -105,8 +105,12 @@ object PurchaseCsv {
       .filter(length(trim(col("value"))) > 0)
       .withColumn("p", from_csv(col("value"), org.apache.spark.sql.types.StructType.fromDDL(schema),
         Map("mode" -> "PERMISSIVE")))
-      // mandatory tail present = had all 8 positions (univocity-count analog)
-      .filter(col("p.f0").isNotNull && col("p.f7").isNotNull)
+      // all-8-positions-present analog of univocity's field count: the 8th
+      // field is either non-null, or present-but-empty (from_csv nulls empty
+      // fields, but an empty trailing field means the raw line ends with a
+      // top-level comma)
+      .filter(col("p.f0").isNotNull &&
+        (col("p.f7").isNotNull || endswith(trim(col("value")), lit(","))))
       .withColumn("qty", expr("try_cast(p.f3 AS INT)"))
       .withColumn("price", expr("try_cast(p.f5 AS DOUBLE)"))
       .select(

@@ -103,7 +103,11 @@ object Sessionizer {
     }
   }
 
-  /** Wire the sessionizer over a stream (or batch) of routed events. */
+  /** Wire the sessionizer over a STREAM of routed events. Note: on a static
+    * (batch) Dataset this emits nothing by design — sessions complete only
+    * via the processing-time timeout, which a one-shot batch execution never
+    * fires. For batch replay, group events per invoice and call `classify`
+    * directly (see ReferenceParitySpec). */
   def sessionize(events: Dataset[LineEvent], timeout: String = DefaultTimeout)
                 (implicit spark: SparkSession): Dataset[InvoiceResult] = {
     import spark.implicits._

@@ -19,6 +19,11 @@ class RelationalParseSpec extends AnyFunSuite {
     "560997,21507,WIDGET,12,7/19/2011 12:19,cheap,16128,United Kingdom",
     // cancellation
     "C560823,21507,WIDGET,-12,7/19/2011 12:19,0.42,16128,United Kingdom",
+    // 8 fields with EMPTY country (still a good purchase; classification
+    // turns it into "missing country" at session close)
+    "560996,21507,WIDGET,12,7/19/2011 12:19,0.42,16128,",
+    // 8 fields with empty customer id
+    "564754,DOT,DOTCOM POSTAGE,1,8/30/2011 10:29,186.87,,United Kingdom",
     // short line → dropped by both
     "560999,21507,WIDGET,12",
     // empty → dropped by both
@@ -43,8 +48,8 @@ class RelationalParseSpec extends AnyFunSuite {
     implicit val s = spark
     import s.implicits._
     val events = PurchaseCsv.routeRelational(agreeingLines.toDS())
-    // 3 good purchases + 2 parse-error events; short/empty lines dropped
-    assert(events.filter(_.purchase.isDefined).count() === 3)
+    // 5 good purchases + 2 parse-error events; short/empty lines dropped
+    assert(events.filter(_.purchase.isDefined).count() === 5)
     assert(events.filter(_.errorReason.isDefined).count() === 2)
   }
 }

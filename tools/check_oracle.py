@@ -6,8 +6,9 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
 Reads the parquet dumps written by `graft.Verify` plus oracle_sql.json,
 creates DuckDB views named after the testdata tables, runs each oracle SQL,
 and compares result sets: same columns (sorted by name), same row multiset,
-with exact match on every value (floats compared bitwise AND with a 1e-9
-relative fallback reported separately, so we can see how close 'close' is).
+exact string-repr match on every value (i.e. floats must agree bit-for-bit).
+On mismatch a near-miss diagnostic reports the largest relative float
+difference so ulp-level drift is distinguishable from structural mismatch.
 """
 import json, sys, math
 from pathlib import Path
@@ -15,11 +16,6 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
 
 def rows_key(rows):
     # sort rows by string repr for multiset compare
@@ -66,6 +62,18 @@ def main():
             # diagnose
             print(f"FAIL {name}: {len(got)} spark rows vs {len(want)} oracle rows")
             diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            max_rel = 0.0
+            for a, b in zip(g, w):
+                for x, y in zip(a, b):
+                    try:
+                        fx, fy = float(x), float(y)
+                        if fx != fy and (abs(fx) + abs(fy)) > 0:
+                            max_rel = max(max_rel,
+                                          abs(fx - fy) / max(abs(fx), abs(fy)))
+                    except ValueError:
+                        pass
+            if max_rel:
+                print(f"   near-miss: max relative float diff {max_rel:.3e}")
             for a, b in diff:
                 print(f"   spark:  {a}\n   oracle: {b}")
             n_fail += 1
