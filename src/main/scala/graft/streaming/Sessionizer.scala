@@ -117,6 +117,23 @@ object Sessionizer {
         updateSession(timeout))
   }
 
+  /** Batch replay: treat ALL of an invoice's events as one closed session
+    * and classify it. Quirk Q3 collapses to "any error event wins the whole
+    * session" because the entire history is a single batch. This is the
+    * offline counterpart of the streaming sessionizer (reprocessing a day
+    * of raw lines at rest), expressed as one groupByKey + mapGroups —
+    * a single shuffle on the invoice key. */
+  def sessionizeBatch(events: Dataset[LineEvent])
+                     (implicit spark: SparkSession): Dataset[InvoiceResult] = {
+    import spark.implicits._
+    events.groupByKey(_.invoiceNo).mapGroups { (invoiceNo, evs) =>
+      val seq = evs.toSeq
+      val err = seq.collectFirst { case LineEvent(_, _, Some(reason)) => reason }
+      val lines = if (err.isDefined) Nil else seq.flatMap(_.purchase).toList
+      classify(invoiceNo, SessionState(lines, err))
+    }
+  }
+
   /** Parse + route + sessionize raw CSV lines end-to-end (ST3 → ST4). */
   def fromRawLines(lines: Dataset[String], timeout: String = DefaultTimeout)
                   (implicit spark: SparkSession): Dataset[InvoiceResult] = {

@@ -75,6 +75,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("native MinHashSignature equals the composable lambda form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val shingles = array_distinct(
+      TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3))
+    val native = docs.select(col("doc_id"),
+      graft.expressions.MinHashSignature.minhash(shingles, 16).as("sig"))
+    val lambda = docs.select(col("doc_id"),
+      TextFunctions.bindOnce(shingles) { sh =>
+        transform(sequence(lit(0), lit(15)), i =>
+          array_min(transform(sh, s => xxhash64(i, s))))
+      }.as("sig"))
+    assert(native.exceptAll(lambda).isEmpty && lambda.exceptAll(native).isEmpty)
+  }
+
   test("language ID predicts the language of clearly marked texts") {
     import spark.implicits._
     val df = Seq(

@@ -20,16 +20,12 @@ class ReferenceParitySpec extends AnyFunSuite {
     val errors = events.count(_.errorReason.isDefined)
     val dropped = lines.size - events.size
 
-    // per-invoice batch replay: error events are sticky (quirk Q3 collapses
-    // to "any error wins" when the whole file is one batch)
-    val byInvoice = events.groupBy(_.invoiceNo)
-    val classified = byInvoice.map { case (inv, evs) =>
-      val err = evs.collectFirst { case e if e.errorReason.isDefined => e.errorReason.get }
-      val st = SessionState(
-        if (err.isDefined) Nil else evs.flatMap(_.purchase).toList,
-        err)
-      Sessionizer.classify(inv, st)
-    }.toSeq
+    // per-invoice batch replay through the library's batch sessionizer
+    // (error events are sticky: quirk Q3 collapses to "any error wins"
+    // when the whole file is one batch)
+    implicit val spark = SparkTestSession.spark
+    import spark.implicits._
+    val classified = Sessionizer.sessionizeBatch(events.toDS()).collect().toSeq
 
     val statusCounts = classified.groupBy(_.status).view.mapValues(_.size).toMap
     val reasonCounts = classified.filter(_.status == "error")
