@@ -122,7 +122,13 @@ object Sessionizer {
     * session" because the entire history is a single batch. This is the
     * offline counterpart of the streaming sessionizer (reprocessing a day
     * of raw lines at rest), expressed as one groupByKey + mapGroups —
-    * a single shuffle on the invoice key. */
+    * a single shuffle on the invoice key.
+    *
+    * Ordering caveat: mapGroups does not guarantee event order within a
+    * group, so the first-line-derived fields (`time`, `customerId`) are
+    * only deterministic when each invoice's events carry one distinct
+    * value (the common case); order-insensitive outputs (status, reason,
+    * price aggregates, counts) are always deterministic. */
   def sessionizeBatch(events: Dataset[LineEvent])
                      (implicit spark: SparkSession): Dataset[InvoiceResult] = {
     import spark.implicits._

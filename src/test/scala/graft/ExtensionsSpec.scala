@@ -75,6 +75,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    val d = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(d === 11.0)
+    val sig = spark.sql("SELECT graft_minhash(array('a b c', 'd e f'), 4) AS s")
+      .head.getSeq[Long](0)
+    assert(sig.length === 4)
+    // null on dimension mismatch, same as the fold form
+    assert(spark.sql("SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
+      .head.isNullAt(0))
+  }
+
   test("native MinHashSignature equals the composable lambda form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
