@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
     graft.queries.MlQueries.defs ++
-    graft.queries.Extensions.defs
+    graft.queries.Extensions.defs ++
+    graft.queries.PipelineReplay.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
