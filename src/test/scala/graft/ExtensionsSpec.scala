@@ -34,6 +34,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("LSH skips sub-shingle docs instead of bucketing them together") {
+    import spark.implicits._
+    // 30 short docs (< 3 tokens) + 2 genuine near-dups: the short docs must
+    // produce ZERO candidate pairs (no degenerate shared signature)
+    val shorts = (0 until 30).map(i => (i.toLong, s"word$i"))
+    val base = "a long enough document about spark partitions and shuffles in pipelines"
+    val rows = shorts :+ (100L, base) :+ (101L, base + " extended")
+    val pairs = graft.operators.Dedup
+      .lshCandidatePairs(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)), s"pairs=$pairs")
+  }
+
   test("simhash: identical docs at distance 0, near-dups closer than unrelated") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -74,6 +74,16 @@ class MlSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("threshold on empty input is NaN (no anomalies), not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("score")
+    assert(Anomaly.threshold(empty, "score", 10).isNaN)
+    // NaN threshold flags nothing
+    val scored = Seq(1.0, 2.0).toDF("score")
+    import org.apache.spark.sql.functions.{col, lit}
+    assert(scored.filter(col("score") > lit(Double.NaN)).count() === 0)
+  }
+
   test("threshold file roundtrip") {
     val p = java.nio.file.Files.createTempFile("thresh", ".txt").toString
     Anomaly.saveThreshold(p, 25089.874540632012)
