@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 import graft.expressions.{DotProduct, MinHashSignature}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -27,19 +28,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intLit(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got: $other")
+  /** Any foldable integer expression (literal, 16+16, …) evaluated at
+    * analysis time; rejects non-constant or non-positive values with a
+    * builder-level error instead of a runtime array-size exception. */
+  private def posIntConst(e: Expression, what: String): Int = {
+    val v = e match {
+      case c if c.foldable && c.dataType == IntegerType =>
+        c.eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$what must be a constant integer, evaluated to: $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant integer expression, got: ${other.sql}")
+    }
+    if (v <= 0) throw new IllegalArgumentException(
+      s"$what must be positive, got: $v")
+    v
   }
 
+  /** Builders cast array arguments to the expression's expected element
+    * type: SQL callers passing array<float> (the embeddings fixture's native
+    * type) get a correct widening cast instead of doubles read off 4-byte
+    * storage; non-castable inputs fail analysis. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (es: Seq[Expression]) => DotProduct(
+        Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (es: Seq[Expression]) => MinHashSignature(es(0), intLit(es(1), "numHashes"))))
+      (es: Seq[Expression]) => MinHashSignature(
+        Cast(es(0), ArrayType(StringType)), posIntConst(es(1), "numHashes"))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 
 /** MinHash signature of a distinct-shingle array<string>: for each of
@@ -25,8 +26,19 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+
+  /** SQL callers reach this unchecked via GraftExtensions — gate the input
+    * to array<string> so a wrong-typed argument is an analysis error, not a
+    * runtime ClassCastException inside hashUTF8String. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires an array<string> argument, got ${other.sql}")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -38,8 +50,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       var m = Long.MaxValue
       var j = 0
       while (j < n) {
-        val s = arr.getUTF8String(j)
-        val h = XXH64.hashUTF8String(s, seed)
+        // null shingle hashes to the running seed itself — exactly what the
+        // lambda form's xxhash64(i, NULL) yields (hash exprs skip nulls)
+        val h =
+          if (arr.isNullAt(j)) seed
+          else XXH64.hashUTF8String(arr.getUTF8String(j), seed)
         if (h < m) m = h
         j += 1
       }
@@ -67,8 +82,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  long $seed = $xxh.hashInt($i, 42L);
          |  long $m = Long.MAX_VALUE;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
-         |    long $h = $xxh.hashUTF8String($s, $seed);
+         |    long $h;
+         |    if ($a.isNullAt($j)) {
+         |      $h = $seed;
+         |    } else {
+         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
+         |      $h = $xxh.hashUTF8String($s, $seed);
+         |    }
          |    if ($h < $m) $m = $h;
          |  }
          |  $out[$i] = $m;

@@ -18,6 +18,8 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKMinAggregator(k: Int) extends Aggregator[Double, Array[Double], Double] {
 
+  require(k >= 1, s"k must be >= 1, got $k")
+
   override def zero: Array[Double] = Array.emptyDoubleArray
 
   override def reduce(buf: Array[Double], v: Double): Array[Double] = {

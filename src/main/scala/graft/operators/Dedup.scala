@@ -81,7 +81,12 @@ object Dedup {
       val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
       // localCheckpoint materializes the (small) pair set so the bucket
       // cache can be released before returning — otherwise every call leaks
-      // a pinned cached table for the session's lifetime
+      // a pinned cached table for the session's lifetime.
+      // Trade-off: localCheckpoint blocks are non-replicated and sever
+      // lineage, so the returned DataFrame must be consumed before executor
+      // churn. On a real cluster run the pair set for a multi-pass dedup
+      // should instead be written to storage (reliable checkpoint) — it is
+      // the natural stage boundary between candidate generation and verify.
       l.join(r, Seq("band_idx", "band_hash"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))

@@ -108,9 +108,11 @@ object PurchaseCsv {
       // all-8-positions-present analog of univocity's field count: the 8th
       // field is either non-null, or present-but-empty (from_csv nulls empty
       // fields, but an empty trailing field means the raw line ends with a
-      // top-level comma)
+      // top-level comma or an empty quoted string `,""`)
       .filter(col("p.f0").isNotNull &&
-        (col("p.f7").isNotNull || endswith(trim(col("value")), lit(","))))
+        (col("p.f7").isNotNull ||
+          endswith(trim(col("value")), lit(",")) ||
+          endswith(trim(col("value")), lit(",\"\""))))
       .withColumn("qty", expr("try_cast(p.f3 AS INT)"))
       .withColumn("price", expr("try_cast(p.f5 AS DOUBLE)"))
       .select(

@@ -101,6 +101,48 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("SQL graft_dot widens array<float> input instead of misreading it") {
+    GraftExtensions.register(spark)
+    // embeddings fixture's native element type is float — the builder must
+    // cast, not read 8-byte doubles off 4-byte storage
+    val d = spark.sql(
+      """SELECT graft_dot(array(cast(1.5 as float), cast(2.0 as float)),
+        |                 array(cast(2.0 as float), cast(3.0 as float))) AS d""".stripMargin)
+      .head.getDouble(0)
+    assert(d === 9.0)
+  }
+
+  test("SQL graft_minhash validates numHashes and accepts foldable exprs") {
+    GraftExtensions.register(spark)
+    // foldable-but-not-literal count works via analysis-time eval
+    val sig = spark.sql("SELECT graft_minhash(array('a', 'b'), 8 + 8) AS s")
+      .head.getSeq[Long](0)
+    assert(sig.length === 16)
+    // non-positive count is a builder error, not a runtime array exception
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_minhash(array('a'), 0) AS s").collect())
+    assert(err.getMessage.contains("positive"))
+  }
+
+  test("graft_minhash treats null shingles like the lambda form (no NPE)") {
+    GraftExtensions.register(spark)
+    // xxhash64(i, NULL) yields the running seed, so a null element behaves
+    // as an extra candidate equal to the seed — never an NPE
+    val withNull = spark.sql(
+      "SELECT graft_minhash(array('a', cast(null as string)), 4) AS s")
+      .head.getSeq[Long](0)
+    val lambdaForm = spark.sql(
+      """SELECT transform(sequence(0, 3),
+        |  i -> array_min(transform(array('a', cast(null as string)),
+        |                           s -> xxhash64(i, s)))) AS s""".stripMargin)
+      .head.getSeq[Long](0)
+    assert(withNull === lambdaForm)
+  }
+
+  test("TopKMinAggregator rejects k < 1 at construction") {
+    intercept[IllegalArgumentException](new graft.ml.TopKMinAggregator(0))
+  }
+
   test("native MinHashSignature equals the composable lambda form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

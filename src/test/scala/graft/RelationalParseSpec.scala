@@ -24,6 +24,9 @@ class RelationalParseSpec extends AnyFunSuite {
     "560996,21507,WIDGET,12,7/19/2011 12:19,0.42,16128,",
     // 8 fields with empty customer id
     "564754,DOT,DOTCOM POSTAGE,1,8/30/2011 10:29,186.87,,United Kingdom",
+    // 8th field is an empty QUOTED string — still 8 fields present; both
+    // routes must keep it (classified as missing-country at session close)
+    "560995,21507,WIDGET,12,7/19/2011 12:19,0.42,16128,\"\"",
     // short line → dropped by both
     "560999,21507,WIDGET,12",
     // empty → dropped by both
@@ -48,8 +51,8 @@ class RelationalParseSpec extends AnyFunSuite {
     implicit val s = spark
     import s.implicits._
     val events = PurchaseCsv.routeRelational(agreeingLines.toDS())
-    // 5 good purchases + 2 parse-error events; short/empty lines dropped
-    assert(events.filter(_.purchase.isDefined).count() === 5)
+    // 6 good purchases + 2 parse-error events; short/empty lines dropped
+    assert(events.filter(_.purchase.isDefined).count() === 6)
     assert(events.filter(_.errorReason.isDefined).count() === 2)
   }
 }
