@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at the given SF and prints
+  * ONE JSON line. Methodology:
+  *  - a warmup pass (two representative queries, untimed) absorbs JVM /
+  *    codegen / parquet-footer first-touch costs so the first timed query
+  *    isn't a warmup artifact;
+  *  - queries run in stable sorted-name order, so round-over-round
+  *    comparisons measure the code, not Map iteration order;
+  *  - a failing query contributes its elapsed time AND an entry in the
+  *    "errors" object — regressions can't hide inside a green total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +21,52 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // warmup: one join+aggregate query and one text-pipeline query cover the
+    // parquet readers, codegen compiler, and shuffle machinery
+    Seq("q02_valid_features", "q21_token_stats").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // tiny MLlib fit warms BLAS/treeAggregate paths so the first timed
+    // KMeans query measures the fit, not library initialization
+    try {
+      import spark.implicits._
+      val tiny = (1 to 64).map(i => (i.toDouble, i % 7d, i % 5d, 0d, i % 3d))
+        .toDF(graft.ml.Anomaly.featureCols: _*)
+      graft.ml.Anomaly.trainKMeans(tiny, k = 2, maxIter = 2)
+    } catch { case _: Throwable => () }
+
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    val results = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + jsonEscape(e.take(200)) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,7 +11,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
     graft.queries.MlQueries.defs ++
     graft.queries.Extensions.defs ++
-    graft.queries.PipelineReplay.defs
+    graft.queries.PipelineReplay.defs ++
+    graft.queries.ReferenceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -60,21 +60,45 @@ object Anomaly {
       .setFeaturesCol("features").fit(assemble(features))
 
   /** M1/M2 sweep: (k, trainingCost, centers) per candidate k. The input is
-    * cached once for the whole sweep (M6). */
+    * cached once for the whole sweep (M6) and materialized before the fits.
+    *
+    * The candidate fits run CONCURRENTLY (bounded thread pool submitting
+    * independent Spark job groups over the shared cached DataFrame): each
+    * fit is seed-pinned and reads an immutable cache, so results are
+    * bit-identical to the sequential sweep while the wall-clock is bounded
+    * by the slowest fit instead of the sum — the reference's k=1..20 loop
+    * (KMeansClusterInvoices.scala:57-65) is embarrassingly parallel. */
   def sweep(features: DataFrame, ks: Seq[Int], seed: Long = 42L,
-            maxIter: Int = 20, bisecting: Boolean = false): Seq[(Int, Double, Seq[Seq[Double]])] = {
+            maxIter: Int = 20, bisecting: Boolean = false,
+            parallelism: Int = 4): Seq[(Int, Double, Seq[Seq[Double]])] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val assembled = assemble(features).cache()
-    try ks.map { k =>
-      if (bisecting) {
-        val m = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-          .setFeaturesCol("features").fit(assembled)
-        (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
-      } else {
-        val m = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-          .setFeaturesCol("features").fit(assembled)
-        (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
+    // populate the cache once up front so concurrent fits never race to
+    // compute it (the race is correct but wastes the first trigger's work)
+    assembled.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, ks.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = ks.map { k =>
+        Future {
+          if (bisecting) {
+            val m = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+              .setFeaturesCol("features").fit(assembled)
+            (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
+          } else {
+            val m = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+              .setFeaturesCol("features").fit(assembled)
+            (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
+          }
+        }
       }
-    } finally assembled.unpersist()
+      futures.map(Await.result(_, Duration.Inf))
+    } finally {
+      pool.shutdown()
+      assembled.unpersist()
+    }
   }
 
   /** M3: elbow — first index whose cost ratio vs the previous exceeds

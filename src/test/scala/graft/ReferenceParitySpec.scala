@@ -52,4 +52,53 @@ class ReferenceParitySpec extends AnyFunSuite {
   private val GOLD_DROPPED = 0
   private val GOLD_STATUS: Map[String, Int] = Map("error" -> 1, "valid" -> 4)
   private val GOLD_CANCELS = 1
+
+  test("committed model artifacts have the shape q44/q45 scoring assumes") {
+    val root = graft.ml.ReferenceArtifacts.DefaultRoot
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/threshold")))
+    val spark = SparkTestSession.spark
+
+    // KMeans: k=5 centers of dim 5 (the 5 invoice features), committed
+    // threshold scalar parses to the exact published value
+    val centers = graft.ml.ReferenceArtifacts.kmeansCenters(spark, root)
+    assert(centers.length === 5)
+    assert(centers.forall(_.length === graft.ml.Anomaly.featureCols.length))
+    assert(graft.ml.ReferenceArtifacts.kmeansThreshold(root) === 25089.874540632012)
+    assert(graft.ml.ReferenceArtifacts.bisectingThreshold(root) === 34329.63063515945)
+
+    // Bisecting tree topology must match the shape hardcoded in the q45
+    // oracle SQL: root -1 → [-2, 2], -2 → [0, 1], leaves {0, 1, 2}
+    val tree = graft.ml.ReferenceArtifacts.bisectingTree(spark, root)
+    assert(tree.keySet === Set(-2, -1, 0, 1, 2))
+    assert(tree(-1).children === Seq(-2, 2))
+    assert(tree(-2).children === Seq(0, 1))
+    assert(Seq(0, 1, 2).forall(tree(_).children.isEmpty))
+    assert(tree.values.forall(_.center.length === 5))
+  }
+
+  test("descent scoring reaches the leaf the committed tree dictates") {
+    val root = graft.ml.ReferenceArtifacts.DefaultRoot
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/threshold_bisect")))
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tree = graft.ml.ReferenceArtifacts.bisectingTree(spark, root)
+
+    // a feature row sitting exactly ON leaf 1's center must score 0 via
+    // descent (root picks -2's subtree, -2 picks leaf 1)
+    val leaf1 = tree(1).center
+    val df = Seq((leaf1(0), leaf1(1), leaf1(2), leaf1(3), leaf1(4)))
+      .toDF(graft.ml.Anomaly.featureCols: _*)
+    val score = df.select(
+      graft.ml.ReferenceArtifacts.bisectingDescentSqdist(tree).as("s"))
+      .head.getDouble(0)
+    assert(score === 0.0)
+
+    // sanity: descent differs from global-nearest-leaf only via tree path;
+    // on leaf centers themselves both agree
+    val global = df.select(
+      graft.ml.Anomaly.minSqdist(Seq(tree(0), tree(1), tree(2)).map(_.center)).as("s"))
+      .head.getDouble(0)
+    assert(global === 0.0)
+  }
 }
