@@ -115,6 +115,30 @@ object TextFunctions {
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
 
+  /** 31-bit polynomial hash of one token: fold (acc*31 + codepoint) mod
+    * (2^31 - 1), acc₀ = 17. Stays far below BIGINT overflow, so DuckDB's
+    * list_reduce computes the identical value — the cross-engine-verifiable
+    * token hash (same family as `fingerprint`). */
+  def polyTokenHash(tok: Column): Column =
+    aggregate(
+      filter(split(tok, ""), ch => ch =!= ""),
+      lit(17L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 2147483647L)
+
+  /** SimHash over the 31-bit polynomial token hash: per bit position a
+    * majority vote across the document's token hashes, packed little-endian
+    * (bit j contributes 2^j). Same construct as simhash64 but every step is
+    * exact integer arithmetic both engines reproduce — the oracle-able
+    * variant used by the q27 gate entry. */
+  def simhashPoly(c: Column, bits: Int = 31): Column =
+    bindOnce(transform(tokens(c), t => polyTokenHash(t))) { hs =>
+      val terms: Seq[Column] = (0 until bits).map { j =>
+        when(size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2 >= size(hs)
+          && size(hs) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      terms.reduce(_ + _)
+    }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64 per token, majority
     * vote per bit). Expression-only; hash values are engine-specific so
     * SimHash outputs are validated by ScalaTest properties, not DuckDB. */

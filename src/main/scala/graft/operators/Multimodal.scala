@@ -58,10 +58,20 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake decode (??? stand-in): metadata from byte stats. */
+  /** Deterministic fake decode (??? stand-in): metadata from a rolling
+    * codepoint checksum of the decoded payload — fold (acc*31 + cp) mod
+    * 1e9+7, acc₀ = 17, the same DuckDB-reproducible family as the text
+    * fingerprint, so the full decode output is oracle-checkable (q32).
+    * (BMP-safe: UTF-16 units equal codepoints for the fixture's charset.) */
   private[operators] def decodeOne(r: MediaRecord, featureDim: Int): MediaFeatures = {
     val bytes = r.content
-    val checksum = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    var checksum = 17L
+    var ci = 0
+    while (ci < text.length) {
+      checksum = (checksum * 31L + text.charAt(ci).toInt) % 1000000007L
+      ci += 1
+    }
     val width = 64 + (checksum % 1024).toInt
     val height = 64 + ((checksum / 1024) % 1024).toInt
     val nFrames = if (r.format == "webp") 1 + (checksum % 30).toInt else 1

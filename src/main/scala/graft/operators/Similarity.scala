@@ -35,6 +35,85 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Deterministic "offline-trained" coarse quantizer: `cells` centers with
+    * every component in {-1, +1}, derived from a murmur-style bit mixer so
+    * they're pseudo-random but reproducible ANYWHERE — both engines (and
+    * both sides of the correctness gate) can inline them as plan literals.
+    *
+    * Constant-norm centers make nearest-center assignment equivalent to
+    * argmax of the dot product (|v|² and |c|² cancel), i.e. a balanced
+    * random-projection partition — unlike varying-norm random centers, whose
+    * |c|² term dominates and collapses most vectors into one cell. At 100 TB
+    * the quantizer would be trained offline (see buildIvfIndex); the fixed
+    * variant is the deterministic stand-in with identical plan shape. */
+  def fixedCenters(cells: Int, dim: Int): Seq[Seq[Double]] =
+    (1 to cells).map { c =>
+      (0 until dim).map { i =>
+        var x = c.toLong * 1000003L + i.toLong
+        x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+        x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33
+        ((x & 1L) * 2L - 1L).toDouble
+      }
+    }
+
+  /** Fold-order squared distance of an array<double> column to a constant
+    * center — shared by every quantizer path so Spark and the DuckDB oracle
+    * always sum in the same order. */
+  private[operators] def distToFold(vec: Column, ctr: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The `nProbe` nearest cell ids (1-based) for a vector, ties to the lower
+    * cell id — matches a rank-by-(distance, cell) over the centers table. */
+  private[operators] def probeCellsExpr(vec: Column, centers: Seq[Seq[Double]],
+                                        nProbe: Int): Column = {
+    val dists = array(centers.map(c => distToFold(vec, c)): _*)
+    slice(transform(
+      array_sort(arrays_zip(dists, sequence(lit(1), lit(centers.length)))),
+      s => s.getField("1").cast("int")), 1, nProbe)
+  }
+
+  /** Embedding near-duplicate pairs over a FIXED quantizer: every vector is
+    * assigned its `probes` nearest cells (multi-probe raises recall without
+    * touching the candidate blow-up much), pairs sharing any cell are
+    * deduplicated, then exact cosine ≥ `minCosine` filters. Fully
+    * deterministic — no trained state — so the complete pipeline (blocking
+    * included) is reproducible by the DuckDB oracle. */
+  def embeddingNearDupsFixed(corpus: DataFrame, centers: Seq[Seq[Double]],
+                             minCosine: Double, probes: Int = 3,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val assigned = c
+      .withColumn("cell", explode(probeCellsExpr(col("v"), centers, probes)))
+      .select(col("cell"), col(idCol))
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"))
+    // distinct BEFORE the vector join + cosine: a pair sharing several cells
+    // is scored once, and only (cell, id) pairs shuffle in the self-join
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(c.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")
+      .join(c.select(col(idCol).as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Materialize the IVF index for a FIXED quantizer (no training job):
+    * assign every vector its nearest cell, write partitioned by cell. */
+  def writeIvfIndex(corpus: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("dists", array(centers.map(c => distToFold(col("v"), c)): _*))
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
+      .drop("dists")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
   /** Exact top-k neighbours for each query vector by brute-force cosine.
     * `queries` is expected to be small — it is broadcast, so the corpus is
     * scanned once with no shuffle of the embeddings themselves; only the

