@@ -34,21 +34,17 @@ object DemoPipeline {
     val outDir = s"$workDir/out"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
 
-    def parquetSink(name: String): (DataFrame, Long) => Unit = (batch, batchId) =>
-      batch.write.mode("append").parquet(s"$outDir/$name")
-    val sinks = new InvoiceSinks {
-      def erroneous(b: DataFrame, id: Long): Unit = parquetSink("erroneous")(b, id)
-      def cancellations(b: DataFrame, id: Long): Unit = parquetSink("cancellations")(b, id)
-      def anomaliesKMeans(b: DataFrame, id: Long): Unit = parquetSink("anomalies_kmeans")(b, id)
-      def anomaliesBisecting(b: DataFrame, id: Long): Unit = parquetSink("anomalies_bisect")(b, id)
-    }
+    // unified sink: ONE topic-partitioned parquet write per trigger — the
+    // parquet analog of the Kafka writer's native topic-column routing
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.write.mode("append").partitionBy("topic").parquet(outDir)
     val models = InvoicePipeline.Models(
       kmeansCenters = Seq(Seq(5.0, 1.0, 10.0, 12.0, 20.0)), kmeansThreshold = 2500.0,
       bisectingCenters = Seq(Seq(5.0, 1.0, 10.0, 12.0, 20.0)), bisectingThreshold = 10000.0)
 
     val lines = spark.readStream.textFile(inDir)
-    val query = InvoicePipeline.run(
-      lines, models, sinks, s"$workDir/ckpt",
+    val query = InvoicePipeline.runUnified(
+      lines, models, sink, s"$workDir/ckpt",
       sessionTimeout = sessionTimeout,
       trigger = Trigger.ProcessingTime("500 milliseconds"))
 
@@ -68,9 +64,10 @@ object DemoPipeline {
     Thread.sleep(runSeconds * 1000L)
     query.stop()
 
-    Seq("erroneous", "cancellations", "anomalies_kmeans", "anomalies_bisect").foreach { s =>
+    Seq("facturas_erroneas", "cancelaciones", "anomalias_kmeans",
+        "anomalias_bisect_kmeans").foreach { s =>
       val n =
-        try spark.read.parquet(s"$outDir/$s").count()
+        try spark.read.parquet(outDir).filter(s"topic = '$s'").count()
         catch { case _: Exception => 0L }
       println(s"SINK $s: $n rows")
     }

@@ -121,7 +121,29 @@ object InvoicePipeline {
         .otherwise(col("invoiceNo")).as("value"))
   }
 
-  /** ST1/ST2: run the full pipeline over a raw-line stream. */
+  /** Compatibility adapter: split a unified (topic, value) batch back into
+    * the 4-sink API. Classification + scoring ran ONCE upstream in the
+    * single-pass router; this only pays one persist + four cheap topic
+    * filters over the already-tagged output. */
+  def adaptUnified(sinks: InvoiceSinks)(batch: DataFrame, batchId: Long): Unit = {
+    val df = batch.persist()
+    try {
+      def emit(topic: String, f: (DataFrame, Long) => Unit): Unit = {
+        val sub = df.filter(col("topic") === topic).select(col("value"))
+        if (!sub.isEmpty) f(sub, batchId)
+      }
+      emit("facturas_erroneas", sinks.erroneous)
+      emit("cancelaciones", sinks.cancellations)
+      emit("anomalias_kmeans", sinks.anomaliesKMeans)
+      emit("anomalias_bisect_kmeans", sinks.anomaliesBisecting)
+    } finally df.unpersist()
+  }
+
+  /** ST1/ST2: run the full pipeline over a raw-line stream. The DEFAULT
+    * path is the unified single-pass router (one tagged projection per
+    * trigger); the 4-sink API is served through adaptUnified. `routeBatch`
+    * remains only as the classic per-sink formulation, equivalence-tested
+    * in UnifiedRouterSpec. */
   def run(
       lines: Dataset[String],
       models: Models,
@@ -129,15 +151,9 @@ object InvoicePipeline {
       checkpointDir: String,
       sessionTimeout: String = Sessionizer.DefaultTimeout,
       trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
-      (implicit spark: SparkSession): StreamingQuery = {
-    val invoices = Sessionizer.fromRawLines(lines, sessionTimeout)
-    invoices.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch(routeBatch(models, sinks) _)
-      .start()
-  }
+      (implicit spark: SparkSession): StreamingQuery =
+    runUnified(lines, models, adaptUnified(sinks), checkpointDir,
+      sessionTimeout, trigger)
 
   /** Unified-sink variant of run: one (topic, value) DataFrame per trigger. */
   def runUnified(
