@@ -83,7 +83,8 @@ object Anomaly {
     try {
       val futures = ks.map { k =>
         Future {
-          if (bisecting) {
+          if (k == 1) fitK1(assembled)
+          else if (bisecting) {
             val m = new BisectingKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
               .setFeaturesCol("features").fit(assembled)
             (k, m.summary.trainingCost, m.clusterCenters.toSeq.map(_.toArray.toSeq))
@@ -99,6 +100,25 @@ object Anomaly {
       pool.shutdown()
       assembled.unpersist()
     }
+  }
+
+  /** k=1 closed form: Lloyd's with one cluster converges to the global mean
+    * after a single update, cost = Σ‖x − μ‖². The reference's RDD-era
+    * KMeans allowed k=1 in its 1..20 sweep; `ml.KMeans` rejects it, so the
+    * base case is computed exactly instead of fitted. */
+  private def fitK1(assembled: DataFrame): (Int, Double, Seq[Seq[Double]]) = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val n = featureCols.length
+    val arr = assembled.select(vector_to_array(col("features")).as("v"))
+    val meanRow = arr.select(
+      (0 until n).map(i => avg(element_at(col("v"), i + 1)).as(s"m$i")): _*).head
+    val mu = (0 until n).map(meanRow.getDouble)
+    val sq = (0 until n)
+      .map(i => (element_at(col("v"), i + 1) - lit(mu(i))) *
+                (element_at(col("v"), i + 1) - lit(mu(i))))
+      .reduce(_ + _)
+    val cost = arr.agg(sum(sq)).head.getDouble(0)
+    (1, cost, Seq(mu))
   }
 
   /** M3: elbow — first index whose cost ratio vs the previous exceeds

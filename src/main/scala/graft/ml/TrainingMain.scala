@@ -15,8 +15,10 @@ object TrainingMain {
     val sfDir = args(0)
     val outDir = args(1)
     val algo = if (args.length > 2) args(2) else "kmeans"
-    val kMin = if (args.length > 3) args(3).toInt else 2
-    val kMax = if (args.length > 4) args(4).toInt else 8
+    // default sweep range matches the reference's full k=1..20
+    // (KMeansClusterInvoices.scala:57-65)
+    val kMin = if (args.length > 3) args(3).toInt else 1
+    val kMax = if (args.length > 4) args(4).toInt else 20
     val topK = if (args.length > 5) args(5).toInt else 2000
     val bisecting = algo == "bisecting"
 

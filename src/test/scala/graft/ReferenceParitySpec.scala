@@ -53,6 +53,70 @@ class ReferenceParitySpec extends AnyFunSuite {
   private val GOLD_STATUS: Map[String, Int] = Map("error" -> 1, "valid" -> 4)
   private val GOLD_CANCELS = 1
 
+  test("wire shapes and reason vocabulary match the reference's log files") {
+    val logs = "/root/reference/logs"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(logs)))
+
+    // facturas_erroneas.csv: every produced line is "invoiceNo,reason" and
+    // every reason the reference EVER emitted is one our classifier produces
+    val errLines = scala.io.Source.fromFile(s"$logs/facturas_erroneas.csv")
+      .getLines().toSeq
+    assert(errLines.nonEmpty)
+    assert(errLines.forall(_.matches("^[^,]+,.+$")), "not invoiceNo,reason shaped")
+    val logReasons = errLines.map(_.split(",", 2)(1)).toSet
+    val classifierVocabulary = Set(
+      "missing customer ID", "missing country", "invalid invoice date",
+      "no purchase lines")
+    assert(logReasons.forall(r =>
+      classifierVocabulary.contains(r) || r.startsWith("parse error: ")),
+      s"reference reasons outside our vocabulary: $logReasons")
+
+    // cancelaciones.csv: a series of non-negative window counts
+    val cancelCounts = scala.io.Source.fromFile(s"$logs/cancelaciones.csv")
+      .getLines().map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    assert(cancelCounts.length === 13)
+    assert(cancelCounts.forall(_ >= 0))
+
+    // anomaly logs: bare invoice ids, one per line
+    Seq("anomalias_kmeans.csv", "anomalias_bisect_kmeans.csv").foreach { f =>
+      val ids = scala.io.Source.fromFile(s"$logs/$f").getLines().toSeq
+      assert(ids.nonEmpty && ids.forall(_.matches("^[0-9]+$")), s"$f not bare ids")
+    }
+  }
+
+  test("development.csv replay emits only reference topics with log-shaped values") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+    implicit val spark = SparkTestSession.spark
+    import spark.implicits._
+    val lines = scala.io.Source.fromFile(fixture).getLines().toSeq
+    val results = Sessionizer.sessionizeBatch(
+      lines.flatMap(PurchaseCsv.route).toDS())
+
+    // score with the reference's own committed models (leaf centers for the
+    // bisecting side — shape parity, the verdict math is covered by q44/q45)
+    val tree = graft.ml.ReferenceArtifacts.bisectingTree(spark)
+    val models = graft.streaming.InvoicePipeline.Models(
+      graft.ml.ReferenceArtifacts.kmeansCenters(spark),
+      graft.ml.ReferenceArtifacts.kmeansThreshold(),
+      Seq(0, 1, 2).map(tree(_).center),
+      graft.ml.ReferenceArtifacts.bisectingThreshold())
+
+    val routed = graft.streaming.InvoicePipeline.routeBatchUnified(models)(results)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val refTopics = Set("facturas_erroneas", "cancelaciones",
+      "anomalias_kmeans", "anomalias_bisect_kmeans")
+    assert(routed.map(_._1).toSet.subsetOf(refTopics))
+    routed.foreach { case (topic, value) =>
+      if (topic == "facturas_erroneas")
+        assert(value.matches("^[^,]+,.+$"), s"bad erroneous shape: $value")
+      else
+        assert(!value.contains(","), s"bare-id topics must emit bare ids: $value")
+    }
+    // the replay's one error invoice surfaces on the erroneous topic
+    assert(routed.count(_._1 == "facturas_erroneas") === 1)
+  }
+
   test("committed model artifacts have the shape q44/q45 scoring assumes") {
     val root = graft.ml.ReferenceArtifacts.DefaultRoot
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/threshold")))
@@ -74,6 +138,31 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(tree(-2).children === Seq(0, 1))
     assert(Seq(0, 1, 2).forall(tree(_).children.isEmpty))
     assert(tree.values.forall(_.center.length === 5))
+  }
+
+  test("sweep covers the reference's k=1..20 range including the k=1 edge") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val feats = (1 to 200).map { _ =>
+      (rnd.nextDouble() * 10, rnd.nextDouble(), rnd.nextDouble() * 20,
+        rnd.nextDouble() * 24, rnd.nextDouble() * 100)
+    }.toDF(graft.ml.Anomaly.featureCols: _*)
+
+    // k=1 is the sweep's base case: one center, a well-defined cost, and
+    // the elbow ratio chain starts from it (the reference sweeps 1..20)
+    val results = graft.ml.Anomaly.sweep(feats, ks = 1 to 4, seed = 42L, maxIter = 5)
+    assert(results.map(_._1) === Seq(1, 2, 3, 4))
+    assert(results.head._3.length === 1)           // k=1 → one center
+    assert(results.forall(_._2 >= 0.0))            // costs defined everywhere
+    assert(results.map(_._2).sliding(2).forall {   // cost non-increasing-ish:
+      case Seq(a, b) => b <= a * 1.05              // k+1 can't be much worse
+      case _ => true
+    })
+    // elbow on a single-candidate sweep returns that candidate (base case)
+    assert(graft.ml.Anomaly.elbowSelection(Seq(results.head._2)) === 0)
+    val sel = graft.ml.Anomaly.elbowSelection(results.map(_._2))
+    assert(sel >= 0 && sel < results.length)
   }
 
   test("descent scoring reaches the leaf the committed tree dictates") {
