@@ -33,6 +33,15 @@ object Similarity {
     when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine from a precomputed dot product and per-side norms — the same
+    * doubles as `cosine` (identical multiply/divide order), but each
+    * vector's norm is folded ONCE instead of once per pair. On an n×k
+    * scoring pass this removes 2/3 of the fold work. */
+  def cosineWithNorms(dotAB: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0.0, lit(null)).otherwise(dotAB / d)
+  }
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Deterministic "offline-trained" coarse quantizer: `cells` centers with
@@ -84,6 +93,7 @@ object Similarity {
                              minCosine: Double, probes: Int = 3,
                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val assigned = c
       .withColumn("cell", explode(probeCellsExpr(col("v"), centers, probes)))
       .select(col("cell"), col(idCol))
@@ -96,19 +106,23 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .distinct()
     pairs
-      .join(c.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")
-      .join(c.select(col(idCol).as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .join(c.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(c.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos",
+        cosineWithNorms(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Materialize the IVF index for a FIXED quantizer (no training job):
-    * assign every vector its nearest cell, write partitioned by cell. */
+    * assign every vector its nearest cell, write partitioned by cell. The
+    * per-vector norm is precomputed into the index — serving probes then
+    * fold only the query·candidate dot, not the norms. */
   def writeIvfIndex(corpus: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
       .withColumn("dists", array(centers.map(c => distToFold(col("v"), c)): _*))
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
       .drop("dists")
@@ -121,11 +135,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
@@ -202,6 +219,7 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
       .withColumn("dists", array(centers.map(c => distTo(col("v"), c)): _*))
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
       .drop("dists")
@@ -223,6 +241,7 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
       .withColumn("cellDists", array(centers.map(c => distTo(col("q_vec"), c)): _*))
       .withColumn("probe_cells",
         slice(transform(
@@ -233,16 +252,24 @@ object Similarity {
     // collect the union of probed cells (tiny) to push a partition filter
     val probed = q.select(explode(col("probe_cells")).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(indexDir)
+    val indexed = spark.read.parquet(indexDir)
+    // indexes written before norms were materialized lack the column —
+    // recompute on read in that case (same doubles either way)
+    val withNrm =
+      if (indexed.columns.contains("nrm")) indexed
+      else indexed.withColumn("nrm", norm(col("v")))
+    val corpus = withNrm
       .filter(col("cell").isin(probed: _*))
-      .select(col("cell"), col(idCol).as("neighbor_id"), col("v").as("c_vec"))
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col("v").as("c_vec"), col("nrm").as("c_nrm"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     corpus.join(broadcast(q.withColumn("cell", explode(col("probe_cells")))
         .drop("probe_cells")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))

@@ -230,7 +230,7 @@ object Extensions {
 
   private def ivfIndexDir(d: String): String =
     "/root/repo/target/graft-ivf-cache/" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_c16_v1"
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_c16_v2"
 
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
