@@ -334,6 +334,33 @@ object Extensions {
            CAST(CASE WHEN format = 'webp' THEN 1 + cs % 30 ELSE 1 END AS INTEGER) AS n_frames
     FROM m"""
 
+  /** Frame-sampling plumbing as a first-class gate entry: every 5th frame
+    * index of each (deterministically decoded) media record. */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val media = Multimodal.asMediaTable(Tables.documents(s, d)).as[graft.operators.MediaRecord]
+    Multimodal.frameSample(Multimodal.decodeFeatures(media).toDF(), everyN = 5)
+  }
+
+  /** Spark's sequence(0, n-1, 5) is bound-inclusive; DuckDB's range(0, n, 5)
+    * is stop-exclusive — same index set for n ≥ 1. */
+  val multimodalFrameSampleSql: String = """
+    WITH m AS (SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+           ELSE 'webp' END AS format,
+      list_reduce(list_concat([CAST(17 AS BIGINT)],
+        list_transform(list_filter(regexp_split_to_array(text, ''), ch -> ch <> ''),
+          ch -> CAST(unicode(ch) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS cs
+      FROM documents),
+    f AS (SELECT doc_id, format,
+            CASE WHEN format = 'webp' THEN CAST(1 + cs % 30 AS INTEGER)
+                 ELSE 1 END AS n_frames
+          FROM m)
+    SELECT doc_id, format, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
+    FROM f"""
+
   val defs: Map[String, QueryDef] = Map(
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
@@ -347,5 +374,6 @@ object Extensions {
     "q29_multimodal_meta"    -> QueryDef(multimodalMeta _, multimodalMetaSql),
     "q30_embedding_near_dups" -> QueryDef(embeddingNearDups _, embeddingNearDupsSql),
     "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
-    "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql))
+    "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
+    "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql))
 }

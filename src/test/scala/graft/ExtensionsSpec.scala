@@ -88,6 +88,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("simhashPoly matches a plain-Scala model of the same construct") {
+    import spark.implicits._
+    // independent reimplementation: poly token hash → per-bit majority →
+    // little-endian pack (the DuckDB oracle is the third independent copy)
+    def model(text: String): Long = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val hs = toks.map(_.foldLeft(17L)((a, ch) => (a * 31 + ch.toInt) % 2147483647L))
+      (0 until 31).map { j =>
+        if (hs.nonEmpty && 2 * hs.count(h => ((h >> j) & 1) == 1) >= hs.length) 1L << j
+        else 0L
+      }.sum
+    }
+    val samples = Seq(
+      "", " ", "one", "two words", "the quick brown fox jumps over the lazy dog",
+      "repeated repeated repeated word", "punctuation, matters! here?",
+      "  leading and trailing   spaces  ", "0 1 2 3 numbers")
+    val got = samples.toDF("text")
+      .select(TextFunctions.simhashPoly(col("text")).as("sig"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === samples.map(model))
+    // near-dup ordering sanity: one-word edit is closer than unrelated text
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = model("the quick brown fox jumps over the lazy dog near the river")
+    val near = model("the quick brown fox jumps over the lazy cat near the river")
+    val far = model("completely different subject matter about databases and disks")
+    assert(ham(base, near) < ham(base, far))
+  }
+
   test("fixed-quantizer near-dups find a planted duplicate deterministically") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
