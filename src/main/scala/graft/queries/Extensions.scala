@@ -40,20 +40,28 @@ object Extensions {
     * jaccard ≥ 0.9 (planted dups) while the background is < 0.15, so every
     * qualifying pair has an identical-or-near-identical shingle set whose
     * MinHash signatures deterministically share bands — the LSH output
-    * EQUALS the exhaustive all-pairs answer at this threshold, and DuckDB
-    * can compute that answer exactly. */
+    * EQUALS the exhaustive answer at this threshold. The oracle computes
+    * that answer via an INVERTED-INDEX join (intersection = shared-shingle
+    * count per pair, union = n_a + n_b − intersection over the distinct
+    * sets): identical doubles to the per-pair list formulation, but no
+    * quadratic list ops — the oracle itself scales past the fixture. */
   val nearDupMinhashSql: String = s"""
     WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     s AS (SELECT doc_id,
             list_distinct(list_transform(range(len(toks) - 2),
               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
           FROM t WHERE len(toks) >= 3),
-    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / NULLIF(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 0.0)
-              AS jaccard
-          FROM s a JOIN s b ON a.doc_id < b.doc_id)
-    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2"""
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    n AS (SELECT doc_id, len(sh) AS n FROM s)
+    SELECT c.id_a, c.id_b,
+           CAST(c.inter AS DOUBLE)
+             / CAST(na.n + nb.n - c.inter AS DOUBLE) AS jaccard
+    FROM cand c JOIN n na ON na.doc_id = c.id_a JOIN n nb ON nb.doc_id = c.id_b
+    WHERE CAST(c.inter AS DOUBLE)
+            / CAST(na.n + nb.n - c.inter AS DOUBLE) >= 0.2"""
 
   def simhashAdjacent(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
