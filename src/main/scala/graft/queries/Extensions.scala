@@ -369,6 +369,43 @@ object Extensions {
     SELECT doc_id, format, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
     FROM f"""
 
+  /** As-of join over the events stream: each purchase picks up the latest
+    * click (inclusive) by the same user — the "attach the freshest snapshot
+    * at or before each event" primitive. */
+  def asofPurchaseClick(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOf.asOfBackward(
+      purchases, clicks, keyCol = "user_id",
+      leftTimeCol = "ts", rightTimeCol = "ts",
+      carry = Seq("event_id", "value"), tieBreak = "event_id",
+      prefix = "click_")
+  }
+
+  /** Mirrors the union+running-window formulation exactly (same ordering
+    * key incl. the -1 left sentinel); cross-checked against DuckDB's native
+    * ASOF JOIN during development. */
+  val asofPurchaseClickSql: String = """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id AS k, ts AS t, 1 AS side, CAST(-1 AS BIGINT) AS tie,
+             event_id AS l_event_id,
+             CAST(NULL AS BIGINT) AS c_event_id, CAST(NULL AS DOUBLE) AS c_value
+      FROM l
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, NULL, event_id, value FROM r),
+    m AS (SELECT k, t, side, l_event_id,
+            last_value(c_event_id IGNORE NULLS) OVER w AS click_event_id,
+            last_value(c_value IGNORE NULLS) OVER w AS click_value
+          FROM u WINDOW w AS (PARTITION BY k ORDER BY t, side, tie
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT l_event_id AS event_id, k AS user_id, t AS ts, click_event_id, click_value
+    FROM m WHERE side = 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
@@ -383,5 +420,6 @@ object Extensions {
     "q30_embedding_near_dups" -> QueryDef(embeddingNearDups _, embeddingNearDupsSql),
     "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
-    "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql))
+    "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
+    "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql))
 }

@@ -88,6 +88,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("as-of join: backward inclusive, tie to max id, null when no prior") {
+    import spark.implicits._
+    // left events at t=5,10,20 for key 1; right ticks at t=5 (two ids: 100,
+    // 101 — tie), t=12, and nothing before key 2's event
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100L, 1.0), (1L, 5L, 101L, 2.0), (1L, 12L, 102L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = graft.operators.AsOf.asOfBackward(
+      left, right, keyCol = "k", leftTimeCol = "t", rightTimeCol = "t",
+      carry = Seq("rid", "v"), tieBreak = "rid")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out("a") === 101L) // inclusive at equal time, tie → larger rid
+    assert(out("b") === 101L) // t=12 tick not yet visible at t=10
+    assert(out("c") === 102L) // latest prior
+    assert(out("d") === -1L)  // no prior right row → null carry
+  }
+
   test("simhashPoly matches a plain-Scala model of the same construct") {
     import spark.implicits._
     // independent reimplementation: poly token hash → per-bit majority →
