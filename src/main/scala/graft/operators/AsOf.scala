@@ -34,37 +34,41 @@ object AsOf {
     val rightSchema = right.schema
     val tieType = rightSchema(tieBreak).dataType
 
+    // carry travels as ONE struct per right row: last(..., ignoreNulls) then
+    // skips whole left rows (null struct) but never mixes fields from
+    // different right rows — a per-column window would stitch a phantom row
+    // whenever one carried column is null in the matched row
+    val carryStructType = org.apache.spark.sql.types.StructType(
+      carry.map(c => rightSchema(c).copy(name = c)))
+
     val lTagged = left.select(
-      Seq(
-        col(keyCol).as("__k"),
-        col(leftTimeCol).as("__t"),
-        lit(1).as("__side"),
-        // -1 sorts before any real (non-negative) tie value; only ordering
-        // among RIGHT rows matters, left rows carry nothing
-        lit(-1L).cast(tieType).as("__tie"),
-        struct(left.columns.map(col).toSeq: _*).as("__lrow")) ++
-        carry.map(c => lit(null).cast(rightSchema(c).dataType).as(s"__c_$c")): _*)
+      col(keyCol).as("__k"),
+      col(leftTimeCol).as("__t"),
+      lit(1).as("__side"),
+      // -1 sorts before any real (non-negative) tie value; only ordering
+      // among RIGHT rows matters, left rows carry nothing
+      lit(-1L).cast(tieType).as("__tie"),
+      struct(left.columns.map(col).toSeq: _*).as("__lrow"),
+      lit(null).cast(carryStructType).as("__carry"))
 
     val rTagged = right.select(
-      Seq(
-        col(keyCol).as("__k"),
-        col(rightTimeCol).as("__t"),
-        lit(0).as("__side"),
-        col(tieBreak).cast(tieType).as("__tie"),
-        lit(null).cast(leftStructType).as("__lrow")) ++
-        carry.map(c => col(c).as(s"__c_$c")): _*)
+      col(keyCol).as("__k"),
+      col(rightTimeCol).as("__t"),
+      lit(0).as("__side"),
+      col(tieBreak).cast(tieType).as("__tie"),
+      lit(null).cast(leftStructType).as("__lrow"),
+      struct(carry.map(col): _*).as("__carry"))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = carry.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
-    }
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__carry"), ignoreNulls = true).over(w))
 
     val outCols: Seq[Column] =
       left.columns.toSeq.map(c => col(s"__lrow.$c").as(c)) ++
-        carry.map(c => col(s"__m_$c").as(s"$prefix$c"))
+        carry.map(c => col(s"__m.$c").as(s"$prefix$c"))
     matched.filter(col("__side") === 1).select(outCols: _*)
   }
 }

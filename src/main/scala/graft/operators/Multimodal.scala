@@ -87,10 +87,13 @@ object Multimodal {
   }
 
   /** Frame sampling plumbing: explode video-like payloads into one row per
-    * sampled frame index (every `everyN`-th frame). */
+    * sampled frame index (every `everyN`-th frame). Zero-frame assets yield
+    * ZERO rows — clamping to a phantom frame 0 would emit a frame that does
+    * not exist (and diverge from the q46 oracle's stop-exclusive range). */
   def frameSample(features: DataFrame, everyN: Int = 5): DataFrame =
     features
+      .filter(col("n_frames") >= 1)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN))))
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
       .select(col("doc_id"), col("format"), col("frame_idx"))
 }

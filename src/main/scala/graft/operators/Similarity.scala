@@ -163,10 +163,7 @@ object Similarity {
     val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
 
     // distance of an array<double> column to each center, as fold expressions
-    def distTo(vec: Column, ctr: Seq[Double]): Column =
-      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)
-    def distArray(vec: Column): Column = array(centers.map(c => distTo(vec, c)): _*)
+    def distArray(vec: Column): Column = array(centers.map(c => distToFold(vec, c)): _*)
 
     // 2. assign every corpus vector to its nearest cell (argmin, first-wins)
     val c = corpus
@@ -214,13 +211,10 @@ object Similarity {
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(cells).setSeed(seed).setMaxIter(10).fit(train)
     val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
-    def distTo(vec: Column, ctr: Seq[Double]): Column =
-      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)
     corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("dists", array(centers.map(c => distTo(col("v"), c)): _*))
+      .withColumn("dists", array(centers.map(c => distToFold(col("v"), c)): _*))
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
       .drop("dists")
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
@@ -236,13 +230,10 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding")
                     (implicit spark: SparkSession): DataFrame = {
     val cells = centers.length
-    def distTo(vec: Column, ctr: Seq[Double]): Column =
-      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
-      .withColumn("cellDists", array(centers.map(c => distTo(col("q_vec"), c)): _*))
+      .withColumn("cellDists", array(centers.map(c => distToFold(col("q_vec"), c)): _*))
       .withColumn("probe_cells",
         slice(transform(
           array_sort(arrays_zip(col("cellDists"), sequence(lit(1), lit(cells)))),
@@ -286,12 +277,9 @@ object Similarity {
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(cells).setSeed(seed).setMaxIter(10).fit(train)
     val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
-    def distTo(vec: Column, ctr: Seq[Double]): Column =
-      aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)
     val assigned = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("dists", array(centers.map(c => distTo(col("v"), c)): _*))
+      .withColumn("dists", array(centers.map(c => distToFold(col("v"), c)): _*))
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
       .drop("dists")
     val l = assigned.select(col("cell"), col(idCol).as("id_a"), col("v").as("v_a"))

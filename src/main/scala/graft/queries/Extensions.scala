@@ -236,16 +236,27 @@ object Extensions {
     * scans — the 100 TB serving path, not per-query index training. */
   private val ivfCenters = Similarity.fixedCenters(cells = 16, dim = 64)
 
-  private def ivfIndexDir(d: String): String =
+  /** Cache key includes a fingerprint (mtime ^ size) of the source parquet
+    * so a regenerated fixture can never serve a stale index. */
+  private def ivfIndexDir(d: String): String = {
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val fp = java.lang.Long.toHexString(src.lastModified() ^ (src.length() * 1000003L))
     "/root/repo/target/graft-ivf-cache/" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_c16_v2"
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"_c16_${fp}_v2"
+  }
+
+  private val ivfBuildLock = new Object
 
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     val emb = Tables.embeddings(s, d)
     val dir = ivfIndexDir(d)
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      Similarity.writeIvfIndex(emb, dir, ivfCenters)
+    // serialize the existence check + build so concurrent callers in one
+    // JVM never race overlapping overwrite-writes into the same directory
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Similarity.writeIvfIndex(emb, dir, ivfCenters)
+    }
     Similarity.ivfTopKIndexed(dir, ivfCenters, emb.filter(col("vec_id") < 10),
       k = 5, nProbe = 4)
   }
@@ -385,8 +396,9 @@ object Extensions {
       prefix = "click_")
   }
 
-  /** Mirrors the union+running-window formulation exactly (same ordering
-    * key incl. the -1 left sentinel); cross-checked against DuckDB's native
+  /** Mirrors the union+running-window formulation exactly — ONE carry
+    * struct per right row (never per-column stitching), same ordering key
+    * incl. the -1 left sentinel; cross-checked against DuckDB's native
     * ASOF JOIN during development. */
   val asofPurchaseClickSql: String = """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -394,16 +406,16 @@ object Extensions {
     u AS (
       SELECT user_id AS k, ts AS t, 1 AS side, CAST(-1 AS BIGINT) AS tie,
              event_id AS l_event_id,
-             CAST(NULL AS BIGINT) AS c_event_id, CAST(NULL AS DOUBLE) AS c_value
+             CAST(NULL AS STRUCT(eid BIGINT, v DOUBLE)) AS carry
       FROM l
       UNION ALL
-      SELECT user_id, ts, 0, event_id, NULL, event_id, value FROM r),
+      SELECT user_id, ts, 0, event_id, NULL, {'eid': event_id, 'v': value} FROM r),
     m AS (SELECT k, t, side, l_event_id,
-            last_value(c_event_id IGNORE NULLS) OVER w AS click_event_id,
-            last_value(c_value IGNORE NULLS) OVER w AS click_value
+            last_value(carry IGNORE NULLS) OVER w AS mc
           FROM u WINDOW w AS (PARTITION BY k ORDER BY t, side, tie
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-    SELECT l_event_id AS event_id, k AS user_id, t AS ts, click_event_id, click_value
+    SELECT l_event_id AS event_id, k AS user_id, t AS ts,
+           mc.eid AS click_event_id, mc.v AS click_value
     FROM m WHERE side = 1"""
 
   val defs: Map[String, QueryDef] = Map(

@@ -105,14 +105,15 @@ object PurchaseCsv {
       .filter(length(trim(col("value"))) > 0)
       .withColumn("p", from_csv(col("value"), org.apache.spark.sql.types.StructType.fromDDL(schema),
         Map("mode" -> "PERMISSIVE")))
-      // all-8-positions-present analog of univocity's field count: the 8th
-      // field is either non-null, or present-but-empty (from_csv nulls empty
-      // fields, but an empty trailing field means the raw line ends with a
-      // top-level comma or an empty quoted string `,""`)
+      // all-8-positions-present analog of univocity's field COUNT: strip
+      // quoted segments (commas inside quotes are not separators, and `""`
+      // empty-quoted fields vanish cleanly), then require >= 7 top-level
+      // commas. This accepts 8-field lines whatever their trailing field
+      // looks like (empty, `""`, quoted-with-commas) and drops shorter ones
+      // — from_csv alone can't distinguish "8th field empty" from "8th
+      // field missing" because it null-pads trailing positions.
       .filter(col("p.f0").isNotNull &&
-        (col("p.f7").isNotNull ||
-          endswith(trim(col("value")), lit(",")) ||
-          endswith(trim(col("value")), lit(",\"\""))))
+        size(split(regexp_replace(col("value"), "\"[^\"]*\"", ""), ",", -1)) >= 8)
       .withColumn("qty", expr("try_cast(p.f3 AS INT)"))
       .withColumn("price", expr("try_cast(p.f5 AS DOUBLE)"))
       .select(

@@ -88,6 +88,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("q25 LSH recall is ASSERTED: output equals the exhaustive jaccard answer") {
+    // the q25 oracle equates LSH output with the exhaustive >= 0.2 pair set;
+    // band collision at high jaccard is overwhelmingly likely but not
+    // guaranteed, so pin the equality on the actual gate fixture (sf0.01)
+    val spark0 = spark
+    import spark0.implicits._
+    val d = "/root/testdata/sf0.01"
+    val lsh = graft.queries.Extensions.nearDupMinhash(spark, d)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Tables.documents(spark, d).select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exhaustive = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("j", size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")
+        / size(array_union(col("x.sh"), col("y.sh"))))
+      .filter(col("j") >= 0.2)
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exhaustive)
+    assert(exhaustive.nonEmpty) // fixture must actually exercise the path
+  }
+
   test("as-of join: backward inclusive, tie to max id, null when no prior") {
     import spark.implicits._
     // left events at t=5,10,20 for key 1; right ticks at t=5 (two ids: 100,

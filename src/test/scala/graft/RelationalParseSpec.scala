@@ -29,6 +29,9 @@ class RelationalParseSpec extends AnyFunSuite {
     "560995,21507,WIDGET,12,7/19/2011 12:19,0.42,16128,\"\"",
     // short line → dropped by both
     "560999,21507,WIDGET,12",
+    // SEVEN fields ending in an empty quoted string → still short; both
+    // routes must drop it (field count, not suffix shape, decides)
+    "560994,21507,WIDGET,12,7/19/2011 12:19,0.42,\"\"",
     // empty → dropped by both
     "")
 
