@@ -46,6 +46,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(fromIndex === inMemory)
   }
 
+  test("as-of join plans linear: one window over a union, no pair blow-up") {
+    val df = graft.queries.Extensions.asofPurchaseClick(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the union + running-window form must never degenerate into a
+    // time-range join (cartesian / broadcast-nested-loop = quadratic per key)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    assert(plan.contains("Window"), s"no window in plan:\n$plan")
+    assert(plan.contains("Union"), s"no union in plan:\n$plan")
+  }
+
   test("salted join equals the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf)
