@@ -29,6 +29,13 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-style subword pre-tokenization: letter runs, digit runs, and
+    * single non-alphanumeric marks — the classic pre-split a byte-pair
+    * tokenizer starts from. The character-class regex means Java (Spark)
+    * and RE2 (DuckDB twin: regexp_extract_all) agree exactly. */
+  val subtokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def subtokens(c: Column): Column = regexp_extract_all(c, lit(subtokenPattern), lit(0))
+
   /** Exact mean token length: integer length sum folded exactly, then one
     * double division. */
   def avgTokenLen(toksExpr: Column): Column =

@@ -380,6 +380,27 @@ object Extensions {
     SELECT doc_id, format, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
     FROM f"""
 
+  /** BPE-ish token accounting: subword pre-tokens (letter runs / digit runs
+    * / marks) alongside the whitespace token count — the "how many units
+    * will the tokenizer see" column every corpus pipeline carries. */
+  def subtokenStats(s: SparkSession, d: String): DataFrame = {
+    val st = TextFunctions.subtokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(st).as("n_subtokens"),
+      size(array_distinct(st)).as("n_distinct_subtokens"),
+      TextFunctions.tokenCount(col("text")).as("n_ws_tokens"))
+  }
+
+  val subtokenStatsSql: String = s"""
+    SELECT doc_id,
+           len(st) AS n_subtokens,
+           len(list_distinct(st)) AS n_distinct_subtokens,
+           len($toksSql) AS n_ws_tokens
+    FROM (SELECT doc_id, text,
+            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS st
+          FROM documents)"""
+
   /** As-of join over the events stream: each purchase picks up the latest
     * click (inclusive) by the same user — the "attach the freshest snapshot
     * at or before each event" primitive. */
@@ -433,5 +454,6 @@ object Extensions {
     "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
-    "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql))
+    "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
+    "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql))
 }

@@ -155,16 +155,19 @@ object InvoicePipeline {
     runUnified(lines, models, adaptUnified(sinks), checkpointDir,
       sessionTimeout, trigger)
 
-  /** Unified-sink variant of run: one (topic, value) DataFrame per trigger. */
+  /** Unified-sink variant of run: one (topic, value) DataFrame per trigger.
+    * `relationalParse` selects the codegen from_csv parse (throughput) over
+    * the typed univocity route (quirk-exact default). */
   def runUnified(
       lines: Dataset[String],
       models: Models,
       sink: (DataFrame, Long) => Unit,
       checkpointDir: String,
       sessionTimeout: String = Sessionizer.DefaultTimeout,
-      trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+      trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+      relationalParse: Boolean = false)
       (implicit spark: SparkSession): StreamingQuery =
-    Sessionizer.fromRawLines(lines, sessionTimeout).writeStream
+    Sessionizer.fromRawLines(lines, sessionTimeout, relationalParse).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -42,9 +42,14 @@ object ThroughputMain {
 
     val input = MemoryStream[String]
     val ckpt = java.nio.file.Files.createTempDirectory("tp-ckpt").toString
+    // typed univocity route: measured FASTER than the from_csv relational
+    // parse on this stream (37.5k vs 23.9k lines/s same-load A/B) — the
+    // relational path pays from_csv + the regex field-count guard per line,
+    // while the typed flatMap is one tight parser call. Kept as default.
     val q = InvoicePipeline.runUnified(input.toDS(), models, sink, ckpt,
       sessionTimeout = "2 seconds",
-      trigger = Trigger.ProcessingTime("1 second"))
+      trigger = Trigger.ProcessingTime("1 second"),
+      relationalParse = false)
 
     val lines = (0 until nLines).map { i =>
       val inv = i % nInvoices
