@@ -109,6 +109,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair set — the step that turns
+    * pairwise matches into dedup CLUSTERS (keep the canonical minimum id
+    * per component, drop the rest).
+    *
+    * Parallel min-label propagation (the scalable union-find): every node
+    * starts labeled with itself; each round a node adopts the minimum label
+    * among itself and its neighbors; fixpoint after O(component diameter)
+    * rounds. Each round is one join + one aggregate — all shuffles are on
+    * the node id, no driver-side graph. Near-dup components are shallow
+    * (dups of dups), so 2-3 rounds settle real corpora; `maxIter` bounds
+    * pathological chains. localCheckpoint per round severs the growing
+    * lineage (same trade-off as lshCandidatePairs, documented there).
+    *
+    * Returns (id, cluster_id = min id reachable) for every node that
+    * appears in `pairs`; singleton documents never enter and never move.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup scan: 64-bit signatures, pairs within `maxHamming`.
     * Pairs are generated per identical high-bit prefix block (cheap
     * blocking) — full-scale variants use multi-table rotation. */

@@ -45,8 +45,10 @@ object Extensions {
     * count per pair, union = n_a + n_b − intersection over the distinct
     * sets): identical doubles to the per-pair list formulation, but no
     * quadratic list ops — the oracle itself scales past the fixture. */
-  val nearDupMinhashSql: String = s"""
-    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared CTE chain ending in `jp(id_a, id_b, jaccard)` — used by the
+    * q25 pair oracle and the q49 clustering oracle. */
+  private val nearDupPairsSqlCtes: String = s"""
+    t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     s AS (SELECT doc_id,
             list_distinct(list_transform(range(len(toks) - 2),
               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
@@ -55,13 +57,16 @@ object Extensions {
     cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
-    n AS (SELECT doc_id, len(sh) AS n FROM s)
-    SELECT c.id_a, c.id_b,
-           CAST(c.inter AS DOUBLE)
-             / CAST(na.n + nb.n - c.inter AS DOUBLE) AS jaccard
-    FROM cand c JOIN n na ON na.doc_id = c.id_a JOIN n nb ON nb.doc_id = c.id_b
-    WHERE CAST(c.inter AS DOUBLE)
-            / CAST(na.n + nb.n - c.inter AS DOUBLE) >= 0.2"""
+    n AS (SELECT doc_id, len(sh) AS n FROM s),
+    jp AS (SELECT c.id_a, c.id_b,
+             CAST(c.inter AS DOUBLE)
+               / CAST(na.n + nb.n - c.inter AS DOUBLE) AS jaccard
+           FROM cand c JOIN n na ON na.doc_id = c.id_a
+                       JOIN n nb ON nb.doc_id = c.id_b)"""
+
+  val nearDupMinhashSql: String = s"""
+    WITH $nearDupPairsSqlCtes
+    SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.2"""
 
   def simhashAdjacent(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
@@ -380,6 +385,27 @@ object Extensions {
     SELECT doc_id, format, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
     FROM f"""
 
+  /** Dedup clustering: near-dup pairs → connected components → canonical
+    * minimum doc id per cluster (the "keep one copy" step). */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+      minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Transitive closure by recursive CTE over the exact pair set — min
+    * reachable id = the label min-propagation converges to. */
+  val dedupClustersSql: String = s"""
+    WITH RECURSIVE $nearDupPairsSqlCtes,
+    p AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.2),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (SELECT s AS id, d AS r FROM e
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
+    SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id"""
+
   /** BPE-ish token accounting: subword pre-tokens (letter runs / digit runs
     * / marks) alongside the whitespace token count — the "how many units
     * will the tokenizer see" column every corpus pipeline carries. */
@@ -455,5 +481,6 @@ object Extensions {
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
-    "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql))
+    "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql),
+    "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql))
 }

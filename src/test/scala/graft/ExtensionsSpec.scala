@@ -88,6 +88,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("connected components: chains collapse, isolated pairs stay separate") {
+    import spark.implicits._
+    // chain 1-2-3 (diameter 2, needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22 with a redundant edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("q25 LSH recall is ASSERTED: output equals the exhaustive jaccard answer") {
     // the q25 oracle equates LSH output with the exhaustive >= 0.2 pair set;
     // band collision at high jaccard is overwhelmingly likely but not
