@@ -31,9 +31,12 @@ object TextFunctions {
 
   /** BPE-style subword pre-tokenization: letter runs, digit runs, and
     * single non-alphanumeric marks — the classic pre-split a byte-pair
-    * tokenizer starts from. The character-class regex means Java (Spark)
-    * and RE2 (DuckDB twin: regexp_extract_all) agree exactly. */
-  val subtokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * tokenizer starts from. The whitespace class is spelled out EXPLICITLY
+    * (space, tab, LF, VT, FF, CR) rather than `\s`, because Java's \s
+    * includes vertical tab while RE2's does not — an explicit class is the
+    * only spelling on which both engines agree for every input. The q48
+    * oracle interpolates this same constant. */
+  val subtokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
   def subtokens(c: Column): Column = regexp_extract_all(c, lit(subtokenPattern), lit(0))
 
   /** Exact mean token length: integer length sum folded exactly, then one

@@ -141,15 +141,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // least() skips nulls, so a node with no lower-labeled neighbor keeps
+      // its label; convergence falls out of the SAME join (no second
+      // label-vs-label join per round)
+      val joined = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), col("nmin")).as("new_label"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = joined.filter(col("new_label") < col("label")).isEmpty
+      labels = joined.select(col("id"), col("new_label").as("label"))
       i += 1
     }
+    // a silently truncated propagation would hand back WRONG cluster ids
+    // (one component split into several) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -424,7 +424,7 @@ object Extensions {
            len(list_distinct(st)) AS n_distinct_subtokens,
            len($toksSql) AS n_ws_tokens
     FROM (SELECT doc_id, text,
-            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS st
+            regexp_extract_all(text, '${TextFunctions.subtokenPattern}') AS st
           FROM documents)"""
 
   /** As-of join over the events stream: each purchase picks up the latest

@@ -88,6 +88,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("subtokens treat vertical tab as whitespace (explicit class, not \\s)") {
+    import spark.implicits._
+    // Java's \s includes \x0B, RE2's does not — the explicit class makes
+    // both engines drop it; this pins the Spark side to the RE2 probe value
+    val got = Seq("ab\u000bcd 12,x").toDF("text")
+      .select(TextFunctions.subtokens(col("text"))).head.getSeq[String](0)
+    assert(got === Seq("ab", "cd", "12", ",", "x"))
+  }
+
   test("connected components: chains collapse, isolated pairs stay separate") {
     import spark.implicits._
     // chain 1-2-3 (diameter 2, needs >1 propagation round), pair 10-11,
