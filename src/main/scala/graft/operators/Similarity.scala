@@ -114,6 +114,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Scalar int8 quantization of an embedding column — the 4× storage
+    * compression every large embedding corpus ships with. Per vector:
+    * scale = max |v_i| (symmetric), code_i = floor(v_i * 127.0 / scale)
+    * ∈ [-128, 127]. floor (not round) keeps the arithmetic bit-identical
+    * across engines — round's half-up vs half-even tie rules differ.
+    * Returns (id, scale, codes array, reconstruction squared error), the
+    * error term computed in the same fold order as the DuckDB twin. */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("codes",
+        when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x => floor(x * 127.0 / col("scale")).cast("long"))))
+      .withColumn("sq_err",
+        aggregate(zip_with(col("v"), col("codes"),
+            (x, q) => {
+              val recon = q.cast("double") * col("scale") / 127.0
+              (x - recon) * (x - recon)
+            }),
+          lit(0.0), (acc, e) => acc + e))
+      .select(col(idCol), col("scale"), col("codes"), col("sq_err"))
+
   /** Materialize the IVF index for a FIXED quantizer (no training job):
     * assign every vector its nearest cell, write partitioned by cell. The
     * per-vector norm is precomputed into the index — serving probes then

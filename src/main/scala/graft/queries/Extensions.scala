@@ -385,6 +385,29 @@ object Extensions {
     SELECT doc_id, format, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
     FROM f"""
 
+  /** Int8 embedding compression: symmetric scalar quantization (floor, not
+    * round — tie rules differ across engines) + exact reconstruction error. */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+
+  val embeddingQuantizeSql: String = s"""
+    WITH c AS ($embSql),
+    q AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS scale FROM c),
+    k AS (SELECT vec_id, v, scale,
+            CASE WHEN scale = 0.0
+                 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))
+            END AS codes
+          FROM q)
+    SELECT vec_id, scale, codes,
+      list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        list_transform(range(len(v)),
+          i -> (v[i+1] - CAST(codes[i+1] AS DOUBLE) * scale / 127.0)
+             * (v[i+1] - CAST(codes[i+1] AS DOUBLE) * scale / 127.0))),
+        (a, b) -> a + b) AS sq_err
+    FROM k"""
+
   /** Dedup clustering: near-dup pairs → connected components → canonical
     * minimum doc id per cluster (the "keep one copy" step). */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -482,5 +505,6 @@ object Extensions {
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
     "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql),
-    "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql))
+    "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql),
+    "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql))
 }

@@ -88,6 +88,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dups.contains((100L, 101L)), s"dups=$dups")
   }
 
+  test("int8 quantization: codes in range, error bounded, zero vector safe") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector → scale 0, codes 0
+      (3L, Array(3.0f, -2.0f, 1.0f, 0.5f)))
+    val out = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2), r.getDouble(3))).toMap
+    out.foreach { case (_, (scale, codes, err)) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // per-dim reconstruction error < one quantization step
+      val dim = codes.length
+      assert(err <= dim * math.pow(scale / 127.0, 2) + 1e-12, s"err=$err scale=$scale")
+    }
+    assert(out(2L)._1 === 0.0 && out(2L)._2.forall(_ == 0L) && out(2L)._3 === 0.0)
+    assert(out(1L)._1 === 1.0)
+    assert(out(1L)._2 === Seq(63L, -127L, 31L, 0L)) // floor semantics
+  }
+
   test("subtokens treat vertical tab as whitespace (explicit class, not \\s)") {
     import spark.implicits._
     // Java's \s includes \x0B, RE2's does not — the explicit class makes
