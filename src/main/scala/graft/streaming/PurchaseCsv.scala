@@ -112,8 +112,11 @@ object PurchaseCsv {
       // looks like (empty, `""`, quoted-with-commas) and drops shorter ones
       // — from_csv alone can't distinguish "8th field empty" from "8th
       // field missing" because it null-pads trailing positions.
+      // f7 non-null already implies 8 fields, and codegen short-circuits
+      // the OR, so the regex count only runs on the rare empty-tail lines.
       .filter(col("p.f0").isNotNull &&
-        size(split(regexp_replace(col("value"), "\"[^\"]*\"", ""), ",", -1)) >= 8)
+        (col("p.f7").isNotNull ||
+          size(split(regexp_replace(col("value"), "\"[^\"]*\"", ""), ",", -1)) >= 8))
       .withColumn("qty", expr("try_cast(p.f3 AS INT)"))
       .withColumn("price", expr("try_cast(p.f5 AS DOUBLE)"))
       .select(
