@@ -340,18 +340,22 @@ object Extensions {
       .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_frames"))
   }
 
-  /** The stub decoder's checksum is the same mod-1e9+7 codepoint fold as the
-    * fingerprint, so the decode metadata is exactly recomputable — the
-    * typed mapPartitions path gets a full oracle despite being a stub. */
-  val multimodalFeaturesSql: String = """
-    WITH m AS (SELECT doc_id,
+  /** Shared decode-stub CTE: format rotation + the mod-1e9+7 codepoint
+    * checksum (same fold family as the fingerprint) — the deterministic
+    * core both q32 and q46 mirror. */
+  private val decodeStubCte: String = """m AS (SELECT doc_id,
       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
            ELSE 'webp' END AS format,
       list_reduce(list_concat([CAST(17 AS BIGINT)],
         list_transform(list_filter(regexp_split_to_array(text, ''), ch -> ch <> ''),
           ch -> CAST(unicode(ch) AS BIGINT))),
         (a, b) -> (a * 31 + b) % 1000000007) AS cs
-      FROM documents)
+      FROM documents)"""
+
+  /** The stub decoder's checksum is exactly recomputable — the typed
+    * mapPartitions path gets a full oracle despite being a stub. */
+  val multimodalFeaturesSql: String = s"""
+    WITH $decodeStubCte
     SELECT doc_id, format,
            CAST(64 + cs % 1024 AS INTEGER) AS width,
            CAST(64 + (cs // 1024) % 1024 AS INTEGER) AS height,
@@ -368,16 +372,10 @@ object Extensions {
   }
 
   /** Spark's sequence(0, n-1, 5) is bound-inclusive; DuckDB's range(0, n, 5)
-    * is stop-exclusive — same index set for n ≥ 1. */
-  val multimodalFrameSampleSql: String = """
-    WITH m AS (SELECT doc_id,
-      CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-           ELSE 'webp' END AS format,
-      list_reduce(list_concat([CAST(17 AS BIGINT)],
-        list_transform(list_filter(regexp_split_to_array(text, ''), ch -> ch <> ''),
-          ch -> CAST(unicode(ch) AS BIGINT))),
-        (a, b) -> (a * 31 + b) % 1000000007) AS cs
-      FROM documents),
+    * is stop-exclusive — same index set for n ≥ 1, and n = 0 yields no rows
+    * on both sides (frameSample filters zero-frame assets). */
+  val multimodalFrameSampleSql: String = s"""
+    WITH $decodeStubCte,
     f AS (SELECT doc_id, format,
             CASE WHEN format = 'webp' THEN CAST(1 + cs % 30 AS INTEGER)
                  ELSE 1 END AS n_frames
