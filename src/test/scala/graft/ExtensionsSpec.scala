@@ -174,6 +174,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out("d") === -1L)  // no prior right row → null carry
   }
 
+  test("as-of join matches a brute-force model on random keyed timelines") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, i.toLong))
+      val right = (1 to 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, (1000 + i).toLong,
+          rnd.nextInt(100).toDouble))
+      // brute force: max right time <= left time, ties to max rid
+      def model(k: Long, t: Long): Option[Long] = {
+        val cands = right.filter(r => r._1 == k && r._2 <= t)
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2, r._3))._3)
+      }
+      val got = graft.operators.AsOf.asOfBackward(
+        left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid", "v"),
+        keyCol = "k", leftTimeCol = "t", rightTimeCol = "t",
+        carry = Seq("rid", "v"), tieBreak = "rid")
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      left.foreach { case (k, t, lid) =>
+        assert(got(lid) === model(k, t), s"seed=$seed lid=$lid k=$k t=$t")
+      }
+    }
+  }
+
   test("simhashPoly matches a plain-Scala model of the same construct") {
     import spark.implicits._
     // independent reimplementation: poly token hash → per-bit majority →
