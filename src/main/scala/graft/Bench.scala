@@ -8,13 +8,23 @@ import org.apache.spark.sql.SparkSession
   *    isn't a warmup artifact;
   *  - queries run in stable sorted-name order, so round-over-round
   *    comparisons measure the code, not Map iteration order;
+  *  - each query runs SPARK_GRAFT_REPS times (default 3); the reported
+  *    per-query number and the total are the per-query MEDIANS, so a
+  *    single GC pause or compilation stall can't masquerade as a
+  *    regression. "queries_min" carries the per-query minimum (the
+  *    machine-noise floor) for diagnosis;
   *  - a failing query contributes its elapsed time AND an entry in the
   *    "errors" object — regressions can't hide inside a green total.
+  *
+  * Local iteration: SPARK_GRAFT_ONLY=<substring[,substring…]> restricts the
+  * run to matching query names (warmup unchanged).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,6 +33,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 
     // warmup: one join+aggregate query and one text-pipeline query cover the
     // parquet readers, codegen compiler, and shuffle machinery; q31's first
@@ -52,23 +63,33 @@ object Bench {
       case c => c.toString
     }
 
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+
+    val results = ordered.map { case (name, fn) =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      (name, median(runs.map(_._1)), runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val mins = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,9 +70,10 @@ object Anomaly {
     * (KMeansClusterInvoices.scala:57-65) is embarrassingly parallel. */
   def sweep(features: DataFrame, ks: Seq[Int], seed: Long = 42L,
             maxIter: Int = 20, bisecting: Boolean = false,
-            parallelism: Int = 4): Seq[(Int, Double, Seq[Seq[Double]])] = {
+            parallelism: Int = 4,
+            fitTimeout: scala.concurrent.duration.Duration =
+              scala.concurrent.duration.Duration(30, "min")): Seq[(Int, Double, Seq[Seq[Double]])] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     val assembled = assemble(features).cache()
     // populate the cache once up front so concurrent fits never race to
     // compute it (the race is correct but wastes the first trigger's work)
@@ -95,7 +96,13 @@ object Anomaly {
           }
         }
       }
-      futures.map(Await.result(_, Duration.Inf))
+      // finite deadline: a wedged fit surfaces as a TimeoutException with
+      // the k it belongs to, instead of blocking the sweep forever
+      futures.zip(ks).map { case (f, k) =>
+        try Await.result(f, fitTimeout)
+        catch { case e: java.util.concurrent.TimeoutException =>
+          throw new RuntimeException(s"sweep fit k=$k exceeded $fitTimeout", e) }
+      }
     } finally {
       pool.shutdown()
       assembled.unpersist()
@@ -112,6 +119,9 @@ object Anomaly {
     val arr = assembled.select(vector_to_array(col("features")).as("v"))
     val meanRow = arr.select(
       (0 until n).map(i => avg(element_at(col("v"), i + 1)).as(s"m$i")): _*).head
+    // empty input → avg() is NULL; fail the same way ml.KMeans does on an
+    // empty fit rather than with a bare NPE from getDouble
+    require(!meanRow.isNullAt(0), "fitK1: empty feature input — nothing to fit")
     val mu = (0 until n).map(meanRow.getDouble)
     val sq = (0 until n)
       .map(i => (element_at(col("v"), i + 1) - lit(mu(i))) *

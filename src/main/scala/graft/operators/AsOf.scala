@@ -30,6 +30,16 @@ object AsOf {
                    leftTimeCol: String, rightTimeCol: String,
                    carry: Seq[String], tieBreak: String,
                    prefix: String = "asof_"): DataFrame = {
+    // Null semantics, pinned explicitly (Spark windows sort NULL FIRST,
+    // DuckDB sorts NULL LAST — leaving nulls to the sort order would give
+    // engine-dependent matches): a right row with a null key or time can
+    // never be "at or before" anything and is dropped; a left row with a
+    // null key or time is kept with all-null carries (left-join contract).
+    val leftNullable = left.schema(keyCol).nullable || left.schema(leftTimeCol).nullable
+    val leftOk =
+      if (leftNullable) left.filter(col(keyCol).isNotNull && col(leftTimeCol).isNotNull)
+      else left
+    val rightOk = right.filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull)
     val leftStructType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rightSchema = right.schema
     val tieType = rightSchema(tieBreak).dataType
@@ -41,7 +51,7 @@ object AsOf {
     val carryStructType = org.apache.spark.sql.types.StructType(
       carry.map(c => rightSchema(c).copy(name = c)))
 
-    val lTagged = left.select(
+    val lTagged = leftOk.select(
       col(keyCol).as("__k"),
       col(leftTimeCol).as("__t"),
       lit(1).as("__side"),
@@ -51,7 +61,7 @@ object AsOf {
       struct(left.columns.map(col).toSeq: _*).as("__lrow"),
       lit(null).cast(carryStructType).as("__carry"))
 
-    val rTagged = right.select(
+    val rTagged = rightOk.select(
       col(keyCol).as("__k"),
       col(rightTimeCol).as("__t"),
       lit(0).as("__side"),
@@ -69,6 +79,14 @@ object AsOf {
     val outCols: Seq[Column] =
       left.columns.toSeq.map(c => col(s"__lrow.$c").as(c)) ++
         carry.map(c => col(s"__m.$c").as(s"$prefix$c"))
-    matched.filter(col("__side") === 1).select(outCols: _*)
+    val joined = matched.filter(col("__side") === 1).select(outCols: _*)
+    if (!leftNullable) joined
+    else {
+      val passthrough = left
+        .filter(col(keyCol).isNull || col(leftTimeCol).isNull)
+        .select(left.columns.toSeq.map(col) ++
+          carry.map(c => lit(null).cast(rightSchema(c).dataType).as(s"$prefix$c")): _*)
+      joined.unionByName(passthrough)
+    }
   }
 }

@@ -19,6 +19,15 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Release the storage blocks behind a `localCheckpoint(true)`-ed frame.
+    * `Dataset.unpersist` is a no-op for these — checkpointing persists the
+    * physical RDD directly, bypassing the CacheManager — so the RDD inside
+    * the plan's `LogicalRDD` leaf is unpersisted explicitly. */
+  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   /** Exact dedup keeping the smallest id per identical value — window
     * variant (sort within groups; oracle-friendly, keeps whole rows). */
   def exactKeepFirst(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
@@ -149,9 +158,17 @@ object Dedup {
           least(col("label"), col("nmin")).as("new_label"))
         .localCheckpoint(true)
       converged = joined.filter(col("new_label") < col("label")).isEmpty
+      // round i+1 is materialized (eager checkpoint above): free round i's
+      // checkpoint blocks now, instead of pinning maxIter+1 label sets for
+      // the session's lifetime
+      freeCheckpointBlocks(labels)
       labels = joined.select(col("id"), col("new_label").as("label"))
       i += 1
     }
+    // the returned labels are checkpoint-severed from the edge set — its
+    // blocks can go too (only the final round's labels stay pinned, for the
+    // caller to consume)
+    freeCheckpointBlocks(edges)
     // a silently truncated propagation would hand back WRONG cluster ids
     // (one component split into several) — fail loudly instead
     if (!converged) throw new IllegalStateException(

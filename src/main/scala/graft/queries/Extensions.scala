@@ -384,9 +384,17 @@ object Extensions {
     FROM f"""
 
   /** Int8 embedding compression: symmetric scalar quantization (floor, not
-    * round — tie rules differ across engines) + exact reconstruction error. */
+    * round — tie rules differ across engines) + exact reconstruction error.
+    * The gate projection serializes `codes` to a comma-joined string: the
+    * driver's comparator sorts rows by every column and pandas cannot sort
+    * array cells (round-2 q50 red row). Codes are integers, so the string
+    * round-trip is lossless and engine-identical; the typed array API stays
+    * on `Similarity.quantizeInt8` (unit-tested in ExtensionsSpec). */
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .withColumn("codes_csv",
+        concat_ws(",", transform(col("codes"), _.cast("string"))))
+      .select(col("vec_id"), col("scale"), col("codes_csv"), col("sq_err"))
 
   val embeddingQuantizeSql: String = s"""
     WITH c AS ($embSql),
@@ -398,7 +406,8 @@ object Extensions {
                  ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))
             END AS codes
           FROM q)
-    SELECT vec_id, scale, codes,
+    SELECT vec_id, scale,
+      array_to_string(codes, ',') AS codes_csv,
       list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
         list_transform(range(len(v)),
           i -> (v[i+1] - CAST(codes[i+1] AS DOUBLE) * scale / 127.0)

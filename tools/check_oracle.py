@@ -21,6 +21,19 @@ def rows_key(rows):
     # sort rows by string repr for multiset compare
     return sorted([tuple(str(c) for c in r) for r in rows])
 
+def unsortable_cols(cols, rows):
+    """The DRIVER's comparator does a pandas sort_values over every column;
+    array/struct/map cells crash it ("unhashable type: numpy.ndarray" — the
+    round-2 q50 red row). Flag them here so the local gate catches the
+    failure class even though our own compare stringifies."""
+    bad = set()
+    for r in rows[:100]:
+        for c, v in zip(cols, r):
+            if isinstance(v, (list, tuple, dict, set, bytearray)) or \
+               type(v).__name__ == "ndarray":
+                bad.add(c)
+    return sorted(bad)
+
 def main():
     out_dir = Path(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -44,6 +57,11 @@ def main():
             want_cols = [d[0] for d in con.description]
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        bad = unsortable_cols(got_cols, got) + unsortable_cols(want_cols, want)
+        if bad:
+            print(f"FAIL {name}: driver-unsortable (array/struct) columns: {sorted(set(bad))}")
             n_fail += 1
             continue
         # sort columns by name (driver behavior)
