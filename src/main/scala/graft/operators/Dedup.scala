@@ -135,7 +135,16 @@ object Dedup {
     * appears in `pairs`; singleton documents never enter and never move.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** As `connectedComponents`, also reporting how many propagation rounds
+    * ran until fixpoint — pinned in tests so an edge-set change that
+    * silently deepens components (more rounds = more shuffles at scale)
+    * is visible, not just eventually slow. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -174,7 +183,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds " +
         "(component diameter exceeds maxIter); raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    (labels.select(col("id"), col("label").as("cluster_id")), i)
   }
 
   /** SimHash near-dup scan: 64-bit signatures, pairs within `maxHamming`.

@@ -26,10 +26,17 @@ object MlQueries {
       .filter(col("score") > fixedThreshold)
       .select(col("invoice_no"), col("score"))
 
+  /** DuckDB parses a bare decimal literal as DECIMAL(17,13) and its
+    * decimal→double conversion double-rounds once the scaled mantissa
+    * exceeds 2^53 (int64/10^13 is two roundings) — up to 1 ulp off the
+    * correctly-rounded parse, which breaks hash-exactness against Spark's
+    * Double literals. A string→double CAST parses correctly rounded, so
+    * center constants go through CAST('…' AS DOUBLE). */
   private def sqdistSql(c: Seq[Double]): String =
     Seq("avg_unit_price", "min_unit_price", "max_unit_price", "time_hour", "number_items")
       .zip(c)
-      .map { case (f, v) => s"($f - $v) * ($f - $v)" }
+      .map { case (f, v) =>
+        s"($f - CAST('$v' AS DOUBLE)) * ($f - CAST('$v' AS DOUBLE))" }
       .mkString(" + ")
 
   val anomaliesFixedSql: String = s"""
@@ -64,6 +71,42 @@ object MlQueries {
     } finally feats.unpersist()
   }
 
+  /** Seed-pinned centers of the q17-style fit (KMeans k=4, seed=42,
+    * maxIter=10 on validFeatures at sf0.01, canonical data layout — see
+    * PinCentersMain) — regenerate with `runMain graft.ml.PinCentersMain`.
+    * GateHygieneSpec asserts a fresh fit still produces exactly these, so
+    * q51 below oracles the reference's ENTIRE post-fit pipeline (score →
+    * top-k threshold → anomaly filter) with the fit itself held fixed;
+    * DuckDB cannot run the fit, but everything downstream of it is now
+    * gate-checked instead of rows-only. */
+  val pinnedCenters: Seq[Seq[Double]] = Seq(
+    Seq(2593.2224169921933, 1053.5043110414817, 4842.940779771328, 0.0, 103.8461324429605),
+    Seq(25621.35448679525, 3830.9725322689774, 86522.3859163987, 0.0, 95.82958199356914),
+    Seq(7146.363379485148, 1474.8927520751301, 19280.163660217146, 0.0, 102.9315144766147),
+    Seq(13788.327628509598, 2257.163769853325, 43536.70067345784, 0.0, 100.87775891341256))
+
+  /** M4+M5+P6 against the pinned fit: nearest-centroid score, threshold =
+    * 2000th-largest score (derived IN the query on both engines — the score
+    * sets are bit-identical, so the derived thresholds are too), anomaly =
+    * strictly beyond. The q17 pipeline with the one un-oracle-able stage
+    * (the fit) replaced by its pinned result. */
+  def kmeansScoringPinned(s: SparkSession, d: String): DataFrame = {
+    val scored = Relational.validFeatures(s, d)
+      .withColumn("score", Anomaly.minSqdist(pinnedCenters))
+    val thresh = Anomaly.threshold(scored, "score", 2000)
+    scored.filter(col("score") > lit(thresh)).select(col("invoice_no"), col("score"))
+  }
+
+  val kmeansScoringPinnedSql: String = s"""
+    WITH f AS (${Relational.validFeaturesSql.replace("\n", " ")}),
+    scored AS (
+      SELECT invoice_no,
+             LEAST(${pinnedCenters.map(c => s"(${sqdistSql(c)})").mkString(", ")}) AS score
+      FROM f),
+    th AS (SELECT min(score) AS t
+           FROM (SELECT score FROM scored ORDER BY score DESC LIMIT 2000))
+    SELECT invoice_no, score FROM scored, th WHERE score > th.t"""
+
   /** M1+M3: the elbow sweep — (k, cost, selected?) for k in 2..6. */
   def kmeansElbow(s: SparkSession, d: String): DataFrame = {
     val feats = Relational.validFeatures(s, d)
@@ -79,5 +122,6 @@ object MlQueries {
     "q16_anomalies_fixed"     -> QueryDef(anomaliesFixed _, anomaliesFixedSql),
     "q17_kmeans_anomalies"    -> QueryDef(kmeansAnomalies _, None),
     "q18_kmeans_elbow"        -> QueryDef(kmeansElbow _, None),
-    "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, None))
+    "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, None),
+    "q51_kmeans_scoring_pinned" -> QueryDef(kmeansScoringPinned _, kmeansScoringPinnedSql))
 }
