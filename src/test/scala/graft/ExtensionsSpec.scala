@@ -174,6 +174,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out("d") === -1L)  // no prior right row → null carry
   }
 
+  test("as-of join null semantics: null-time rights never match, " +
+    "null-time lefts pass through with null carries") {
+    import spark.implicits._
+    // engine-defined, not sort-order-defined: Spark windows put NULLs
+    // first, DuckDB last — without the explicit filter the two engines
+    // would silently match different rows
+    val left = Seq((Some(1L), Some(10L), "ok"), (Some(1L), None, "nullt"),
+      (None, Some(10L), "nullk")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(5L), 100L), (Some(1L), None, 999L),
+      (None, Some(1L), 998L)).toDF("k", "t", "rid")
+    val out = graft.operators.AsOf.asOfBackward(
+      left, right, keyCol = "k", leftTimeCol = "t", rightTimeCol = "t",
+      carry = Seq("rid"), tieBreak = "rid")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out.size === 3) // all left rows preserved
+    assert(out("ok") === 100L)    // the null-time right (999) is invisible
+    assert(out("nullt") === -1L)  // null-time left joins nothing
+    assert(out("nullk") === -1L)  // null-key left joins nothing
+  }
+
   test("as-of join matches a brute-force model on random keyed timelines") {
     import spark.implicits._
     for (seed <- 1 to 3) {
