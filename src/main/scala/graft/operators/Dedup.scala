@@ -186,6 +186,58 @@ object Dedup {
     (labels.select(col("id"), col("label").as("cluster_id")), i)
   }
 
+  /** Persist the LSH bucket table as a parquet "signature index" — the
+    * artifact that makes corpus dedup INCREMENTAL: today's batch is checked
+    * against yesterday's signatures without ever re-reading, re-shingling,
+    * or re-hashing the historical corpus. Layout: partitioned by band_idx
+    * (bounded fan-out; at cluster scale the natural refinement is
+    * bucketBy(band_hash) into a table so the probe join is shuffle-free on
+    * the index side — same layout idea as the IVF index). */
+  def writeSignatureIndex(docs: DataFrame, indexDir: String, idCol: String = "doc_id",
+                          textCol: String = "text", numHashes: Int = 32,
+                          bands: Int = 8, shingleN: Int = 3): Unit =
+    lshBuckets(docs, idCol, textCol, numHashes, bands, shingleN)
+      .write.mode("overwrite").partitionBy("band_idx").parquet(indexDir)
+
+  /** Roll the index forward after a batch is accepted: append the batch's
+    * buckets. Parameters must match the ones the index was built with. */
+  def appendToSignatureIndex(docs: DataFrame, indexDir: String, idCol: String = "doc_id",
+                             textCol: String = "text", numHashes: Int = 32,
+                             bands: Int = 8, shingleN: Int = 3): Unit =
+    lshBuckets(docs, idCol, textCol, numHashes, bands, shingleN)
+      .write.mode("append").partitionBy("band_idx").parquet(indexDir)
+
+  /** Near-duplicates of `newDocs` AGAINST the persisted signature index:
+    * only the new batch is shingled and minhashed; the historical side is
+    * a columnar scan of (id, band_idx, band_hash). Candidates from shared
+    * buckets are verified by exact jaccard, which needs the TEXT of just
+    * the candidate old docs — `oldDocs` is joined for those few rows only,
+    * never re-signatured. Returns (id_old, id_new, jaccard).
+    *
+    * New-vs-new pairs inside the batch are the existing `nearDuplicates`;
+    * an ingest pipeline runs both, then `appendToSignatureIndex`. */
+  def nearDuplicatesAgainst(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                            oldDocs: DataFrame, newDocs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            minJaccard: Double = 0.2, numHashes: Int = 32,
+                            bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+      .select(col(idCol).as("id_old"), col("band_idx"), col("band_hash"))
+    val probes = lshBuckets(newDocs, idCol, textCol, numHashes, bands, shingleN)
+      .select(col(idCol).as("id_new"), col("band_idx"), col("band_hash"))
+    val candidates = probes.join(index, Seq("band_idx", "band_hash"))
+      .filter(col("id_old") =!= col("id_new"))
+      .select(col("id_old"), col("id_new"))
+      .distinct()
+    val oldTexts = oldDocs.select(col(idCol).as("id_old"), col(textCol).as("text_old"))
+    val newTexts = newDocs.select(col(idCol).as("id_new"), col(textCol).as("text_new"))
+    candidates.join(oldTexts, "id_old").join(newTexts, "id_new")
+      .withColumn("jaccard",
+        ngramJaccard(tokens(col("text_old")), tokens(col("text_new")), shingleN))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_old"), col("id_new"), col("jaccard"))
+  }
+
   /** SimHash near-dup scan: 64-bit signatures, pairs within `maxHamming`.
     * Pairs are generated per identical high-bit prefix block (cheap
     * blocking) — full-scale variants use multi-table rotation. */
