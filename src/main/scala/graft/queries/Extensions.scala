@@ -495,6 +495,44 @@ object Extensions {
            mc.eid AS click_event_id, mc.v AS click_value
     FROM m WHERE side = 1"""
 
+  /** Incremental (cross-run) dedup, gate-shaped: the corpus is split into
+    * two "ingest days" by doc-id parity, day 1's LSH signature index is
+    * materialized ONCE per sf dir (same offline-maintenance caching pattern
+    * as the q31 IVF index), and day 2 probes it — only day-2 docs are
+    * shingled; day-1 text is joined back solely to jaccard-verify the few
+    * candidates. The oracle recomputes the exhaustive cross-parity
+    * jaccard ≥ 0.2 answer with the inverted-index formulation; equality
+    * holds by the same planted-margin precondition as q25/q49 (asserted in
+    * GateHygieneSpec). */
+  private def sigIndexDir(d: String): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    val fp = java.lang.Long.toHexString(src.lastModified() ^ (src.length() * 1000003L))
+    "/root/repo/target/graft-sig-cache/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"_b8_${fp}_v1"
+  }
+
+  private val sigBuildLock = new Object
+
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 === 1)
+    val dir = sigIndexDir(d)
+    sigBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Dedup.writeSignatureIndex(day1, dir)
+    }
+    Dedup.nearDuplicatesAgainst(s, dir, day1, day2, minJaccard = 0.2)
+  }
+
+  val incrementalDedupSql: String = s"""
+    WITH $nearDupPairsSqlCtes
+    SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_old,
+           CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_new,
+           jaccard
+    FROM jp
+    WHERE jaccard >= 0.2 AND (id_a % 2) <> (id_b % 2)"""
+
   val defs: Map[String, QueryDef] = Map(
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
@@ -513,5 +551,6 @@ object Extensions {
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
     "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql),
     "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql),
-    "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql))
+    "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql),
+    "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql))
 }
