@@ -122,14 +122,18 @@ object Dedup {
     * pairwise matches into dedup CLUSTERS (keep the canonical minimum id
     * per component, drop the rest).
     *
-    * Parallel min-label propagation (the scalable union-find): every node
-    * starts labeled with itself; each round a node adopts the minimum label
-    * among itself and its neighbors; fixpoint after O(component diameter)
-    * rounds. Each round is one join + one aggregate — all shuffles are on
-    * the node id, no driver-side graph. Near-dup components are shallow
-    * (dups of dups), so 2-3 rounds settle real corpora; `maxIter` bounds
-    * pathological chains. localCheckpoint per round severs the growing
-    * lineage (same trade-off as lshCandidatePairs, documented there).
+    * Parallel min-label propagation with pointer doubling (the scalable
+    * union-find): every node starts labeled with itself; each round a node
+    * adopts the minimum of its own label, its neighbors' labels, and its
+    * label's label (path compression). The label-chase bounds convergence
+    * at O(log diameter) rounds — a chain-shaped component settles in ~8
+    * rounds at length 200 where plain neighbor-min would need 200. Each
+    * round is one edge join + one aggregate + one small labels self-join —
+    * all shuffles on the node id, no driver-side graph. Near-dup
+    * components are shallow (dups of dups), so 2-3 rounds settle real
+    * corpora; `maxIter` bounds pathology. localCheckpoint per round severs
+    * the growing lineage (same trade-off as lshCandidatePairs, documented
+    * there).
     *
     * Returns (id, cluster_id = min id reachable) for every node that
     * appears in `pairs`; singleton documents never enter and never move.
@@ -159,12 +163,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
+      // pointer doubling: chase my label's OWN label (every label is a node
+      // id, so the self-join always lands). Neighbor-min alone walks one
+      // hop per round — O(diameter) rounds, which a chain-shaped component
+      // turns into a hard failure at maxIter; the label-chase compresses
+      // chains exponentially, bounding rounds at O(log diameter) for one
+      // extra small join per round (labels ⋈ labels, never the edge set)
+      val labelMin = labels
+        .join(labels.select(col("id").as("label"), col("label").as("lmin")), "label")
+        .select(col("id"), col("lmin"))
       // least() skips nulls, so a node with no lower-labeled neighbor keeps
       // its label; convergence falls out of the SAME join (no second
       // label-vs-label join per round)
       val joined = labels.join(neighborMin, Seq("id"), "left")
+        .join(labelMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), col("nmin")).as("new_label"))
+          least(col("label"), col("nmin"), col("lmin")).as("new_label"))
         .localCheckpoint(true)
       converged = joined.filter(col("new_label") < col("label")).isEmpty
       // round i+1 is materialized (eager checkpoint above): free round i's

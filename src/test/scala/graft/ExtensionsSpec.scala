@@ -131,6 +131,44 @@ class ExtensionsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: pointer doubling settles a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a chain is the propagation worst case: plain neighbor-min needs
+    // diameter rounds (199 here, past any sane maxIter); the label-chase
+    // compresses paths exponentially
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = graft.operators.Dedup
+      .connectedComponentsWithRounds(chain, maxIter = 20)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200 && got.values.forall(_ === 0L))
+    assert(rounds <= 10, s"chain took $rounds rounds")
+  }
+
+  test("connected components match a union-find model on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find as the independent model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val roots = (0 until n).map(find)
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map { id =>
+          val comp = roots(id.toInt)
+          val members = (0 until n).filter(j => roots(j) == comp &&
+            edges.exists(e => e._1 == j || e._2 == j))
+          id -> members.min.toLong
+        }.toMap
+      val got = graft.operators.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("q25 LSH recall is ASSERTED: output equals the exhaustive jaccard answer") {
     // the q25 oracle equates LSH output with the exhaustive >= 0.2 pair set;
     // band collision at high jaccard is overwhelmingly likely but not
