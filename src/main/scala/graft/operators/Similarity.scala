@@ -153,6 +153,68 @@ object Similarity {
       .drop("dists")
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
 
+  /** Per-table sign-LSH bucket codes for a vector: table t's code packs
+    * `bits` sign bits, bit b = [v · hyperplane(t·bits+b) > 0]. Shared by
+    * the Spark operator and mirrored in the oracle so blocking is
+    * bit-identical across engines. */
+  private[operators] def signBuckets(v: Column, hyperplanes: Seq[Seq[Double]],
+                                     tables: Int): Column = {
+    val bits = hyperplanes.length / tables
+    array((0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(dot(v, typedLit(hyperplanes(t * bits + b))) > 0.0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Sign-LSH (random-hyperplane) ANN top-k — the LSH-bucketed alternative
+    * to the IVF cell path. `tables` independent hash tables of
+    * `hyperplanes.length / tables` sign bits each: a corpus vector is a
+    * candidate for a query iff they share ANY table's bucket, so recall
+    * grows with tables while each table's bucket population shrinks
+    * exponentially with bits (~n/2^bits for centered data). Candidates are
+    * deduplicated BEFORE the vectors are re-attached — only
+    * (query, neighbor) id pairs flow through the multi-table union — then
+    * ranked by exact cosine. With the deterministic ±1 hyperplanes from
+    * `fixedCenters`, the whole pipeline (bucketing included) is
+    * reproducible by the DuckDB oracle.
+    *
+    * At 100 TB: corpus codes are precomputed once per table (24 fused dot
+    * products per vector here), the bucket join replaces an n·q cosine
+    * scan, and like the IVF index the (tbl, bucket) layout is the natural
+    * storage partitioning for a serving-path probe. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, hyperplanes: Seq[Seq[Double]],
+              tables: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(hyperplanes.nonEmpty && hyperplanes.length % tables == 0,
+      "hyperplanes must split evenly into tables")
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    def bucketed(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      posexplode(signBuckets(col("v"), hyperplanes, tables)).as(Seq("tbl", "bucket")))
+    val cand = bucketed(q, "query_id")
+      .join(bucketed(c, "neighbor_id"), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = q.select(col(idCol).as("query_id"), col("v").as("qv"),
+      norm(col("v")).as("nrm_q"))
+    val cv = c.select(col(idCol).as("neighbor_id"), col("v").as("v_n"),
+      norm(col("v")).as("nrm_n"))
+    val scored = cand
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("sim",
+        cosineWithNorms(dot(col("qv"), col("v_n")), col("nrm_q"), col("nrm_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
   /** Exact top-k neighbours for each query vector by brute-force cosine.
     * `queries` is expected to be small — it is broadcast, so the corpus is
     * scanned once with no shuffle of the embeddings themselves; only the

@@ -292,6 +292,46 @@ object Extensions {
       FROM scored)
     WHERE rn <= 5"""
 
+  /** q53: sign-LSH ANN — 4 tables × 6 sign bits from 24 fixed ±1
+    * hyperplanes (same deterministic mixer as the IVF centers, so the
+    * bucketing is oracle-reproducible). The oracle mirrors the APPROXIMATE
+    * pipeline — bucket codes, multi-table candidate union, cosine rank —
+    * not the exhaustive answer, exactly like q31. */
+  private val lshHyperplanes = Similarity.fixedCenters(cells = 24, dim = 64)
+  private val lshTables = 4
+  private val lshBits = lshHyperplanes.length / lshTables
+
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      lshHyperplanes, tables = lshTables, k = 5)
+  }
+
+  val annLshTopKSql: String = s"""
+    WITH c AS ($embSql),
+    hp AS (SELECT * FROM (VALUES ${lshHyperplanes.zipWithIndex
+      .map { case (h, i) => s"($i, [${h.mkString(", ")}]::DOUBLE[])" }
+      .mkString(", ")}) t(i, h)),
+    bk AS (SELECT vec_id, CAST(i // $lshBits AS INTEGER) AS tbl,
+             sum(CASE WHEN ${dotSql("v", "h")} > 0.0
+                      THEN CAST(1 AS BIGINT) << (i % $lshBits)
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+           FROM c CROSS JOIN hp GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+             FROM bk qb JOIN bk nb USING (tbl, bucket)
+             WHERE qb.vec_id < 10 AND nb.vec_id <> qb.vec_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                 ${cosineSql("a.v", "b.v")} AS sim
+               FROM cand
+               JOIN c a ON a.vec_id = cand.query_id
+               JOIN c b ON b.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5"""
+
   /** q30 quantizer: more, smaller cells + multi-probe for pair blocking. */
   private val dupCenters = Similarity.fixedCenters(cells = 32, dim = 64)
 
@@ -552,5 +592,6 @@ object Extensions {
     "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql),
     "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql),
     "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql),
-    "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql))
+    "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql),
+    "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql))
 }
