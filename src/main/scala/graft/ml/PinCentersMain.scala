@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * and sorting within partitions pins both, independent of the session's
   * core count or shuffle-partition setting.
   *
-  * Usage: runMain graft.ml.PinCentersMain [sfDir] [k] [maxIter]
+  * Usage: runMain graft.ml.PinCentersMain [sfDir] [k] [maxIter] [kmeans|bisecting]
   */
 object PinCentersMain {
 
@@ -33,11 +33,16 @@ object PinCentersMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val bisecting = args.length > 3 && args(3) == "bisecting"
     val feats = canonicalLayout(
       graft.queries.Relational.validFeatures(spark, sfDir)).cache()
-    val m = Anomaly.trainKMeans(feats, k, seed = 42L, maxIter = maxIter)
+    val centers =
+      if (bisecting)
+        Anomaly.trainBisecting(feats, k, seed = 42L, maxIter = maxIter).clusterCenters
+      else
+        Anomaly.trainKMeans(feats, k, seed = 42L, maxIter = maxIter).clusterCenters
     println("PINNED_CENTERS = Seq(")
-    m.clusterCenters.foreach { c =>
+    centers.foreach { c =>
       println("  Seq(" + c.toArray.map(_.toString).mkString(", ") + "),")
     }
     println(")")

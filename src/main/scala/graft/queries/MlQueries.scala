@@ -107,6 +107,35 @@ object MlQueries {
            FROM (SELECT score FROM scored ORDER BY score DESC LIMIT 2000))
     SELECT invoice_no, score FROM scored, th WHERE score > th.t"""
 
+  /** The bisecting twin of [[pinnedCenters]] (BisectingKMeans k=3, seed=42,
+    * maxIter=5 — q19's parameters — on the canonical layout at sf0.01);
+    * regenerate with `runMain graft.ml.PinCentersMain <sf> 3 5 bisecting`.
+    * GateHygieneSpec re-derives both. */
+  val pinnedBisectingCenters: Seq[Seq[Double]] = Seq(
+    Seq(2517.2525916585373, 1033.8445785284382, 4656.173336788221, 0.0, 104.07505360972122),
+    Seq(6978.987901745342, 1501.9233325405266, 18577.24786862792, 0.0, 102.27468671679198),
+    Seq(17352.713114876547, 2735.0616059314475, 56409.31335309279, 0.0, 98.91237113402062))
+
+  /** q19's post-fit pipeline against the pinned bisecting tree's leaf
+    * centers: scoring, in-query top-500 threshold, strict filter — the
+    * second rows-only fit family now gate-checked downstream of the fit. */
+  def bisectingScoringPinned(s: SparkSession, d: String): DataFrame = {
+    val scored = Relational.validFeatures(s, d)
+      .withColumn("score", Anomaly.minSqdist(pinnedBisectingCenters))
+    val thresh = Anomaly.threshold(scored, "score", 500)
+    scored.filter(col("score") > lit(thresh)).select(col("invoice_no"), col("score"))
+  }
+
+  val bisectingScoringPinnedSql: String = s"""
+    WITH f AS (${Relational.validFeaturesSql.replace("\n", " ")}),
+    scored AS (
+      SELECT invoice_no,
+             LEAST(${pinnedBisectingCenters.map(c => s"(${sqdistSql(c)})").mkString(", ")}) AS score
+      FROM f),
+    th AS (SELECT min(score) AS t
+           FROM (SELECT score FROM scored ORDER BY score DESC LIMIT 500))
+    SELECT invoice_no, score FROM scored, th WHERE score > th.t"""
+
   /** M1+M3: the elbow sweep — (k, cost, selected?) for k in 2..6. */
   def kmeansElbow(s: SparkSession, d: String): DataFrame = {
     val feats = Relational.validFeatures(s, d)
@@ -123,5 +152,6 @@ object MlQueries {
     "q17_kmeans_anomalies"    -> QueryDef(kmeansAnomalies _, None),
     "q18_kmeans_elbow"        -> QueryDef(kmeansElbow _, None),
     "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, None),
-    "q51_kmeans_scoring_pinned" -> QueryDef(kmeansScoringPinned _, kmeansScoringPinnedSql))
+    "q51_kmeans_scoring_pinned" -> QueryDef(kmeansScoringPinned _, kmeansScoringPinnedSql),
+    "q54_bisecting_scoring_pinned" -> QueryDef(bisectingScoringPinned _, bisectingScoringPinnedSql))
 }

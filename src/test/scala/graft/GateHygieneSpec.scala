@@ -51,6 +51,11 @@ class GateHygieneSpec extends AnyFunSuite {
       assert(got === graft.queries.MlQueries.pinnedCenters,
         "re-fit centers drifted from MlQueries.pinnedCenters — regenerate " +
           "with runMain graft.ml.PinCentersMain and update the constant")
+      val b = Anomaly.trainBisecting(feats, k = 3, seed = 42L, maxIter = 5)
+      val gotB = b.clusterCenters.toSeq.map(_.toArray.toSeq)
+      assert(gotB === graft.queries.MlQueries.pinnedBisectingCenters,
+        "re-fit bisecting centers drifted from pinnedBisectingCenters — " +
+          "regenerate with runMain graft.ml.PinCentersMain <sf> 3 5 bisecting")
     } finally feats.unpersist()
   }
 
