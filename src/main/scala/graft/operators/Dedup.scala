@@ -200,6 +200,22 @@ object Dedup {
     (labels.select(col("id"), col("label").as("cluster_id")), i)
   }
 
+  /** Exact dedup for a STREAM of documents: keep the first arrival of each
+    * distinct content, drop later copies that arrive within the watermark.
+    * State is keyed by the 64-bit content hash — 8 bytes per distinct doc
+    * in the state store instead of the document itself (the same
+    * hash-not-payload trade as `exactByHash`; collision math documented
+    * there), and the watermark bounds state growth: a duplicate arriving
+    * later than the delay is admitted again, which is the correct
+    * streaming relaxation — bounded state forces a horizon, and the
+    * downstream batch dedup (or `nearDuplicatesAgainst` the signature
+    * index) catches cross-horizon copies. */
+  def exactDedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
+                       watermarkDelay: String): DataFrame =
+    docs.withColumn("content_hash", xxhash64(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Persist the LSH bucket table as a parquet "signature index" — the
     * artifact that makes corpus dedup INCREMENTAL: today's batch is checked
     * against yesterday's signatures without ever re-reading, re-shingling,

@@ -335,6 +335,27 @@ object Relational {
            ${dsumSql("l_extendedprice", 2)} AS sum_price, count(*) AS n
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
+  /** Pivot: order revenue as a status × priority matrix. Explicit pivot
+    * values — the scale-safe form: no extra distinct-discovery pass over
+    * the fact table, and the plan is a single hash aggregate whose schema
+    * is fixed at compile time. Cells with no rows are NULL (both engines'
+    * sum-over-empty), exercised by status 'P' at the gate SFs. */
+  private val orderPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def pivotRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", orderPriorities)
+      .agg(dsum(col("o_totalprice"), 2))
+
+  val pivotRevenueSql: String = s"""
+    SELECT o_orderstatus,
+           ${orderPriorities.map(p =>
+      dsumSql(s"CASE WHEN o_orderpriority = '$p' THEN o_totalprice END", 2) +
+        s""" AS "$p"""").mkString(", ")}
+    FROM orders GROUP BY o_orderstatus"""
+
   /** Left outer join keeping order-less customers with zeroed aggregates. */
   def customerOrderSummary(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -474,5 +495,6 @@ object Relational {
     "q39_orders_above_cust_avg" -> QueryDef(ordersAboveCustomerAvg _, ordersAboveCustomerAvgSql),
     "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql),
     "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql),
-    "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql))
+    "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql),
+    "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql))
 }

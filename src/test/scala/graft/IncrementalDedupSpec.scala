@@ -42,6 +42,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streaming exact dedup: later copies within the watermark are dropped, " +
+    "first arrivals pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1600000000000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Dedup.exactDedupStream(
+      input.toDS().toDF("doc_id", "text", "ts"), "text", "ts", "1 minute")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2)))
+      q.processAllAvailable()
+      // a cross-batch copy inside the watermark is also dropped
+      input.addData((4L, "beta", ts(5)), (5L, "gamma", ts(6)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("appending a day rolls the index forward; a re-ingested doc is caught by both days") {
     import spark.implicits._
     val day1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -57,6 +57,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Union"), s"no union in plan:\n$plan")
   }
 
+  test("signature-index probe prunes to the 3 index columns, no cartesian") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sigix").toString + "/index"
+    graft.operators.Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+    val probe = graft.operators.Dedup.nearDuplicatesAgainst(
+      spark, dir, docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    // the historical side must stay a pruned columnar scan — re-reading
+    // old text into candidate generation would defeat the incremental point
+    val indexScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("/index")).toList
+    assert(indexScans.nonEmpty, s"no index scan found:\n$plan")
+    assert(indexScans.forall(l => !l.contains("text")),
+      s"index scan reads doc text:\n${indexScans.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in probe plan:\n$plan")
+  }
+
+  test("sign-LSH ANN: candidate union is id-only, no cartesian, queries broadcast") {
+    val df = graft.queries.Extensions.annLshTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in LSH plan:\n$plan")
+    // the exact-cosine rank re-attaches the small query side by broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+  }
+
   test("salted join equals the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf)
