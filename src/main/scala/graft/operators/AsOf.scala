@@ -32,14 +32,17 @@ object AsOf {
                    prefix: String = "asof_"): DataFrame = {
     // Null semantics, pinned explicitly (Spark windows sort NULL FIRST,
     // DuckDB sorts NULL LAST — leaving nulls to the sort order would give
-    // engine-dependent matches): a right row with a null key or time can
-    // never be "at or before" anything and is dropped; a left row with a
-    // null key or time is kept with all-null carries (left-join contract).
+    // engine-dependent matches): a right row with a null key, time, or
+    // tie-break value is dropped (key/time can never be "at or before"
+    // anything; a null tie would make equal-time winner selection
+    // sort-order-dependent); a left row with a null key or time is kept
+    // with all-null carries (left-join contract).
     val leftNullable = left.schema(keyCol).nullable || left.schema(leftTimeCol).nullable
     val leftOk =
       if (leftNullable) left.filter(col(keyCol).isNotNull && col(leftTimeCol).isNotNull)
       else left
-    val rightOk = right.filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull)
+    val rightOk = right.filter(
+      col(keyCol).isNotNull && col(rightTimeCol).isNotNull && col(tieBreak).isNotNull)
     val leftStructType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rightSchema = right.schema
     val tieType = rightSchema(tieBreak).dataType

@@ -215,6 +215,7 @@ object Dedup {
     docs.withColumn("content_hash", xxhash64(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash") // helper key — output shape matches the input
 
   /** Persist the LSH bucket table as a parquet "signature index" — the
     * artifact that makes corpus dedup INCREMENTAL: today's batch is checked

@@ -241,14 +241,22 @@ object Extensions {
     * scans — the 100 TB serving path, not per-query index training. */
   private val ivfCenters = Similarity.fixedCenters(cells = 16, dim = 64)
 
-  /** Cache key includes a fingerprint (mtime ^ size) of the source parquet
-    * so a regenerated fixture can never serve a stale index. */
-  private def ivfIndexDir(d: String): String = {
-    val src = new java.io.File(s"$d/embeddings.parquet")
+  /** Fingerprinted cache directory for a materialized index: the key binds
+    * the source parquet's identity (mtime ^ size — a regenerated fixture
+    * can never serve a stale index) AND the build parameters (`params` —
+    * a parameter change can never probe an incompatible index; band hashes
+    * built under different numHashes would simply never collide, silently
+    * emitting zero candidates). */
+  private def indexCacheDir(cache: String, d: String, srcTable: String,
+                            params: String): String = {
+    val src = new java.io.File(s"$d/$srcTable.parquet")
     val fp = java.lang.Long.toHexString(src.lastModified() ^ (src.length() * 1000003L))
-    "/root/repo/target/graft-ivf-cache/" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + s"_c16_${fp}_v2"
+    s"/root/repo/target/$cache/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"_${params}_${fp}_v2"
   }
+
+  private def ivfIndexDir(d: String): String =
+    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16")
 
   private val ivfBuildLock = new Object
 
@@ -544,12 +552,13 @@ object Extensions {
     * jaccard ≥ 0.2 answer with the inverted-index formulation; equality
     * holds by the same planted-margin precondition as q25/q49 (asserted in
     * GateHygieneSpec). */
-  private def sigIndexDir(d: String): String = {
-    val src = new java.io.File(s"$d/documents.parquet")
-    val fp = java.lang.Long.toHexString(src.lastModified() ^ (src.length() * 1000003L))
-    "/root/repo/target/graft-sig-cache/" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + s"_b8_${fp}_v1"
-  }
+  private val sigHashes = 32
+  private val sigBands = 8
+  private val sigShingleN = 3
+
+  private def sigIndexDir(d: String): String =
+    indexCacheDir("graft-sig-cache", d, "documents",
+      s"h${sigHashes}b${sigBands}n$sigShingleN")
 
   private val sigBuildLock = new Object
 
@@ -560,9 +569,11 @@ object Extensions {
     val dir = sigIndexDir(d)
     sigBuildLock.synchronized {
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        Dedup.writeSignatureIndex(day1, dir)
+        Dedup.writeSignatureIndex(day1, dir,
+          numHashes = sigHashes, bands = sigBands, shingleN = sigShingleN)
     }
-    Dedup.nearDuplicatesAgainst(s, dir, day1, day2, minJaccard = 0.2)
+    Dedup.nearDuplicatesAgainst(s, dir, day1, day2, minJaccard = 0.2,
+      numHashes = sigHashes, bands = sigBands, shingleN = sigShingleN)
   }
 
   val incrementalDedupSql: String = s"""

@@ -47,9 +47,14 @@ final case class AsOfBuffer[L, R](
   * Scale: state is per-key and bounded by the watermark delay — pending
   * lefts are all younger than the watermark, and of the rights at or before
   * the watermark only the single best survives (anything older can never
-  * win again). The shuffle is one hash exchange on the join key per
-  * micro-batch, same as the batch form's single shuffle; with the RocksDB
-  * state-store provider the buffers never live in executor heap.
+  * win again; event-time timeouts fire the pruning even for keys that stop
+  * receiving data). The one retained settled right per key lives for the
+  * key's lifetime BY CONTRACT — it is the match for any future left — the
+  * same indefinite right-side retention as a stream-stream outer join
+  * without a right-side condition. The shuffle is one hash exchange on the
+  * join key per micro-batch, same as the batch form's single shuffle; with
+  * the RocksDB state-store provider the buffers never live in executor
+  * heap.
   */
 object AsOfStream {
 
@@ -94,8 +99,12 @@ object AsOfStream {
           else {
             state.update(next)
             // wake this key when the watermark passes its oldest pending
-            // left, even if no further data for the key ever arrives
-            next.lefts.map(_._1).minOption.foreach(state.setTimeoutTimestamp)
+            // left OR its oldest still-live right, even if no further data
+            // for the key ever arrives: lefts must emit, and live rights
+            // must prune down to the single settled best (without the
+            // wake, a rights-only burst would pin its whole list forever)
+            (next.lefts.map(_._1) ++ next.rights.map(_._1).filter(_ > wm))
+              .minOption.foreach(state.setTimeoutTimestamp)
           }
           out.iterator
       }

@@ -51,13 +51,30 @@ object StateScaleMain {
 
     // NB: processAllAvailable() hangs under ProcessingTimeTimeout (every
     // trigger forces a batch, the no-new-data latch never sticks) — poll
-    // the processed-row count instead
-    def processed = q.recentProgress.map(_.numInputRows).sum
+    // a listener-accumulated row count instead. A listener, not a
+    // recentProgress sum: recentProgress is a ring buffer
+    // (numRecentProgressUpdates entries) and long runs would undercount
+    // once early batches are evicted.
+    val processedRows = new java.util.concurrent.atomic.AtomicLong()
+    val dataBatches = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        processedRows.addAndGet(e.progress.numInputRows)
+        if (e.progress.numInputRows > 0) dataBatches.add(e.progress)
+      }
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     def awaitProcessed(target: Long): Unit = {
       val deadline = System.currentTimeMillis() + 600000
-      while (processed < target && System.currentTimeMillis() < deadline)
+      while (processedRows.get() < target && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-      require(processed >= target, s"ingest incomplete: $processed of $target lines")
+      require(processedRows.get() >= target,
+        s"ingest incomplete: ${processedRows.get()} of $target lines")
     }
 
     // feed in WAVES of new invoices, waiting each wave out, so the run
@@ -81,7 +98,8 @@ object StateScaleMain {
     // progress of the batches that actually carried data, oldest→newest:
     // if per-batch latency is flat while numRowsTotal climbs to nInvoices,
     // trigger cost tracks the batch, not the store
-    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    import scala.jdk.CollectionConverters._
+    val progress = dataBatches.asScala.toSeq.sortBy(_.batchId)
     def rocksdbMb(so: org.apache.spark.sql.streaming.StateOperatorProgress): Double = {
       // memoryUsedBytes only covers the block-cache slice for RocksDB; the
       // store's real footprint is the custom metrics

@@ -220,8 +220,11 @@ class ExtensionsSpec extends AnyFunSuite {
     // would silently match different rows
     val left = Seq((Some(1L), Some(10L), "ok"), (Some(1L), None, "nullt"),
       (None, Some(10L), "nullk")).toDF("k", "t", "tag")
-    val right = Seq((Some(1L), Some(5L), 100L), (Some(1L), None, 999L),
-      (None, Some(1L), 998L)).toDF("k", "t", "rid")
+    // the 997 row has a null TIE value — equal-time winner selection would
+    // otherwise depend on each engine's NULL sort placement
+    val right = Seq((Some(1L), Some(5L), Some(100L)), (Some(1L), None, Some(999L)),
+      (None, Some(1L), Some(998L)), (Some(1L), Some(5L), None))
+      .toDF("k", "t", "rid")
     val out = graft.operators.AsOf.asOfBackward(
       left, right, keyCol = "k", leftTimeCol = "t", rightTimeCol = "t",
       carry = Seq("rid"), tieBreak = "rid")

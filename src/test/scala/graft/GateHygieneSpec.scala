@@ -81,16 +81,26 @@ class GateHygieneSpec extends AnyFunSuite {
     // 0.2 threshold. A regenerated fixture with pairs inside the band would
     // fail the gate FLAKILY via band non-collision; this asserts the margin
     // itself so it fails loudly on the precondition instead.
+    // inverted-index formulation (shared-shingle GROUP BY for the
+    // intersection, union = n_a + n_b − inter) — the same shape as the
+    // oracle CTEs; an all-pairs crossJoin with per-pair list ops is the
+    // ~3000× slower variant this repo already retired
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
-      val toks = Tables.documents(spark, d)
+      val sh = Tables.documents(spark, d)
         .select(col("doc_id"), array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
-      val a = toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val inBand = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      val n = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = inv.as("a").join(inv.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      val inBand = inter
+        .join(n.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(n.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .select((col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("j"))
         .filter(col("j") >= 0.2 && col("j") < 0.8)
         .count()
       assert(inBand === 0L, s"$d has $inBand pairs in the ambiguous band")

@@ -60,6 +60,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
       // a cross-batch copy inside the watermark is also dropped
       input.addData((4L, "beta", ts(5)), (5L, "gamma", ts(6)))
       q.processAllAvailable()
+      assert(spark.table("dedup_out").columns.toSeq === Seq("doc_id", "text", "ts"),
+        "output shape must match the input (no helper columns)")
       val got = spark.table("dedup_out").select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(got === Set(1L, 2L, 5L))
