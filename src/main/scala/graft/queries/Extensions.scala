@@ -505,6 +505,33 @@ object Extensions {
             regexp_extract_all(text, '${TextFunctions.subtokenPattern}') AS st
           FROM documents)"""
 
+  /** Term frequency: each document's most frequent token with its count
+    * (ties → lexicographically smallest token). The explode → count →
+    * rank-1 shape is the per-doc half of TF-IDF and the usual "dominant
+    * token / boilerplate detector" pass; all shuffles key on
+    * (doc_id, token) then doc_id — linear, skew bounded by doc length. */
+  def topTermPerDoc(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("n").desc, col("token"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_token"), col("n").as("n_occurrences"))
+  }
+
+  val topTermPerDocSql: String = s"""
+    SELECT doc_id, token AS top_token, n AS n_occurrences
+    FROM (SELECT doc_id, token, n,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n DESC, token) AS rn
+          FROM (SELECT doc_id, token, count(*) AS n
+                FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+                GROUP BY doc_id, token))
+    WHERE rn = 1"""
+
   /** As-of join over the events stream: each purchase picks up the latest
     * click (inclusive) by the same user — the "attach the freshest snapshot
     * at or before each event" primitive. */
@@ -604,5 +631,6 @@ object Extensions {
     "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql),
     "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql),
     "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql),
-    "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql))
+    "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql),
+    "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql))
 }

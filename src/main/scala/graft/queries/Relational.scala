@@ -356,6 +356,37 @@ object Relational {
         s""" AS "$p"""").mkString(", ")}
     FROM orders GROUP BY o_orderstatus"""
 
+  /** Discrete (order-statistic) median: the element at rank ⌈n/2⌉ of
+    * (price, orderkey) per status. A PICKED element, not an interpolated
+    * value — engines disagree on percentile interpolation arithmetic, but
+    * an order statistic with a total order (tie → orderkey) is the same
+    * row everywhere. Plans as one window over the status partition — at
+    * scale this is the exact-median form; approximate quantiles
+    * (approx_percentile) are the sketch alternative when a pass per
+    * partition is too dear. */
+  def medianOrderPrice(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+      // Spark's `/` on integers is double division — cast truncates back
+      // to the floor, matching DuckDB's `//` for positive counts
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
+        col("o_orderkey").as("median_orderkey"))
+  }
+
+  val medianOrderPriceSql: String = """
+    SELECT o_orderstatus, o_totalprice AS median_price,
+           o_orderkey AS median_orderkey
+    FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+            row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+          FROM orders)
+    WHERE rn = (cnt + 1) // 2"""
+
   /** Left outer join keeping order-less customers with zeroed aggregates. */
   def customerOrderSummary(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -496,5 +527,6 @@ object Relational {
     "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql),
     "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql),
     "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql),
-    "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql))
+    "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql),
+    "q56_median_order_price"  -> QueryDef(medianOrderPrice _, medianOrderPriceSql))
 }
