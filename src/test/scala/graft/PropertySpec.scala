@@ -100,3 +100,77 @@ object SessionizerProperties extends Properties("Sessionizer.classify") {
       } else true
     }
 }
+
+/** The streaming as-of state machine is a pure fold (AsOfStream.advance):
+  * its defining invariant is BATCH-SCHEDULE INVARIANCE — however events are
+  * spread over micro-batches and however the watermark climbs between
+  * them, the emissions are identical, PROVIDED no event arrives late
+  * (time ≤ the watermark current at its arrival). Late events are dropped
+  * by the engine before the state function runs, so schedules that respect
+  * the watermark contract are exactly the reachable ones; this is what
+  * makes the streaming operator equal the batch as-of join. */
+object AsOfStreamProperties extends Properties("AsOfStream.advance") {
+  import java.sql.Timestamp
+  import graft.streaming.{AsOfBuffer, AsOfEvent, AsOfStream}
+
+  private case class L(lid: Long)
+  private case class R(rid: Long)
+
+  // watermarks current at each arrival batch (batch 1 has seen no data →
+  // watermark 0), then a final flush past every event time
+  private val wms = List(0L, 2000L, 4000L, 8000L)
+  private val flushWm = 10000L
+
+  private val eventsGen: Gen[List[(AsOfEvent[L, R], Int)]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      t <- Gen.choose(1000L, 9000L)
+      id <- Gen.choose(1L, 10000L)
+      isLeft <- Gen.oneOf(true, false)
+      slot <- Gen.choose(0, wms.size - 1)
+    } yield {
+      val ev =
+        if (isLeft) AsOfEvent[L, R]("k", new Timestamp(t), 0L, Some(L(id)), None)
+        else AsOfEvent[L, R]("k", new Timestamp(t), id, None, Some(R(id)))
+      // arrival batch restricted to those whose watermark is below the
+      // event time — the no-late-data contract the engine enforces
+      val valid = wms.indices.filter(i => wms(i) < t)
+      (ev, valid(slot % valid.size))
+    })
+  } yield evs
+
+  private def run(assigned: List[(AsOfEvent[L, R], Int)],
+                  schedule: List[Long]): List[(Long, Long, Option[Long])] = {
+    var buf = AsOfBuffer[L, R](Nil, Nil)
+    var out = List.empty[(Long, Long, Option[Long])]
+    schedule.indices.foreach { i =>
+      val batch = assigned.collect { case (ev, b) if b == i => ev }
+      val (b2, emitted) = AsOfStream.advance(buf, batch, schedule(i), "k")
+      buf = b2
+      out ++= emitted.map(j => (j.eventTime.getTime, j.left.lid, j.asof.map(_.rid)))
+    }
+    val (_, fin) = AsOfStream.advance(buf, Nil, flushWm, "k")
+    out ++ fin.map(j => (j.eventTime.getTime, j.left.lid, j.asof.map(_.rid)))
+  }
+
+  property("emissions are invariant across watermark-respecting schedules") =
+    forAll(eventsGen) { assigned =>
+      val oneShot = run(assigned.map { case (ev, _) => (ev, 0) }, List(0L))
+      val staged = run(assigned, wms)
+      staged.toSet == oneShot.toSet && staged.size == oneShot.size
+    }
+
+  property("every left emits exactly once, matched to the max (time, tie) prior right") =
+    forAll(eventsGen) { assigned =>
+      val evs = assigned.map(_._1)
+      val out = run(assigned, wms)
+      val lefts = evs.filter(_.left.isDefined)
+      val rights = evs.filter(_.right.isDefined)
+      out.size == lefts.size && lefts.forall { l =>
+        val t = l.eventTime.getTime
+        val expected = rights.filter(_.eventTime.getTime <= t)
+          .sortBy(r => (r.eventTime.getTime, r.tie)).lastOption.map(_.tie)
+        out.exists { case (ot, _, m) => ot == t && m == expected } 
+      }
+    }
+}
