@@ -86,6 +86,28 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.format, r.byte_len, width, height, nFrames, feature)
   }
 
+  /** Resize planning: aspect-preserving fit of each decoded asset into a
+    * `boxW` × `boxH` box — the dimension math of a letterboxed resize as
+    * pure integer column arithmetic (floor division on BIGINTs, exact in
+    * any engine). The pixel resample itself belongs next to the codec in
+    * `decodeOne`'s partition batch; what Spark owns is this plan: which
+    * assets change size, to what, at what cost — e.g. feeding a
+    * downstream "bytes to re-encode" estimate. Upscaling is clamped
+    * (scale ≤ 1): thumbnails don't inflate small assets. */
+  def resizeFit(features: DataFrame, boxW: Int, boxH: Int): DataFrame = {
+    val heightLimited = col("width") * boxH <= col("height") * boxW
+    val fitW = when(heightLimited, expr(s"(width * $boxH) div height"))
+      .otherwise(lit(boxW.toLong))
+    val fitH = when(heightLimited, lit(boxH.toLong))
+      .otherwise(expr(s"(height * $boxW) div width"))
+    features.select(
+      col("doc_id"), col("width"), col("height"),
+      when(col("width") <= boxW && col("height") <= boxH, col("width").cast("long"))
+        .otherwise(fitW).as("fit_width"),
+      when(col("width") <= boxW && col("height") <= boxH, col("height").cast("long"))
+        .otherwise(fitH).as("fit_height"))
+  }
+
   /** Frame sampling plumbing: explode video-like payloads into one row per
     * sampled frame index (every `everyN`-th frame). Zero-frame assets yield
     * ZERO rows — clamping to a phantom frame 0 would emit a frame that does

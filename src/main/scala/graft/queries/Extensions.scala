@@ -431,6 +431,33 @@ object Extensions {
     SELECT doc_id, format, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
     FROM f"""
 
+  /** Resize plan over the decoded media table: aspect-preserving fit into a
+    * 512×384 box, pure BIGINT floor-division arithmetic — exact in both
+    * engines. The pixel resample is the codec's job (stubbed); the PLAN of
+    * which assets shrink to what is the engine's job, and is what gets
+    * gate-checked. */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val media = Multimodal.asMediaTable(Tables.documents(s, d)).as[graft.operators.MediaRecord]
+    Multimodal.resizeFit(Multimodal.decodeFeatures(media).toDF(), boxW = 512, boxH = 384)
+  }
+
+  val multimodalResizeSql: String = s"""
+    WITH $decodeStubCte,
+    dims AS (SELECT doc_id,
+               CAST(64 + cs % 1024 AS INTEGER) AS width,
+               CAST(64 + (cs // 1024) % 1024 AS INTEGER) AS height
+             FROM m)
+    SELECT doc_id, width, height,
+      CAST(CASE WHEN width <= 512 AND height <= 384 THEN width
+                WHEN width * 384 <= height * 512 THEN (width * 384) // height
+                ELSE 512 END AS BIGINT) AS fit_width,
+      CAST(CASE WHEN width <= 512 AND height <= 384 THEN height
+                WHEN width * 384 <= height * 512 THEN 384
+                ELSE (height * 512) // width END AS BIGINT) AS fit_height
+    FROM dims"""
+
   /** Int8 embedding compression: symmetric scalar quantization (floor, not
     * round — tie rules differ across engines) + exact reconstruction error.
     * The gate projection serializes `codes` to a comma-joined string: the
@@ -632,5 +659,6 @@ object Extensions {
     "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql),
     "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql),
     "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql),
-    "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql))
+    "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql),
+    "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql))
 }

@@ -108,6 +108,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(1L)._2 === Seq(63L, -127L, 31L, 0L)) // floor semantics
   }
 
+  test("resizeFit: aspect-preserving floor dims, upscale clamped, boundaries exact") {
+    import spark.implicits._
+    val dims = Seq(
+      (1L, 100, 50),    // fits entirely → unchanged
+      (2L, 1024, 384),  // width-limited → 512 × 192
+      (3L, 512, 768),   // height-limited → 256 × 384
+      (4L, 512, 384),   // exact box fit → unchanged
+      (5L, 1000, 999))  // both exceed, height binds: floor(1000*384/999)=384
+      .toDF("doc_id", "width", "height")
+    val got = graft.operators.Multimodal.resizeFit(dims, 512, 384)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === (100L, 50L))
+    assert(got(2L) === (512L, 192L))
+    assert(got(3L) === (256L, 384L))
+    assert(got(4L) === (512L, 384L))
+    assert(got(5L) === (384L, 384L))
+    // no upscaling and no overflow: every fit stays inside the box
+    got.values.foreach { case (w, h) => assert(w <= 512 && h <= 384) }
+  }
+
   test("subtokens treat vertical tab as whitespace (explicit class, not \\s)") {
     import spark.implicits._
     // Java's \s includes \x0B, RE2's does not — the explicit class makes
