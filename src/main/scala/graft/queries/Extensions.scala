@@ -559,6 +559,37 @@ object Extensions {
                 GROUP BY doc_id, token))
     WHERE rn = 1"""
 
+  /** Deterministic train/val/test split keyed on document CONTENT, not
+    * position: bucket = fingerprint mod 100, split by fixed cut points
+    * (80/10/10). Content-hash splits are the reproducibility staple of
+    * training pipelines — assignment survives re-sharding, re-ordering,
+    * and incremental ingest, and a re-ingested duplicate always lands in
+    * the same split (no train/test leakage through copies). Pure column
+    * arithmetic over the 31-bit polynomial fingerprint, which both
+    * engines compute bit-identically. */
+  def trainValSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (TextFunctions.fingerprint(col("text")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+
+  val trainValSplitSql: String = """
+    SELECT doc_id, bucket,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+            list_reduce(
+              list_concat([CAST(0 AS BIGINT)],
+                list_transform(
+                  list_filter(regexp_split_to_array(substr(text, 1, 64), ''), c -> c <> ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+              (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+          FROM documents)"""
+
   /** As-of join over the events stream: each purchase picks up the latest
     * click (inclusive) by the same user — the "attach the freshest snapshot
     * at or before each event" primitive. */
@@ -660,5 +691,6 @@ object Extensions {
     "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql),
     "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql),
     "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql),
-    "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql))
+    "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql),
+    "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql))
 }
