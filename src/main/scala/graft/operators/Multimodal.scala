@@ -95,17 +95,20 @@ object Multimodal {
     * downstream "bytes to re-encode" estimate. Upscaling is clamped
     * (scale ≤ 1): thumbnails don't inflate small assets. */
   def resizeFit(features: DataFrame, boxW: Int, boxH: Int): DataFrame = {
-    val heightLimited = col("width") * boxH <= col("height") * boxW
-    val fitW = when(heightLimited, expr(s"(width * $boxH) div height"))
+    // widen BEFORE multiplying: INT×INT silently wraps in non-ANSI Spark,
+    // so a very wide asset would misroute the limit test (and diverge from
+    // an engine that raises on overflow instead)
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val heightLimited = w * boxH <= h * boxW
+    val fitW = when(heightLimited, expr(s"(CAST(width AS BIGINT) * $boxH) div height"))
       .otherwise(lit(boxW.toLong))
     val fitH = when(heightLimited, lit(boxH.toLong))
-      .otherwise(expr(s"(height * $boxW) div width"))
+      .otherwise(expr(s"(CAST(height AS BIGINT) * $boxW) div width"))
     features.select(
       col("doc_id"), col("width"), col("height"),
-      when(col("width") <= boxW && col("height") <= boxH, col("width").cast("long"))
-        .otherwise(fitW).as("fit_width"),
-      when(col("width") <= boxW && col("height") <= boxH, col("height").cast("long"))
-        .otherwise(fitH).as("fit_height"))
+      when(w <= boxW && h <= boxH, w).otherwise(fitW).as("fit_width"),
+      when(w <= boxW && h <= boxH, h).otherwise(fitH).as("fit_height"))
   }
 
   /** Frame sampling plumbing: explode video-like payloads into one row per

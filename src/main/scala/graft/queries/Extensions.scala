@@ -184,14 +184,18 @@ object Extensions {
       col("doc_id"),
       TextFunctions.fingerprint(col("text"), 64).as("fp"))
 
-  val fingerprintSql: String = """
-    SELECT doc_id,
-      list_reduce(
+  /** The 31-bit polynomial fingerprint fold — ONE snippet shared by every
+    * oracle that mirrors `TextFunctions.fingerprint` (q28, q59), so a
+    * change to the fold (prefix, modulus, init) can't desynchronize them. */
+  private val fingerprintExprSql: String = """list_reduce(
         list_concat([CAST(0 AS BIGINT)],
           list_transform(
             list_filter(regexp_split_to_array(substr(text, 1, 64), ''), c -> c <> ''),
             c -> CAST(unicode(c) AS BIGINT))),
-        (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  val fingerprintSql: String = s"""
+    SELECT doc_id, $fingerprintExprSql AS fp
     FROM documents"""
 
   // --- similarity search ---------------------------------------------------
@@ -400,13 +404,19 @@ object Extensions {
         (a, b) -> (a * 31 + b) % 1000000007) AS cs
       FROM documents)"""
 
+  /** The checksum→dimension mapping of the stub decoder, ONE snippet for
+    * every oracle that mirrors `Multimodal.decodeOne` (q32, q58) — the
+    * formula cannot desynchronize between them. */
+  private val stubWidthSql = "CAST(64 + cs % 1024 AS INTEGER)"
+  private val stubHeightSql = "CAST(64 + (cs // 1024) % 1024 AS INTEGER)"
+
   /** The stub decoder's checksum is exactly recomputable — the typed
     * mapPartitions path gets a full oracle despite being a stub. */
   val multimodalFeaturesSql: String = s"""
     WITH $decodeStubCte
     SELECT doc_id, format,
-           CAST(64 + cs % 1024 AS INTEGER) AS width,
-           CAST(64 + (cs // 1024) % 1024 AS INTEGER) AS height,
+           $stubWidthSql AS width,
+           $stubHeightSql AS height,
            CAST(CASE WHEN format = 'webp' THEN 1 + cs % 30 ELSE 1 END AS INTEGER) AS n_frames
     FROM m"""
 
@@ -446,8 +456,8 @@ object Extensions {
   val multimodalResizeSql: String = s"""
     WITH $decodeStubCte,
     dims AS (SELECT doc_id,
-               CAST(64 + cs % 1024 AS INTEGER) AS width,
-               CAST(64 + (cs // 1024) % 1024 AS INTEGER) AS height
+               $stubWidthSql AS width,
+               $stubHeightSql AS height
              FROM m)
     SELECT doc_id, width, height,
       CAST(CASE WHEN width <= 512 AND height <= 384 THEN width
@@ -576,18 +586,12 @@ object Extensions {
           .when(col("bucket") < 90, lit("val"))
           .otherwise(lit("test")))
 
-  val trainValSplitSql: String = """
+  val trainValSplitSql: String = s"""
     SELECT doc_id, bucket,
       CASE WHEN bucket < 80 THEN 'train'
            WHEN bucket < 90 THEN 'val'
            ELSE 'test' END AS split
-    FROM (SELECT doc_id,
-            list_reduce(
-              list_concat([CAST(0 AS BIGINT)],
-                list_transform(
-                  list_filter(regexp_split_to_array(substr(text, 1, 64), ''), c -> c <> ''),
-                  c -> CAST(unicode(c) AS BIGINT))),
-              (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+    FROM (SELECT doc_id, $fingerprintExprSql % 100 AS bucket
           FROM documents)"""
 
   /** As-of join over the events stream: each purchase picks up the latest

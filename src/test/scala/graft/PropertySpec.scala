@@ -157,7 +157,9 @@ object AsOfStreamProperties extends Properties("AsOfStream.advance") {
     forAll(eventsGen) { assigned =>
       val oneShot = run(assigned.map { case (ev, _) => (ev, 0) }, List(0L))
       val staged = run(assigned, wms)
-      staged.toSet == oneShot.toSet && staged.size == oneShot.size
+      // MULTISET equality — set+size would let a duplicate-emit of one
+      // tuple mask the drop of another
+      staged.sortBy(x => (x._1, x._2)) == oneShot.sortBy(x => (x._1, x._2))
     }
 
   property("every left emits exactly once, matched to the max (time, tie) prior right") =
@@ -168,9 +170,12 @@ object AsOfStreamProperties extends Properties("AsOfStream.advance") {
       val rights = evs.filter(_.right.isDefined)
       out.size == lefts.size && lefts.forall { l =>
         val t = l.eventTime.getTime
+        val lid = l.left.get.lid
         val expected = rights.filter(_.eventTime.getTime <= t)
           .sortBy(r => (r.eventTime.getTime, r.tie)).lastOption.map(_.tie)
-        out.exists { case (ot, _, m) => ot == t && m == expected } 
+        // match on the left's OWN id too — a wildcard would let one left's
+        // duplicate emission stand in for another's at the same time
+        out.exists { case (ot, ol, m) => ot == t && ol == lid && m == expected }
       }
     }
 }
