@@ -673,6 +673,25 @@ object Extensions {
     FROM jp
     WHERE jaccard >= 0.2 AND (id_a % 2) <> (id_b % 2)"""
 
+  /** Column profiling over orders: engine-stable columns only (integer,
+    * string, date — double min/max formats differently across engines).
+    * The Spark side is one scan (multi-distinct aggregate + stack); the
+    * oracle says the same thing as per-column branches. */
+  def profileOrders(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.profile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+
+  val profileOrdersSql: String =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      .map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_value,
+            CAST(max($c) AS VARCHAR) AS max_value
+          FROM orders"""
+      }.mkString("\n UNION ALL \n")
+
   val defs: Map[String, QueryDef] = Map(
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
@@ -696,5 +715,6 @@ object Extensions {
     "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql),
     "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql),
     "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql),
-    "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql))
+    "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql),
+    "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql))
 }
