@@ -84,15 +84,31 @@ object Bench {
       }
       (name, median(runs.map(_._1)), runs.map(_._1).min, runs.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 bytes of output and parses the
+    // JSON line out of that window (BENCH_r{1,2,3}.json all carry
+    // "parsed": null because the full-name + queries_min line was ~3.5 KB
+    // and never fit). So: per-query detail (full names, medians, mins)
+    // goes on a prefixed non-JSON line first, and the final machine line is
+    // compact — short qNN keys, 3-decimal values — so the complete JSON
+    // object sits inside the tail window.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    val shortKeys = results.map { case (k, _, _, _) => shortKey(k) }
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench: short query keys collide: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
+    val detail = results.map { case (k, med, mn, _) =>
+      s"\"" + k + "\":[" + r3(med) + "," + r3(mn) + "]" }.mkString("{", ",", "}")
+    println(s"benchdetail [median,min] $detail")
+    val qs = results.map { case (k, v, _, _) => "\"" + shortKey(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + jsonEscape(e.take(200)) + "\"" }
+      "\"" + shortKey(k) + "\":\"" + jsonEscape(e.take(80)) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

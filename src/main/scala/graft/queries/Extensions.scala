@@ -685,7 +685,7 @@ object Extensions {
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
       .map { c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
             count(DISTINCT $c) AS n_distinct,
             CAST(min($c) AS VARCHAR) AS min_value,
             CAST(max($c) AS VARCHAR) AS max_value

@@ -64,6 +64,23 @@ def main():
             print(f"FAIL {name}: driver-unsortable (array/struct) columns: {sorted(set(bad))}")
             n_fail += 1
             continue
+        # The driver compares via pandas DataFrames, where dtype divergence
+        # can change the hashed value even when stringified values match:
+        # DuckDB HUGEINT (any sum() over integers) becomes float64, so an
+        # int64 Spark column hashes 0 against 0.0 (the round-3 q60 red row).
+        # Flag int-vs-float dtype splits; int32-vs-int64 is harmless
+        # (observed green in driver rounds 1-3).
+        gdt = {c: str(t) for c, t in
+               con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df().dtypes.items()}
+        wdt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+        mixed = [c for c in gdt if c in wdt and
+                 (("int" in gdt[c]) != ("int" in wdt[c])) and
+                 ("float" in gdt[c] or "float" in wdt[c])]
+        if mixed:
+            print(f"FAIL {name}: int-vs-float pandas dtype split (driver hash "
+                  f"mismatch): {[(c, gdt[c], wdt[c]) for c in mixed]}")
+            n_fail += 1
+            continue
         # sort columns by name (driver behavior)
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         widx = [want_cols.index(c) for c in sorted(want_cols)]
