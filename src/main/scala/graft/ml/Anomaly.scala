@@ -150,6 +150,25 @@ object Anomaly {
     if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
   }
 
+  /** M5+P6 in ONE plan: rows whose score strictly exceeds the topK-th
+    * largest score. Same semantics as [[threshold]] + filter, but the
+    * threshold stays in the DataFrame plan as a broadcast 1-row join, so
+    * the scored subtree is not forced by a separate driver-side action —
+    * in a registry query that separate action recomputes the whole
+    * upstream join+agg (measured 2× the query cost on q51/q54). The top-k
+    * side plans as TakeOrderedAndProject (per-partition heaps, no global
+    * sort), and the shared aggregation exchange under both branches is
+    * computed once via ReuseExchange. Empty input → NULL threshold →
+    * `score > NULL` is never true → no rows (matches [[threshold]]'s NaN
+    * contract). */
+  def beyondThreshold(scored: DataFrame, scoreCol: String = "score", topK: Int = 2000): DataFrame = {
+    val th = scored.select(col(scoreCol)).orderBy(col(scoreCol).desc).limit(topK)
+      .agg(min(col(scoreCol)).as("__graft_thresh"))
+    scored.crossJoin(broadcast(th))
+      .filter(col(scoreCol) > col("__graft_thresh"))
+      .drop("__graft_thresh")
+  }
+
   /** P6: score every row against the centers, keep those beyond the
     * threshold. */
   def anomalies(features: DataFrame, centers: Seq[Seq[Double]], thresh: Double): DataFrame =

@@ -93,8 +93,8 @@ object MlQueries {
   def kmeansScoringPinned(s: SparkSession, d: String): DataFrame = {
     val scored = Relational.validFeatures(s, d)
       .withColumn("score", Anomaly.minSqdist(pinnedCenters))
-    val thresh = Anomaly.threshold(scored, "score", 2000)
-    scored.filter(col("score") > lit(thresh)).select(col("invoice_no"), col("score"))
+    Anomaly.beyondThreshold(scored, "score", 2000)
+      .select(col("invoice_no"), col("score"))
   }
 
   val kmeansScoringPinnedSql: String = s"""
@@ -122,8 +122,8 @@ object MlQueries {
   def bisectingScoringPinned(s: SparkSession, d: String): DataFrame = {
     val scored = Relational.validFeatures(s, d)
       .withColumn("score", Anomaly.minSqdist(pinnedBisectingCenters))
-    val thresh = Anomaly.threshold(scored, "score", 500)
-    scored.filter(col("score") > lit(thresh)).select(col("invoice_no"), col("score"))
+    Anomaly.beyondThreshold(scored, "score", 500)
+      .select(col("invoice_no"), col("score"))
   }
 
   val bisectingScoringPinnedSql: String = s"""
