@@ -11,6 +11,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++
     graft.queries.MlQueries.defs ++
     graft.queries.Extensions.defs ++
+    graft.queries.Curation.defs ++
     graft.queries.PipelineReplay.defs ++
     graft.queries.ReferenceQueries.defs
 

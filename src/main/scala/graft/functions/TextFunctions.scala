@@ -116,6 +116,17 @@ object TextFunctions {
       stopRatio - charClassRatio(c, "[.,!?;:]") - charClassRatio(c, "[0-9]")
     }
 
+  /** Redaction: replace every match of `pattern` with `replacement`.
+    * Spark's regexp_replace is replace-all by default (DuckDB needs the 'g'
+    * flag — oracle SQL must carry it). Patterns must avoid Java/RE2
+    * divergent classes (\d, \s — use explicit [0-9], [ \t\n…]). */
+  def maskAll(c: Column, pattern: String, replacement: String): Column =
+    regexp_replace(c, pattern, replacement)
+
+  /** Number of masked runs — the redaction audit counter. */
+  def maskCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   /** Rolling polynomial fingerprint of the first `prefixLen` characters:
     * fold (acc*31 + codepoint) mod 1e9+7 — the same left fold DuckDB's
     * list_reduce computes, exact in integer arithmetic. */

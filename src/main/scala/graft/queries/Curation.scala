@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** Corpus-curation query inventory: the selection / weighting / scrubbing
+  * passes a training-data pipeline runs between raw ingest and
+  * tokenization — stratified sampling, TF-IDF term weighting, vocabulary
+  * building, pattern redaction, and quality routing. All five are exact
+  * cross-engine (integer or single-IEEE-division arithmetic only), so each
+  * carries a full DuckDB oracle.
+  */
+object Curation {
+
+  // --- q61: stratified content-hash sampling -------------------------------
+
+  /** Language-rebalancing sample over documents: keep 10% of English (the
+    * over-represented stratum), 30% of Chinese, 50% of everything else —
+    * decided by content-hash bucket, so the sample is reproducible and
+    * duplicate-stable (see [[Sampling]]). */
+  val strataRates: Map[String, Int] = Map("en" -> 10, "zh" -> 30)
+  val strataDefault: Int = 50
+
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, d),
+        strataCol = "lang", contentCol = "text",
+        rates = strataRates, defaultPct = strataDefault)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  val stratifiedSampleSql: String = s"""
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang, ${Extensions.fingerprintExprSql} % 100 AS bucket
+      FROM documents)
+    WHERE bucket < CASE lang WHEN 'en' THEN ${strataRates("en")}
+                             WHEN 'zh' THEN ${strataRates("zh")}
+                             ELSE $strataDefault END"""
+
+  // --- q62: TF-IDF top terms per document ----------------------------------
+
+  /** Top-3 terms per document by a RATIONAL tf-idf: score = tf · N / df,
+    * computed as one IEEE double division of exact integers (tf·N < 2^53),
+    * so both engines produce bit-identical scores — the reason this uses a
+    * linear rarity weight instead of the textbook log idf (libm log is not
+    * contractually identical across engines; the RANKING this produces is
+    * identical to 1/df-weighted tf either way). Ties break on term asc.
+    *
+    * Scale shape: tf is one shuffle on (doc_id, term); df is one shuffle on
+    * term; the df join shuffles on term (AQE broadcasts it when the
+    * vocabulary is small — it is NOT hinted broadcast, a 100 TB corpus
+    * vocabulary outgrows the driver); N attaches as a broadcast 1-row
+    * cross join; the final rank windows on doc_id (high-cardinality). */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    tfidfTopTermsOn(Tables.documents(s, d))
+
+  def tfidfTopTermsOn(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String = s"""
+    WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(${Extensions.toksSql}) AS token
+                      FROM documents)
+                GROUP BY doc_id, token),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                                         tf.term) AS rank
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+    WHERE rank <= 3"""
+
+  // --- q63: vocabulary build -----------------------------------------------
+
+  /** Top-100 vocabulary by corpus term frequency (ties → term asc), with
+    * document frequency — the vocabulary-building pass of a tokenizer
+    * trainer. The top-k is TakeOrderedAndProject (per-partition heaps, no
+    * global sort); only then does a row_number window run, over the ≤ 100
+    * survivors in one tiny partition. */
+  def vocabTopN(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_total"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf_total").desc, col("term"))
+      .limit(100)
+    agg.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf_total").desc, col("term"))))
+  }
+
+  val vocabTopNSql: String = s"""
+    SELECT term, tf_total, df, rank FROM (
+      SELECT term, tf_total, df,
+             row_number() OVER (ORDER BY tf_total DESC, term) AS rank
+      FROM (SELECT token AS term, count(*) AS tf_total,
+                   count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest(${Extensions.toksSql}) AS token
+                  FROM documents)
+            GROUP BY token))
+    WHERE rank <= 100"""
+
+  // --- q64: pattern redaction ----------------------------------------------
+
+  /** PII-shaped scrubbing plumbing: mask every digit run in a column and
+    * count the masked runs (the audit trail). The testdata carries no real
+    * PII, so the demonstration target is the customer name's numeric id —
+    * the OPERATOR (pattern → mask + count, row-local, codegen'd
+    * regexp_replace) is what a real pipeline points at emails/phones.
+    * Character class is spelled [0-9] (not \\d): Java \\d is ASCII-only but
+    * RE2/DuckDB \\d matches Unicode digits — the explicit class is the
+    * spelling both engines agree on for every input. */
+  def redactDigits(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      TextFunctions.maskAll(col("c_name"), "[0-9]+", "#").as("masked_name"),
+      TextFunctions.maskCount(col("c_name"), "[0-9]+").as("n_masked_runs"))
+
+  val redactDigitsSql: String = """
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked_name,
+           CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_masked_runs
+    FROM customer"""
+
+  // --- q65: quality routing ------------------------------------------------
+
+  /** First-failing-rule quality router — the corpus-level twin of the
+    * reference's error-classification cascade
+    * (/root/reference/src/main/scala/es/dmr/uimp/realtime/InvoicePipeline.scala:175-186
+    * routes each invoice to the FIRST matching error class): each document
+    * gets exactly one verdict, rules checked in fixed priority order
+    * (too_short → too_long → low_quality → keep). Cut points chosen to
+    * exercise every branch on the fixture (n_tokens spans 10..99, quality
+    * spans 0..~0.2). All comparisons are on exact cross-engine values. */
+  val minTokens = 15
+  val maxTokens = 90
+  val minQuality = 0.02
+
+  def qualityRoute(s: SparkSession, d: String): DataFrame =
+    qualityRouteOn(Tables.documents(s, d))
+
+  def qualityRouteOn(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("verdict",
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("n_tokens") > maxTokens, lit("too_long"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .otherwise(lit("keep")))
+  }
+
+  val qualityRouteSql: String = s"""
+    SELECT doc_id, n_tokens, quality,
+           CASE WHEN n_tokens < $minTokens THEN 'too_short'
+                WHEN n_tokens > $maxTokens THEN 'too_long'
+                WHEN quality < $minQuality THEN 'low_quality'
+                ELSE 'keep' END AS verdict
+    FROM (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, t -> t IN (${Extensions.enStops}))) AS DOUBLE)
+            / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)
+          - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / NULLIF(CAST(length(text) AS DOUBLE), 0.0)
+          - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS quality
+      FROM (SELECT doc_id, text, ${Extensions.toksSql} AS toks FROM documents))"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
+    "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
+    "q63_vocab_topn"        -> QueryDef(vocabTopN _, vocabTopNSql),
+    "q64_redact_digits"     -> QueryDef(redactDigits _, redactDigitsSql),
+    "q65_quality_route"     -> QueryDef(qualityRoute _, qualityRouteSql))
+}

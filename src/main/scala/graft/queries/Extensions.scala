@@ -15,7 +15,7 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object Extensions {
 
   /** Shared DuckDB snippets (must mirror TextFunctions exactly). */
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
   private def foldSumSql(listExpr: String, cast: String = "DOUBLE"): String =
     s"list_reduce(list_concat([CAST(0 AS $cast)], $listExpr), (a, b) -> a + b)"
@@ -140,7 +140,7 @@ object Extensions {
       TextFunctions.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
       TextFunctions.qualityScore(col("text")).as("quality"))
 
-  private val enStops = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+  private[queries] val enStops = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
   val textQualitySql: String = s"""
     SELECT doc_id,
       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
@@ -187,7 +187,7 @@ object Extensions {
   /** The 31-bit polynomial fingerprint fold — ONE snippet shared by every
     * oracle that mirrors `TextFunctions.fingerprint` (q28, q59), so a
     * change to the fold (prefix, modulus, init) can't desynchronize them. */
-  private val fingerprintExprSql: String = """list_reduce(
+  private[queries] val fingerprintExprSql: String = """list_reduce(
         list_concat([CAST(0 AS BIGINT)],
           list_transform(
             list_filter(regexp_split_to_array(substr(text, 1, 64), ''), c -> c <> ''),

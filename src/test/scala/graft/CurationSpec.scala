@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+import graft.queries.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("content-hash sampling is duplicate-stable and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "zeta eta theta iota")).toDF("doc_id", "text")
+    // same content ⇒ same keep/drop decision, whatever the rate
+    (0 to 100 by 10).foreach { pct =>
+      val kept = Sampling.uniformSample(df, "text", pct)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L) === kept.contains(2L),
+        s"duplicate rows diverged at pct=$pct")
+    }
+    // pct=0 keeps nothing, pct=100 keeps everything
+    assert(Sampling.uniformSample(df, "text", 0).count() === 0)
+    assert(Sampling.uniformSample(df, "text", 100).count() === 4)
+  }
+
+  test("uniform sample at a lower rate is a subset of a higher rate") {
+    val docs = Tables.documents(spark, sf)
+    val k10 = Sampling.uniformSample(docs, "text", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k50 = Sampling.uniformSample(docs, "text", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k10.subsetOf(k50), "rate-10 sample must be contained in rate-50")
+    assert(k10.nonEmpty && k50.size > k10.size)
+  }
+
+  test("stratified sample applies per-stratum rates, default for unknown strata") {
+    import spark.implicits._
+    // 200 docs per stratum with distinct contents
+    val df = (1 to 600).map { i =>
+      val lang = Seq("en", "zh", "xx")(i % 3)
+      (i.toLong, lang, s"doc number $i with some content")
+    }.toDF("doc_id", "lang", "text")
+    val out = Sampling.stratifiedSample(df, "lang", "text",
+      rates = Map("en" -> 0, "zh" -> 100), defaultPct = 100)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"), "rate-0 stratum must be empty")
+    assert(byLang("zh") === 200L, "rate-100 stratum keeps everything")
+    assert(byLang("xx") === 200L, "unknown stratum uses the default rate")
+    // emitted bucket is the decision input: every kept bucket < its rate
+    assert(out.filter(col("bucket") >= 100 || col("bucket") < 0).count() === 0)
+  }
+
+  test("stratified sample plans shuffle-free (row-local map + filter)") {
+    val plan = Curation.stratifiedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("tfidf: rational score ranks rare terms above common ones at equal tf") {
+    import spark.implicits._
+    // 'rare' appears in 1 doc, 'common' in all 4; doc 1 has both twice
+    val df = Seq(
+      (1L, "rare rare common common pad1"),
+      (2L, "common common pad2 x y"),
+      (3L, "common pad3 a b c"),
+      (4L, "common pad4 d e f")).toDF("doc_id", "text")
+    val top = Curation.tfidfTopTermsOn(df)
+      .filter(col("doc_id") === 1L).orderBy(col("rank"))
+      .select("term").as[String].collect().toSeq
+    assert(top.head === "rare",
+      s"tf equal but df(rare)=1 < df(common)=4 — rare must rank first: $top")
+  }
+
+  test("tfidf top-3: rank bounds, score arithmetic, deterministic ties") {
+    val out = Curation.tfidfTopTerms(spark, sf).cache()
+    try {
+      assert(out.filter(col("rank") < 1 || col("rank") > 3).count() === 0)
+      // score = tf * N / df exactly (recompute and compare bitwise)
+      val n = Tables.documents(spark, sf).count()
+      val bad = out.filter(
+        col("tfidf") =!= (col("tf") * lit(n)).cast("double") / col("df"))
+      assert(bad.count() === 0)
+      // at most 3 rows per doc, ranks distinct within a doc
+      val dup = out.groupBy("doc_id", "rank").count().filter(col("count") > 1)
+      assert(dup.count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("vocab: rank follows (tf_total desc, term asc), df bounded by docs") {
+    val rows = Curation.vocabTopN(spark, sf)
+      .orderBy("rank").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ta, tb) = (a.getLong(1), b.getLong(1))
+        assert(ta > tb || (ta == tb && a.getString(0) < b.getString(0)),
+          s"rank order violated: $a vs $b")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= nDocs && r.getLong(2) <= r.getLong(1),
+        s"df must be ≤ n_docs and ≤ tf_total: $r")
+    }
+  }
+
+  test("redaction masks every digit run and counts them") {
+    import spark.implicits._
+    val df = Seq(("a1b22c333", 3L), ("no digits", 0L), ("7", 1L), ("", 0L))
+      .toDF("text", "want")
+    val out = df.select(
+      TextFunctions.maskAll(col("text"), "[0-9]+", "#").as("masked"),
+      TextFunctions.maskCount(col("text"), "[0-9]+").as("n"),
+      col("want")).collect()
+    out.foreach { r =>
+      assert(!r.getString(0).exists(_.isDigit), s"digits survived: $r")
+      assert(r.getLong(1) === r.getLong(2), s"run count wrong: $r")
+    }
+  }
+
+  test("quality route: verdict priority is first-failing-rule") {
+    import spark.implicits._
+    // a doc that is BOTH too short and low quality → too_short wins
+    val df = Seq((1L, "x y z"), (2L, ("the a of and to " * 8).trim))
+      .toDF("doc_id", "text")
+    val v = Curation.qualityRouteOn(df).select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    assert(v(1L) === "too_short")
+    assert(v(2L) === "keep")
+  }
+
+  test("quality route covers every branch on the fixture") {
+    val verdicts = Curation.qualityRoute(spark, sf)
+      .select("verdict").distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts === Set("keep", "too_short", "too_long", "low_quality"),
+      s"fixture must exercise all four routes, got $verdicts")
+  }
+}
