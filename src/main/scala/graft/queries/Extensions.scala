@@ -673,6 +673,47 @@ object Extensions {
     FROM jp
     WHERE jaccard >= 0.2 AND (id_a % 2) <> (id_b % 2)"""
 
+  /** q66: last-touch attribution — for each purchase, every click by the
+    * same user in the 24 h before it (via [[graft.streaming.StreamJoin]],
+    * the SAME operator that runs the watermarked stream-stream join),
+    * reduced to the latest click + the window click count. Both windows
+    * share one shuffle on purchase_id (high-cardinality); the pair join is
+    * an equi-join on user_id with a range filter — at 100 TB both sides
+    * shuffle once on user and the per-user pair space is bounded by the
+    * lookback window. */
+  def attributionWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val pairs = graft.streaming.StreamJoin.attributionPairs(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+    val byP = org.apache.spark.sql.expressions.Window.partitionBy(col("purchase_id"))
+    val w = byP.orderBy(col("click_ts").desc, col("click_id").desc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_clicks", count(lit(1)).over(byP))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("n_clicks"),
+        col("click_id").as("last_click_id"), col("click_ts").as("last_click_ts"))
+  }
+
+  val attributionWindowSql: String = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    pairs AS (SELECT p.purchase_id, p.user_id, c.click_id, c.click_ts
+              FROM p JOIN c ON p.user_id = c.user_id
+              AND c.click_ts <= p.purchase_ts
+              AND c.click_ts > p.purchase_ts - INTERVAL 24 HOUR)
+    SELECT purchase_id, user_id, n_clicks, last_click_id, last_click_ts FROM (
+      SELECT purchase_id, user_id, click_id AS last_click_id,
+             click_ts AS last_click_ts,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY click_ts DESC, click_id DESC) AS rn,
+             count(*) OVER (PARTITION BY purchase_id) AS n_clicks
+      FROM pairs)
+    WHERE rn = 1"""
+
   /** Column profiling over orders: engine-stable columns only (integer,
     * string, date — double min/max formats differently across engines).
     * The Spark side is one scan (multi-distinct aggregate + stack); the
@@ -716,5 +757,6 @@ object Extensions {
     "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql),
     "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql),
     "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql),
-    "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql))
+    "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql),
+    "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql))
 }
