@@ -184,10 +184,133 @@ object Curation {
             / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS quality
       FROM (SELECT doc_id, text, ${Extensions.toksSql} AS toks FROM documents))"""
 
+  // --- q67: per-source cap -------------------------------------------------
+
+  /** Training-mix source capping: keep at most `sourceCapK` documents per
+    * source, chosen by content-hash priority (bucket asc, doc_id as the
+    * tie-break) — so WHICH docs survive the cap is reproducible and
+    * duplicate-stable, not ingest-order-dependent. One shuffle on source;
+    * per-source state is a row_number stream, no materialized group. A
+    * skewed giant source bounds at `sourceCapK` output rows but still
+    * sorts its partition — for 100 TB hot sources, pre-filter with an
+    * approximate per-source count and a higher-selectivity bucket cut
+    * before the exact window. */
+  val sourceCapK = 10
+
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bucket"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("bucket", Sampling.pctBucket(col("text")))
+      .withColumn("keep_rank", row_number().over(w))
+      .filter(col("keep_rank") <= sourceCapK)
+      .select(col("doc_id"), col("source"), col("bucket"), col("keep_rank"))
+  }
+
+  val sourceCapSql: String = s"""
+    SELECT doc_id, source, bucket, keep_rank FROM (
+      SELECT doc_id, source, bucket,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY bucket, doc_id) AS keep_rank
+      FROM (SELECT doc_id, source,
+                   ${Extensions.fingerprintExprSql} % 100 AS bucket
+            FROM documents))
+    WHERE keep_rank <= $sourceCapK"""
+
+  // --- q68: repetition / boilerplate stats ---------------------------------
+
+  /** Within-document repetition: total vs distinct word-3-grams and the
+    * repetition ratio 1 − distinct/total — the boilerplate signal corpus
+    * filters cut on (a high ratio means the document repeats itself).
+    * Row-local array arithmetic, no shuffle; ratio is one IEEE division +
+    * subtraction of exact ints, so both engines agree bitwise. Docs with
+    * fewer than 3 tokens have no 3-grams → NULL ratio (explicit on both
+    * sides). */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    repetitionStatsOn(Tables.documents(s, d))
+
+  def repetitionStatsOn(docs: DataFrame): DataFrame = {
+    val ngrams = TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3)
+    docs.select(
+      col("doc_id"),
+      TextFunctions.bindOnce(ngrams) { ng =>
+        struct(
+          size(ng).cast("long").as("n_ngrams"),
+          size(array_distinct(ng)).cast("long").as("n_distinct_ngrams"))
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_ngrams").as("n_ngrams"),
+        col("s.n_distinct_ngrams").as("n_distinct_ngrams"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct_ngrams").cast("double") /
+          nullif(col("n_ngrams").cast("double"), lit(0.0)))
+  }
+
+  val repetitionStatsSql: String = s"""
+    SELECT doc_id, n_ngrams, n_distinct_ngrams,
+           1.0 - CAST(n_distinct_ngrams AS DOUBLE)
+                 / NULLIF(CAST(n_ngrams AS DOUBLE), 0.0) AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(ng) AS BIGINT) AS n_ngrams,
+             CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct_ngrams
+      FROM (SELECT doc_id,
+              CASE WHEN len(toks) < 3 THEN []
+                   ELSE list_transform(range(len(toks) - 2),
+                          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+              END AS ng
+            FROM (SELECT doc_id, ${Extensions.toksSql} AS toks FROM documents)))"""
+
+  // --- q69: benchmark decontamination --------------------------------------
+
+  /** Test-set decontamination: flag corpus documents sharing ≥ `decontMinShared`
+    * distinct word-3-grams with any probe (benchmark) document. The probe
+    * set here is the deterministic doc_id % 97 == 0 slice standing in for
+    * an external benchmark suite. Inverted-index shape — explode distinct
+    * grams, equi-join on the gram, count per (doc, probe) — the same
+    * candidate-bounding pattern as the LSH dedup: nothing is all-pairs.
+    * At 100 TB the real parameter is 13-grams (collisions become
+    * near-impossible and the gram join carries no hot keys); 3-grams fit
+    * this fixture's ~50-token documents. */
+  val decontMinShared = 2
+
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateOn(Tables.documents(s, d))
+
+  def decontaminateOn(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3))).as("g"))
+    val probes = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_id"), col("g"))
+    val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+    corpus.join(probes, "g")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= decontMinShared)
+  }
+
+  val decontaminateSql: String = s"""
+    WITH t AS (SELECT doc_id, ${Extensions.toksSql} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+           FROM t WHERE len(toks) >= 3),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    probes AS (SELECT doc_id AS probe_id, g FROM inv WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, g FROM inv WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+    FROM corpus c JOIN probes p ON c.g = p.g
+    GROUP BY c.doc_id, p.probe_id
+    HAVING count(*) >= $decontMinShared"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
     "q63_vocab_topn"        -> QueryDef(vocabTopN _, vocabTopNSql),
     "q64_redact_digits"     -> QueryDef(redactDigits _, redactDigitsSql),
-    "q65_quality_route"     -> QueryDef(qualityRoute _, qualityRouteSql))
+    "q65_quality_route"     -> QueryDef(qualityRoute _, qualityRouteSql),
+    "q67_source_cap"        -> QueryDef(sourceCap _, sourceCapSql),
+    "q68_repetition_stats"  -> QueryDef(repetitionStats _, repetitionStatsSql),
+    "q69_decontaminate"     -> QueryDef(decontaminate _, decontaminateSql))
 }

@@ -138,4 +138,56 @@ class CurationSpec extends AnyFunSuite {
     assert(verdicts === Set("keep", "too_short", "too_long", "low_quality"),
       s"fixture must exercise all four routes, got $verdicts")
   }
+
+  test("source cap keeps at most K per source, chosen by content-hash priority") {
+    val out = Curation.sourceCap(spark, sf).cache()
+    try {
+      val over = out.groupBy("source").count()
+        .filter(col("count") > Curation.sourceCapK)
+      assert(over.count() === 0, "no source may exceed the cap")
+      // survivors per source are exactly the bucket-ascending prefix:
+      // every kept (bucket, doc_id) must be <= every dropped one
+      val all = Tables.documents(spark, sf)
+        .withColumn("bucket", graft.operators.Sampling.pctBucket(col("text")))
+        .select("source", "doc_id", "bucket")
+        .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(Curation.sourceCapK).toSet)
+      val kept = out.select("source", "bucket", "doc_id").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      kept.foreach { case (src, ks) =>
+        assert(ks === all(src), s"cap for $src must keep the hash-priority prefix")
+      }
+    } finally out.unpersist()
+  }
+
+  test("repetition stats: planted repeated doc scores high, varied doc low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c a b c"),   // 10 3-grams, 3 distinct
+      (2L, "one two three four five six"), // all distinct
+      (3L, "x y")).toDF("doc_id", "text") // < 3 tokens → no ngrams
+    val m = Curation.repetitionStatsOn(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) === 10L && m(1L).getLong(2) === 3L)
+    assert(m(1L).getDouble(3) === 0.7)
+    assert(m(2L).getDouble(3) === 0.0)
+    assert(m(3L).getLong(1) === 0L && m(3L).isNullAt(3),
+      "sub-3-token doc must have NULL ratio, not a division error")
+  }
+
+  test("decontamination finds a planted probe overlap and nothing self-paired") {
+    import spark.implicits._
+    // probe (id 97): shares two 3-grams with doc 1; doc 2 disjoint
+    val df = Seq(
+      (97L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta other words here"),
+      (2L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val hits = Curation.decontaminateOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 97L, 2L)),
+      s"doc 1 shares exactly 2 distinct grams with probe 97: ${hits.toSeq}")
+    assert(!hits.exists { case (d, p, _) => d == p }, "no self pairs")
+  }
 }
