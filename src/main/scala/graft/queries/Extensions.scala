@@ -714,6 +714,40 @@ object Extensions {
       FROM pairs)
     WHERE rn = 1"""
 
+  /** q70: event-time RANGE-frame rolling aggregate — each click's trailing
+    * 24 h spend by the same user. The frame is defined on TIME (epoch µs),
+    * not row count, so duplicate-timestamp peers enter together in both
+    * engines. Values quantize to cents (floor(value·100) — the
+    * graft.functions.Exact convention) so the windowed sum is integer and
+    * bit-identical no matter the engines' aggregation trees. Partitions on
+    * user_id (high-cardinality), one shuffle; per-user frames advance as a
+    * sliding accumulator, never rescanning the partition. */
+  def rollingUserSpend(s: SparkSession, d: String): DataFrame =
+    rollingUserSpendOn(
+      Tables.events(s, d).filter(col("event_type") === "click"))
+
+  def rollingUserSpendOn(clicks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-86400000000L, 0L)
+    clicks
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(100)).cast("long").as("cents"))
+      .withColumn("rolling_cents_24h", sum(col("cents")).over(w))
+  }
+
+  /** DuckDB window sums of integers are HUGEINT (→ float64 in the driver's
+    * pandas compare — the q60 failure class), hence the explicit BIGINT
+    * cast on the windowed sum. */
+  val rollingUserSpendSql: String = """
+    SELECT event_id, user_id, ts_us, cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_cents_24h
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'click')"""
+
   /** Column profiling over orders: engine-stable columns only (integer,
     * string, date — double min/max formats differently across engines).
     * The Spark side is one scan (multi-distinct aggregate + stack); the
@@ -758,5 +792,6 @@ object Extensions {
     "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql),
     "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql),
     "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql),
-    "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql))
+    "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql),
+    "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql))
 }

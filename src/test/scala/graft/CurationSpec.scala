@@ -176,6 +176,26 @@ class CurationSpec extends AnyFunSuite {
       "sub-3-token doc must have NULL ratio, not a division error")
   }
 
+  test("rolling 24h spend: RANGE frame includes the exact-boundary event and ties") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    def t(offSec: Long) = new Timestamp(base + offSec * 1000L)
+    val clicks = Seq(
+      (1L, 1L, t(0), 1.0),          // 100 cents
+      (2L, 1L, t(86400), 2.0),      // exactly 24h later → event 1 IN frame
+      (3L, 1L, t(86401), 4.0),      // 24h+1s after event 1 → event 1 OUT
+      (4L, 1L, t(86401), 8.0)       // tie with event 3 → peers share a frame
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.queries.Extensions.rollingUserSpendOn(clicks)
+      .select("event_id", "rolling_cents_24h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 100L)
+    assert(out(2L) === 300L, "inclusive lower bound: the 24h-old event counts")
+    assert(out(3L) === 1400L, "event 1 aged out; tied peers 3+4 both in frame")
+    assert(out(4L) === 1400L, "RANGE peers at equal ts get equal frames")
+  }
+
   test("decontamination finds a planted probe overlap and nothing self-paired") {
     import spark.implicits._
     // probe (id 97): shares two 3-grams with doc 1; doc 2 disjoint
