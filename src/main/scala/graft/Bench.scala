@@ -104,8 +104,13 @@ object Bench {
     println(s"benchdetail [median,min] $detail")
     val qs = results.map { case (k, v, _, _) => "\"" + shortKey(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
-      "\"" + shortKey(k) + "\":\"" + jsonEscape(e.take(80)) + "\"" }
+    // cap the error object: a systematic failure (all 60+ queries erroring)
+    // must not push the JSON line back out of the driver's tail window —
+    // first 3 messages + a count tell the story
+    val allErrs = results.collect { case (k, _, _, Some(e)) => (shortKey(k), e) }
+    val errs = (allErrs.take(3).map { case (k, e) =>
+      "\"" + k + "\":\"" + jsonEscape(e.take(80)) + "\"" } ++
+      (if (allErrs.size > 3) Seq(s""""more_errors":${allErrs.size - 3}""") else Nil))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
