@@ -129,8 +129,16 @@ object TextFunctions {
 
   /** Rolling polynomial fingerprint of the first `prefixLen` characters:
     * fold (acc*31 + codepoint) mod 1e9+7 — the same left fold DuckDB's
-    * list_reduce computes, exact in integer arithmetic. */
+    * list_reduce computes, exact in integer arithmetic. Dispatches to the
+    * codegen expression ([[graft.expressions.PolyFingerprint]]); the
+    * composable form below is kept as the equivalence-test witness. */
   def fingerprint(c: Column, prefixLen: Int = 64): Column =
+    graft.expressions.PolyFingerprint.fingerprint(c, prefixLen)
+
+  /** The pre-round-4 composable spelling of [[fingerprint]] (split +
+    * boxed lambda fold per character) — semantics witness for the codegen
+    * expression, asserted equal on random Unicode input in PropertySpec. */
+  def fingerprintComposable(c: Column, prefixLen: Int = 64): Column =
     aggregate(
       filter(split(substring(c, 1, prefixLen), ""), ch => ch =!= ""),
       lit(0L),

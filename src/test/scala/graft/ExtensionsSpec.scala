@@ -9,6 +9,29 @@ class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("codegen fingerprint ≡ composable form on adversarial unicode input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val alphabets = Seq(
+      ('a' to 'z').mkString, "äöüßéèñ", "迅速な茶色の狐が犬を", "αβγδε",
+      " \t,.!?0123456789", "😀🚀🍕") // astral emoji
+    val cases = Seq("", " ", "a", "😀") ++ (1 to 300).map { _ =>
+      val ab = alphabets(rnd.nextInt(alphabets.size))
+      val n = rnd.nextInt(130) // spans the 64-prefix boundary
+      (1 to n).map(_ => ab(rnd.nextInt(ab.length))).mkString
+    }
+    val df = cases.toDF("text")
+    val bad = df.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fast"),
+      graft.functions.TextFunctions.fingerprintComposable(col("text")).as("slow"),
+      col("text"))
+      .filter(col("fast") =!= col("slow"))
+    assert(bad.count() === 0,
+      s"divergent inputs: ${bad.select("text").take(3).mkString(", ")}")
+    // pinned value: "ab" → ((0*31+97)%M)*31 + 98 = 3105
+    assert(graft.expressions.PolyFingerprint.fold("ab", 64) === 3105L)
+  }
+
   test("exact dedup: planted duplicate collapses to the lowest id") {
     import spark.implicits._
     val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "other"))
