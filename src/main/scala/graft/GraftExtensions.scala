@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
-import graft.expressions.{DotProduct, MinHashSignature}
+import graft.expressions.{DotProduct, MinHashSignature, PolyFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -59,7 +59,12 @@ object GraftExtensions {
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashSignature(
-        Cast(es(0), ArrayType(StringType)), posIntConst(es(1), "numHashes"))))
+        Cast(es(0), ArrayType(StringType)), posIntConst(es(1), "numHashes"))),
+    ("graft_fingerprint",
+      new ExpressionInfo(classOf[PolyFingerprint].getName, "graft_fingerprint"),
+      (es: Seq[Expression]) => PolyFingerprint(
+        Cast(es(0), StringType),
+        if (es.size > 1) posIntConst(es(1), "prefixLen") else 64)))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -367,6 +367,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("SQL graft_fingerprint: default and explicit prefix, null in → null out") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_fingerprint('ab') AS f").head.getLong(0) === 3105L)
+    // prefix 1: only 'a' folds → 97
+    assert(spark.sql("SELECT graft_fingerprint('ab', 1) AS f").head.getLong(0) === 97L)
+    assert(spark.sql("SELECT graft_fingerprint(CAST(NULL AS STRING)) AS f")
+      .head.isNullAt(0))
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_fingerprint('a', 0) AS f").collect())
+    assert(err.getMessage.contains("positive"))
+  }
+
   test("SQL graft_dot widens array<float> input instead of misreading it") {
     GraftExtensions.register(spark)
     // embeddings fixture's native element type is float — the builder must
