@@ -86,6 +86,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
   }
 
+  test("attribution interval join plans as an equi-join on user, no cartesian") {
+    val plan = graft.queries.Extensions.attributionWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"interval join must key on user_id, not pair-scan:\n$plan")
+    // the time bounds ride the join as a range condition, not a post-filter
+    // over a pair blow-up
+    assert(plan.contains("Join") && plan.contains("user_id"),
+      s"expected a keyed join on user_id:\n$plan")
+  }
+
+  test("tfidf: the only nested-loop is the broadcast 1-row corpus count") {
+    val plan = graft.queries.Curation.tfidfTopTerms(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    // the term-df attach must be a keyed join (shuffle or AQE-broadcast),
+    // never a nested loop — only the single-row N frame may broadcast-loop
+    val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected nested-loop joins:\n$plan")
+  }
+
+  test("rolling RANGE window shuffles once on user_id") {
+    val plan = graft.queries.Extensions.rollingUserSpend(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly one hash exchange:\n$plan")
+    assert(plan.contains("RangeFrame"), s"expected a RANGE frame:\n$plan")
+  }
+
   test("salted join equals the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf)
