@@ -304,6 +304,142 @@ object Curation {
     GROUP BY c.doc_id, p.probe_id
     HAVING count(*) >= $decontMinShared"""
 
+  // --- q72: context-window sequence packing --------------------------------
+
+  /** Concat-and-chunk sequence packing — the layout pass a pretraining
+    * pipeline runs before tokenized shards are written: documents are
+    * concatenated in a reproducible order and split into fixed
+    * `packSeqLen`-token context windows. Emits, per document, its token
+    * offset in the packed stream and which sequences it lands in
+    * (first/last/how many it straddles).
+    *
+    * Packing is PER SOURCE SHARD (window partitioned by source), which is
+    * how it runs at 100 TB: each shard's prefix sum is an independent
+    * window over a high-cardinality partition key, so shards pack in
+    * parallel and no global single-partition window exists. A globally
+    * contiguous stream needs one extra two-pass offset join (per-shard
+    * totals → exclusive shard base offsets, broadcast back) — the shape is
+    * documented here and deliberately not folded into the gate query.
+    *
+    * All arithmetic is exact: offsets are bigint prefix sums; the
+    * sequence-index floor divides are IEEE doubles of integers < 2^53. */
+  val packSeqLen = 256
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      .withColumn("first_seq", floor(col("start_off") / lit(packSeqLen.toDouble)))
+      .withColumn("last_seq",
+        floor((col("start_off") + col("n_tokens") - 1) / lit(packSeqLen.toDouble)))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+  }
+
+  val packSequencesSql: String = s"""
+    SELECT doc_id, source, n_tokens, start_off, first_seq, last_seq,
+           last_seq - first_seq + 1 AS n_seqs
+    FROM (
+      SELECT doc_id, source, n_tokens, start_off,
+             CAST(floor(start_off / $packSeqLen.0) AS BIGINT) AS first_seq,
+             CAST(floor((start_off + n_tokens - 1) / $packSeqLen.0) AS BIGINT) AS last_seq
+      FROM (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        FROM (SELECT doc_id, source,
+                     CAST(len(${Extensions.toksSql}) AS BIGINT) AS n_tokens
+              FROM documents)))"""
+
+  // --- q73: overlapping token-window chunking ------------------------------
+
+  /** Sliding-window chunking (RAG / long-context splitting): each document
+    * becomes ceil((n − size) / stride) + 1 chunks of up to `chunkSize`
+    * tokens starting every `chunkStride` tokens, so consecutive chunks
+    * overlap by size − stride tokens and every token is covered. Documents
+    * at or under the chunk size stay whole (exactly one chunk).
+    *
+    * Row-local explode of a bounded integer sequence — no shuffle at all;
+    * output size is input tokens × (size/stride) amortized. Integer
+    * arithmetic only, exact on both engines. */
+  val chunkSize = 64
+  val chunkStride = 48
+
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkSize, lit(1L))
+          .otherwise(floor((col("n_tokens") - chunkSize + (chunkStride - 1))
+            / lit(chunkStride.toDouble)) + lit(1L)))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * chunkStride)
+      .withColumn("chunk_len",
+        least(lit(chunkSize.toLong), col("n_tokens") - col("start_tok")))
+
+  val chunkWindowsSql: String = s"""
+    SELECT doc_id, n_tokens, chunk_idx,
+           chunk_idx * $chunkStride AS start_tok,
+           least($chunkSize, n_tokens - chunk_idx * $chunkStride) AS chunk_len
+    FROM (
+      SELECT doc_id, n_tokens,
+             unnest(range(CASE WHEN n_tokens <= $chunkSize THEN 1
+               ELSE CAST(floor((n_tokens - $chunkSize + ${chunkStride - 1})
+                               / $chunkStride.0) AS BIGINT) + 1 END)) AS chunk_idx
+      FROM (SELECT doc_id, CAST(len(${Extensions.toksSql}) AS BIGINT) AS n_tokens
+            FROM documents))"""
+
+  // --- q74: mean-token-rarity document scoring -----------------------------
+
+  /** Unigram-LM-flavored quality signal: each document scored by the MEAN
+    * CORPUS FREQUENCY of its tokens — the float-safe stand-in for mean
+    * token log-probability (same ranking as an add-nothing unigram LM;
+    * libm log is not contractually identical across engines, so the score
+    * stays a single IEEE division of exact integer sums, the q62 rule).
+    * Low mean frequency = rare-token-heavy document, the tail a frequency
+    * filter inspects.
+    *
+    * Scale shape: per-doc tf is one shuffle on (doc_id, term); corpus tf
+    * re-aggregates tf on term (map-side combined); the term join is
+    * AQE-broadcastable when the vocabulary is small and shuffles on term
+    * when it is not; the final per-doc rollup shuffles on doc_id. Nothing
+    * is all-pairs, no driver-side state. */
+  def tokenRarity(s: SparkSession, d: String): DataFrame =
+    tokenRarityOn(Tables.documents(s, d))
+
+  def tokenRarityOn(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("corpus_tf"))
+    tf.join(ctf, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("corpus_tf")).as("sum_corpus_tf"))
+      .withColumn("mean_corpus_tf",
+        col("sum_corpus_tf").cast("double") / col("n_tokens"))
+  }
+
+  val tokenRaritySql: String = s"""
+    WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(${Extensions.toksSql}) AS token
+                      FROM documents)
+                GROUP BY doc_id, token),
+    ctf AS (SELECT term, sum(tf) AS corpus_tf FROM tf GROUP BY term)
+    SELECT doc_id, n_tokens, sum_corpus_tf,
+           CAST(sum_corpus_tf AS DOUBLE) / n_tokens AS mean_corpus_tf
+    FROM (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                 CAST(sum(tf.tf * ctf.corpus_tf) AS BIGINT) AS sum_corpus_tf
+          FROM tf JOIN ctf ON tf.term = ctf.term
+          GROUP BY tf.doc_id)"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -312,5 +448,8 @@ object Curation {
     "q65_quality_route"     -> QueryDef(qualityRoute _, qualityRouteSql),
     "q67_source_cap"        -> QueryDef(sourceCap _, sourceCapSql),
     "q68_repetition_stats"  -> QueryDef(repetitionStats _, repetitionStatsSql),
-    "q69_decontaminate"     -> QueryDef(decontaminate _, decontaminateSql))
+    "q69_decontaminate"     -> QueryDef(decontaminate _, decontaminateSql),
+    "q72_pack_sequences"    -> QueryDef(packSequences _, packSequencesSql),
+    "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
+    "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql))
 }

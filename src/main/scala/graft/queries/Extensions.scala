@@ -521,6 +521,51 @@ object Extensions {
               SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
     SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id"""
 
+  /** Fuzzy-dedup ACTION: clusters (q49's pairs → connected components) with
+    * the survivor chosen per cluster — the longest copy wins (keep the most
+    * complete duplicate, the usual curation policy), doc id ascending as
+    * the tie-break. Emits every clustered doc with its verdict so the drop
+    * set is auditable, not just the keep set. All ordering keys are exact
+    * integers, so the winner is deterministic on both engines.
+    *
+    * Scale shape: the cluster table is a strict subset of the corpus (only
+    * docs with a near-dup appear); the token-length join shuffles on
+    * doc_id, the winner window partitions on cluster_id — both
+    * high-cardinality keys. A pathological giant cluster bounds at the
+    * window sort of its own rows (same bound as q49's propagation). */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val lens = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters.join(lens, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"), col("keep"))
+  }
+
+  val dedupKeepBestSql: String = s"""
+    WITH RECURSIVE $nearDupPairsSqlCtes,
+    p AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.2),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (SELECT s AS id, d AS r FROM e
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+    clusters AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+                 FROM reach GROUP BY id),
+    lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+             FROM documents)
+    SELECT c.doc_id, c.cluster_id, lens.n_tokens,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY lens.n_tokens DESC, c.doc_id) = 1 AS keep
+    FROM clusters c JOIN lens USING (doc_id)"""
+
   /** BPE-ish token accounting: subword pre-tokens (letter runs / digit runs
     * / marks) alongside the whitespace token count — the "how many units
     * will the tokenizer see" column every corpus pipeline carries. */
@@ -785,6 +830,7 @@ object Extensions {
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
     "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql),
     "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql),
+    "q71_dedup_keep_best" -> QueryDef(dedupKeepBest _, dedupKeepBestSql),
     "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql),
     "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql),
     "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql),

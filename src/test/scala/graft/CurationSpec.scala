@@ -196,6 +196,94 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) === 1400L, "RANGE peers at equal ts get equal frames")
   }
 
+  test("packing: start_off is the exclusive per-source prefix sum and seqs tile") {
+    val rows = Curation.packSequences(spark, sf)
+      .select("source", "doc_id", "n_tokens", "start_off", "first_seq", "last_seq", "n_seqs")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var expectedOff = 0L
+      ordered.foreach { case (_, id, nTok, off, first, last, nSeqs) =>
+        assert(off === expectedOff, s"$src doc $id: gap or overlap in the packed stream")
+        assert(first === off / Curation.packSeqLen)
+        assert(last === (off + nTok - 1) / Curation.packSeqLen)
+        assert(nSeqs === last - first + 1 && nSeqs >= 1)
+        expectedOff += nTok
+      }
+    }
+  }
+
+  test("packing plans a single exchange, on source") {
+    val plan = Curation.packSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"per-source packing must shuffle exactly once:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"the one exchange must key on source:\n$plan")
+  }
+
+  test("chunk windows cover every token with stride overlap and no shuffle") {
+    val byDoc = Curation.chunkWindows(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(byDoc.size === 500)
+    byDoc.foreach { case (id, chunks) =>
+      val ordered = chunks.sortBy(_._3)
+      val n = ordered.head._2
+      ordered.zipWithIndex.foreach { case ((_, nTok, idx, start, len), i) =>
+        assert(nTok === n && idx === i && start === i.toLong * Curation.chunkStride)
+        assert(len >= 1 && len <= Curation.chunkSize, s"doc $id chunk $i len $len")
+        assert(start + len <= n)
+      }
+      // the final chunk must reach the last token: full coverage
+      val (_, _, _, lastStart, lastLen) = ordered.last
+      assert(lastStart + lastLen === n, s"doc $id: tail tokens uncovered")
+      // every non-final chunk is full-size, so consecutive chunks overlap
+      // by size − stride and no token between them is skipped
+      ordered.init.foreach { case (_, _, _, _, len) =>
+        assert(len === Curation.chunkSize.toLong)
+      }
+    }
+    val plan = Curation.chunkWindows(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"row-local chunking must not shuffle:\n$plan")
+  }
+
+  test("token rarity: common-token docs outscore rare-token docs; exact sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the and and"),      // all corpus-common tokens
+      (2L, "the and zyzzyva qwerty"),   // half rare
+      (3L, "the the and and or or")     // common again, different length
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenRarityOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // corpus tf: the=6, and=5, or=2, zyzzyva=1, qwerty=1
+    assert(out(1L) === ((5L, 28L, 5.6)))            // 3·6 + 2·5 over 5 tokens
+    assert(out(2L) === ((4L, 13L, 3.25)))           // 6+5+1+1 over 4
+    assert(out(3L)._3 > out(2L)._3, "rare-token doc must score lower")
+  }
+
+  test("dedup keep-best: exactly one survivor per cluster, the longest copy") {
+    val rows = graft.queries.Extensions.dedupKeepBest(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty, "fixture must contain near-dup clusters")
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length === 1, s"cluster $cluster: ${kept.length} survivors")
+      val maxLen = members.map(_._3).max
+      assert(kept.head._3 === maxLen, s"cluster $cluster: survivor not longest")
+      // tie-break: among max-length members the smallest doc_id wins
+      val tied = members.filter(_._3 === maxLen).map(_._1).min
+      assert(kept.head._1 === tied, s"cluster $cluster: tie-break not doc_id asc")
+    }
+  }
+
   test("decontamination finds a planted probe overlap and nothing self-paired") {
     import spark.implicits._
     // probe (id 97): shares two 3-grams with doc 1; doc 2 disjoint
