@@ -440,6 +440,49 @@ object Curation {
           FROM tf JOIN ctf ON tf.term = ctf.term
           GROUP BY tf.doc_id)"""
 
+  // --- q75: BPE round-1 pair statistics ------------------------------------
+
+  /** The first BPE training round's statistics, corpus-wide: adjacent
+    * CHARACTER pair counts inside subword pre-tokens (letter/digit runs —
+    * single-mark subtokens have no pairs), top 50 with deterministic ties
+    * (count desc, pair asc). This is the SQL-expressible face of
+    * [[graft.operators.Bpe]] — the full iterative trainer is verified in
+    * BpeSpec (DuckDB cannot run the merge loop).
+    *
+    * Scale shape: explode to (pair) then one map-side-combined count
+    * shuffle on pair (alphabet², tiny); top-50 is TakeOrderedAndProject;
+    * the rank window runs over ≤ 50 survivors in one partition — the q63
+    * vocabulary pattern. */
+  val bpeTopK = 50
+
+  def bpeTopPairs(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.documents(s, d)
+      .select(explode(TextFunctions.subtokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(bpeTopK)
+    agg.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+  }
+
+  val bpeTopPairsSql: String = s"""
+    SELECT pair, cnt, rank FROM (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+      FROM (SELECT pair, count(*) AS cnt
+            FROM (SELECT unnest(list_transform(range(1, length(w)),
+                                               i -> substr(w, i, 2))) AS pair
+                  FROM (SELECT unnest(regexp_extract_all(text,
+                          '${TextFunctions.subtokenPattern}')) AS w
+                        FROM documents)
+                  WHERE length(w) >= 2)
+            GROUP BY pair))
+    WHERE rank <= $bpeTopK"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -451,5 +494,6 @@ object Curation {
     "q69_decontaminate"     -> QueryDef(decontaminate _, decontaminateSql),
     "q72_pack_sequences"    -> QueryDef(packSequences _, packSequencesSql),
     "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
-    "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql))
+    "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),
+    "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql))
 }
