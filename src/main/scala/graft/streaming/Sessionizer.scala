@@ -132,12 +132,73 @@ object Sessionizer {
   def sessionizeBatch(events: Dataset[LineEvent])
                      (implicit spark: SparkSession): Dataset[InvoiceResult] = {
     import spark.implicits._
-    events.groupByKey(_.invoiceNo).mapGroups { (invoiceNo, evs) =>
-      val seq = evs.toSeq
-      val err = seq.collectFirst { case LineEvent(_, _, Some(reason)) => reason }
-      val lines = if (err.isDefined) Nil else seq.flatMap(_.purchase).toList
-      classify(invoiceNo, SessionState(lines, err))
+    events.groupByKey(_.invoiceNo).mapGroups(classifyFold _)
+  }
+
+  /** Single-pass fold equivalent of `classify` over a whole-history group:
+    * no group materialization (unbounded-key safe — a billion-line invoice
+    * folds in constant memory) and an early exit on the first error event
+    * (quirk Q3 drops the lines anyway). Equality with the materializing
+    * path is property-tested (PropertySpec) — note the cascade is
+    * CHECK-priority, not line-priority: a missing customer on the last
+    * line outranks an invalid date on the first, so the per-check flags
+    * fold across every line. Double accumulation runs in iteration order,
+    * matching List.sum's foldLeft exactly; numberItems stays Int
+    * arithmetic to preserve the reference's overflow semantics. */
+  def classifyFold(invoiceNo: String, evs: Iterator[LineEvent]): InvoiceResult = {
+    var missingCustomer = false
+    var badDate = false
+    var missingCountry = false
+    var first: Purchase = null
+    var n = 0
+    var priceSum = 0.0
+    var priceMin = Double.MaxValue
+    var priceMax = Double.MinValue
+    var items = 0 // Int on purpose — classify sums quantities as Int
+    while (evs.hasNext) {
+      val e = evs.next()
+      e.errorReason match {
+        case Some(reason) =>
+          // Q3: the first error event wins the whole session and empties it
+          return InvoiceResult(invoiceNo, "error", reason,
+            Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0, null)
+        case None =>
+          e.purchase match {
+            case Some(p) =>
+              n += 1
+              if (p.customerID == null || p.customerID.isEmpty) missingCustomer = true
+              if (!badDate && PurchaseCsv.extractHour(p.invoiceDate) < 0) badDate = true
+              if (p.country == null || p.country.isEmpty) missingCountry = true
+              priceSum += p.unitPrice
+              if (first == null) {
+                first = p; priceMin = p.unitPrice; priceMax = p.unitPrice
+              } else {
+                // IEEE TOTAL ordering via Double.compare — List.min/max's
+                // Ordering.Double.TotalOrdering semantics (NaN greatest,
+                // -0.0 < 0.0), first element kept on ties
+                if (java.lang.Double.compare(p.unitPrice, priceMin) < 0) priceMin = p.unitPrice
+                if (java.lang.Double.compare(p.unitPrice, priceMax) > 0) priceMax = p.unitPrice
+              }
+              items += p.quantity
+            case None => ()
+          }
+      }
     }
+    def error(reason: String) =
+      InvoiceResult(invoiceNo, "error", reason,
+        Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, n, null)
+    if (n == 0) error("no purchase lines")
+    else if (missingCustomer) error("missing customer ID")
+    else if (badDate) error("invalid invoice date")
+    else if (missingCountry) error("missing country")
+    else InvoiceResult(invoiceNo, "valid", null,
+      avgUnitPrice = priceSum / n,
+      minUnitPrice = priceMin,
+      maxUnitPrice = priceMax,
+      time = PurchaseCsv.extractHour(first.invoiceDate),
+      numberItems = items.toDouble,
+      lineCount = n,
+      customerId = first.customerID)
   }
 
   /** Parse + route + sessionize raw CSV lines end-to-end (ST3 → ST4).

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
-import graft.streaming.{PurchaseCsv, Sessionizer, SessionState, Purchase}
+import graft.streaming.{InvoiceResult, LineEvent, PurchaseCsv, Sessionizer, SessionState, Purchase}
 
 /** Property-based coverage (SURVEY §5.5): parser totality, quirk routing,
   * hour-extraction equivalence, elbow bounds, classification totality. */
@@ -98,6 +98,37 @@ object SessionizerProperties extends Properties("Sessionizer.classify") {
           r.minUnitPrice == prices.min && r.maxUnitPrice == prices.max &&
           r.numberItems == st.lines.map(_.quantity).sum.toDouble
       } else true
+    }
+
+  // price generator deliberately includes NaN and both signed zeros — the
+  // fold must reproduce List.min/max's IEEE TOTAL ordering bit-for-bit
+  private val trickyPriceGen: Gen[Double] = Gen.oneOf(
+    Gen.choose(0.0, 1000.0), Gen.const(Double.NaN),
+    Gen.const(0.0), Gen.const(-0.0))
+  private val eventGen: Gen[LineEvent] = Gen.oneOf(
+    for { p <- purchaseGen; price <- trickyPriceGen }
+      yield LineEvent(p.invoiceNo, Some(p.copy(unitPrice = price)), None),
+    Gen.oneOf("parse error: a", "parse error: b")
+      .map(r => LineEvent("I", None, Some(r))),
+    Gen.const(LineEvent("I", None, None)))
+
+  private def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+  private def same(a: InvoiceResult, b: InvoiceResult): Boolean =
+    a.invoiceNo == b.invoiceNo && a.status == b.status && a.reason == b.reason &&
+      bits(a.avgUnitPrice) == bits(b.avgUnitPrice) &&
+      bits(a.minUnitPrice) == bits(b.minUnitPrice) &&
+      bits(a.maxUnitPrice) == bits(b.maxUnitPrice) &&
+      bits(a.time) == bits(b.time) &&
+      bits(a.numberItems) == bits(b.numberItems) &&
+      a.lineCount == b.lineCount && a.customerId == b.customerId
+
+  property("classifyFold ≡ materialize-then-classify on every event order") =
+    forAll(Gen.listOf(eventGen)) { evs =>
+      val err = evs.collectFirst { case LineEvent(_, _, Some(r)) => r }
+      val lines = if (err.isDefined) Nil else evs.flatMap(_.purchase).toList
+      val viaState = Sessionizer.classify("I", SessionState(lines, err))
+      val viaFold = Sessionizer.classifyFold("I", evs.iterator)
+      same(viaState, viaFold)
     }
 }
 
