@@ -72,7 +72,12 @@ object Bpe {
   /** Train `numMerges` merges. Returns the ordered merge table and the
     * final per-word segmentation (word joined from symbols = original).
     * Stops early when no pair occurs at least twice (merging a singleton
-    * pair earns nothing). */
+    * pair earns nothing).
+    *
+    * The returned segmentation table is still pinned (cached or
+    * localCheckpointed): unpersisting it here would make the caller's
+    * first action replay every merge round from the last checkpoint.
+    * Callers own the handle — unpersist it when done. */
   def learn(spark: SparkSession, docs: DataFrame, textCol: String,
             numMerges: Int): (Seq[Merge], DataFrame) = {
     import spark.implicits._
@@ -105,16 +110,16 @@ object Bpe {
       }
       round += 1
     }
-    val out = words.toDF()
-    words.unpersist()
-    (merges.toSeq, out)
+    (merges.toSeq, words.toDF())
   }
 
   /** Segment one word with a learned merge table (applied in rank order —
     * equivalent to priority-queue application because each training round
     * already applied its merge exhaustively). */
   def segment(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.foldLeft(word.split("").toSeq: Seq[String]) { (syms, m) =>
+    // empty-filter mirrors learn()'s symbol construction: "".split("")
+    // yields Array(""), which would segment "" to a phantom empty symbol
+    merges.foldLeft(word.split("").toSeq.filter(_.nonEmpty)) { (syms, m) =>
       applyMerge(syms, m.a, m.b)
     }
 }

@@ -322,15 +322,25 @@ object Curation {
     * documented here and deliberately not folded into the gate query.
     *
     * All arithmetic is exact: offsets are bigint prefix sums; the
-    * sequence-index floor divides are IEEE doubles of integers < 2^53. */
+    * sequence-index floor divides are IEEE doubles of integers < 2^53.
+    *
+    * Zero-token documents are dropped BEFORE packing (identically in both
+    * engines): they contribute nothing to the packed stream and would
+    * otherwise emit last_seq < first_seq / n_seqs = 0 rows, breaking the
+    * n_seqs >= 1 invariant downstream consumers rely on. Dropping them
+    * does not move any offset — they add 0 to every prefix sum. */
   val packSeqLen = 256
 
-  def packSequences(s: SparkSession, d: String): DataFrame = {
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOn(Tables.documents(s, d))
+
+  def packSequencesOn(docs: DataFrame): DataFrame = {
     val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1L)
       .withColumn("start_off",
         coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
       .withColumn("first_seq", floor(col("start_off") / lit(packSeqLen.toDouble)))
@@ -353,7 +363,8 @@ object Curation {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         FROM (SELECT doc_id, source,
                      CAST(len(${Extensions.toksSql}) AS BIGINT) AS n_tokens
-              FROM documents)))"""
+              FROM documents)
+        WHERE n_tokens >= 1))"""
 
   // --- q73: overlapping token-window chunking ------------------------------
 
@@ -365,14 +376,22 @@ object Curation {
     *
     * Row-local explode of a bounded integer sequence — no shuffle at all;
     * output size is input tokens × (size/stride) amortized. Integer
-    * arithmetic only, exact on both engines. */
+    * arithmetic only, exact on both engines.
+    *
+    * Zero-token documents are dropped (identically in both engines): a
+    * 0-token doc would otherwise emit one chunk_len = 0 row, breaking the
+    * chunk_len >= 1 invariant a retrieval indexer relies on. */
   val chunkSize = 64
   val chunkStride = 48
 
   def chunkWindows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    chunkWindowsOn(Tables.documents(s, d))
+
+  def chunkWindowsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1L)
       .withColumn("n_chunks",
         when(col("n_tokens") <= chunkSize, lit(1L))
           .otherwise(floor((col("n_tokens") - chunkSize + (chunkStride - 1))
@@ -393,7 +412,8 @@ object Curation {
                ELSE CAST(floor((n_tokens - $chunkSize + ${chunkStride - 1})
                                / $chunkStride.0) AS BIGINT) + 1 END)) AS chunk_idx
       FROM (SELECT doc_id, CAST(len(${Extensions.toksSql}) AS BIGINT) AS n_tokens
-            FROM documents))"""
+            FROM documents)
+      WHERE n_tokens >= 1)"""
 
   // --- q74: mean-token-rarity document scoring -----------------------------
 

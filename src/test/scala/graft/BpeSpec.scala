@@ -41,6 +41,8 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.segment("low", merges) === Seq("low"))
     // a word sharing no pairs with the corpus stays character-level
     assert(Bpe.segment("zzq", merges) === Seq("z", "z", "q"))
+    // the empty word segments to nothing, not a phantom "" symbol
+    assert(Bpe.segment("", merges) === Seq.empty)
   }
 
   test("segment matches the trained words table for every vocabulary word") {

@@ -253,6 +253,31 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"row-local chunking must not shuffle:\n$plan")
   }
 
+  test("packing and chunking drop zero-token docs, keeping their invariants") {
+    import spark.implicits._
+    // doc 2 is empty, doc 3 is whitespace-only (0 tokens either way);
+    // both sit BETWEEN real docs so any offset disturbance would show
+    val docs = Seq(
+      (1L, "web", "alpha beta gamma"),
+      (2L, "web", ""),
+      (3L, "web", "   "),
+      (4L, "web", "delta epsilon")).toDF("doc_id", "source", "text")
+
+    val packed = Curation.packSequencesOn(docs)
+      .select("doc_id", "start_off", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.map(_._1).sorted === Array(1L, 4L), "0-token docs must be dropped")
+    packed.foreach { case (id, _, nSeqs) => assert(nSeqs >= 1, s"doc $id n_seqs") }
+    // doc 4 still starts right after doc 1: empty docs move no offset
+    assert(packed.map(p => p._1 -> p._2).toMap === Map(1L -> 0L, 4L -> 3L))
+
+    val chunks = Curation.chunkWindowsOn(docs)
+      .select("doc_id", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(chunks.map(_._1).distinct.sorted === Array(1L, 4L))
+    chunks.foreach { case (id, len) => assert(len >= 1, s"doc $id chunk_len") }
+  }
+
   test("token rarity: common-token docs outscore rare-token docs; exact sums") {
     import spark.implicits._
     val docs = Seq(
