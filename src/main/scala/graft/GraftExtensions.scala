@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
-import graft.expressions.{DotProduct, MinHashSignature, PolyFingerprint}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
+import graft.expressions.{DotProduct, MinHashSignature, PolyFingerprint, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -64,7 +64,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PolyFingerprint].getName, "graft_fingerprint"),
       (es: Seq[Expression]) => PolyFingerprint(
         Cast(es(0), StringType),
-        if (es.size > 1) posIntConst(es(1), "prefixLen") else 64)))
+        if (es.size > 1) posIntConst(es(1), "prefixLen") else 64)),
+    ("graft_zorder",
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (es: Seq[Expression]) => ZOrderKey(
+        Cast(es(0), LongType), Cast(es(1), LongType),
+        if (es.size > 2) posIntConst(es(2), "bits") else 21)))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -12,6 +12,7 @@ object SparkEntry {
     graft.queries.MlQueries.defs ++
     graft.queries.Extensions.defs ++
     graft.queries.Curation.defs ++
+    graft.queries.LayoutQueries.defs ++
     graft.queries.PipelineReplay.defs ++
     graft.queries.ReferenceQueries.defs
 

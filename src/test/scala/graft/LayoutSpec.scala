@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.ZOrderKey
+import graft.operators.Layout
+import graft.queries.LayoutQueries
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("interleave: known values, bit-exact") {
+    // x=0b101 → even positions 0,2,4 = 1+0+16; y=0b011 → odd 1,3,5 = 2+8
+    assert(ZOrderKey.interleave(5L, 3L, 3) === 27L)
+    assert(ZOrderKey.interleave(0L, 0L, 21) === 0L)
+    // single bits land at positions 2i (x) and 2i+1 (y)
+    (0 until 21).foreach { i =>
+      assert(ZOrderKey.interleave(1L << i, 0L, 21) === (1L << (2 * i)))
+      assert(ZOrderKey.interleave(0L, 1L << i, 21) === (1L << (2 * i + 1)))
+    }
+    // bits above the width are ignored (caller owns range reduction)
+    assert(ZOrderKey.interleave(1L << 21, 0L, 21) === 0L)
+  }
+
+  test("interleave is injective on the declared range (deinterleave roundtrip)") {
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until bits).foreach { i =>
+        x |= ((z >>> (2 * i)) & 1L) << i
+        y |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val x = rnd.nextInt(1 << 21).toLong
+      val y = rnd.nextInt(1 << 21).toLong
+      assert(deinterleave(ZOrderKey.interleave(x, y, 21), 21) === ((x, y)))
+    }
+  }
+
+  test("column API, SQL function, and oracle-mirror SQL all agree") {
+    GraftExtensions.register(spark)
+    val df = Tables.lineitem(spark, sf).limit(200)
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    df.createOrReplaceTempView("zin")
+    val viaColumn = df.select(ZOrderKey.zorder(col("x"), col("y"), 21).as("z"))
+      .collect().map(_.getLong(0)).sorted
+    val viaSqlFn = spark.sql("SELECT graft_zorder(x, y, 21) AS z FROM zin")
+      .collect().map(_.getLong(0)).sorted
+    val viaMirror = spark.sql(
+      s"SELECT ${ZOrderKey.interleaveSql("x", "y", 21)} AS z FROM zin")
+      .collect().map(_.getLong(0)).sorted
+    assert(viaColumn === viaSqlFn)
+    assert(viaColumn === viaMirror)
+  }
+
+  test("zorderCluster plans one range exchange on zval and nothing else") {
+    val plan = Layout.zorderCluster(Tables.lineitem(spark, sf),
+      col("l_partkey"), col("l_suppkey"), 21, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"clustering must shuffle exactly once:\n$plan")
+    assert(plan.contains("rangepartitioning(zval"),
+      s"the one exchange must be a range partitioning on zval:\n$plan")
+  }
+
+  test("z-ordered partitions are tight on BOTH keys; a plain sort is not") {
+    // a full 256×256 grid: both key domains equal, so the comparison
+    // isolates the LAYOUT (the fixture's suppkey domain is 10 values —
+    // too small for any 16-way split to slice further)
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+      .cache()
+    def meanSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+        .agg(avg("xs"), avg("ys")).collect()(0)
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val (zX, zY) = meanSpans(Layout.zorderCluster(grid, col("x"), col("y"), 21, 64))
+    // z-clustered files: per-file span is a small slice of the domain on
+    // BOTH dimensions — this is exactly what min/max skipping consumes
+    assert(zX < 255.0 / 3, s"x span per z-file: $zX vs global 255")
+    assert(zY < 255.0 / 3, s"y span per z-file: $zY vs global 255")
+    // the lexicographic alternative: range-partition by x alone is tight
+    // on x but leaves y spanning its whole domain
+    val (lexX, lexY) = meanSpans(grid.repartitionByRange(64, col("x")))
+    assert(lexX < 255.0 / 3)
+    assert(lexY > 255.0 * 0.8,
+      s"single-key layout should NOT cluster y: $lexY vs 255")
+    grid.unpersist()
+  }
+
+  test("q76 buckets partition rows and nest inside the interleave geometry") {
+    val rows = LayoutQueries.zorderStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.lineitem(spark, sf).count())
+    // each bucket's key ranges must fit the cell implied by its top bits:
+    // bucket id >> drops zbucketShift low bits, i.e. keeps key bits above
+    // shift/2 — so pk_min/pk_max (sk_min/sk_max) share those high bits
+    val keyShift = LayoutQueries.zbucketShift / 2
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pk_min") >> keyShift ===
+        r.getAs[Long]("pk_max") >> keyShift,
+        s"bucket ${r.getAs[Long]("zbucket")} partkey leaks its z-cell")
+      assert(r.getAs[Long]("sk_min") >> keyShift ===
+        r.getAs[Long]("sk_max") >> keyShift,
+        s"bucket ${r.getAs[Long]("zbucket")} suppkey leaks its z-cell")
+    }
+  }
+}
