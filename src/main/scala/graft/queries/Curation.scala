@@ -503,6 +503,58 @@ object Curation {
             GROUP BY pair))
     WHERE rank <= $bpeTopK"""
 
+  // --- q77: bigram language-model counts ------------------------------------
+
+  /** Bigram LM count table — the statistics pass under perplexity-based
+    * quality filtering (a data pipeline scores documents with an n-gram LM
+    * before the expensive model ever sees them; this builds that LM's
+    * numerator/denominator). Emits the top `bigramTopK` bigrams with exact
+    * corpus counts, the head count (denominator: occurrences of w1 as a
+    * bigram head), and the MLE conditional probability as ONE IEEE division
+    * of the two exact integers (the q62 float rule — no libm log in the
+    * gate; a consumer takes log at read time).
+    *
+    * Scale shape: token explode → one map-side-combined count shuffle on
+    * (w1, w2); the head-count window runs over the AGGREGATED bigram table
+    * (vocabulary-bounded, not corpus-bounded) partitioned on w1 — high
+    * cardinality, no single-partition window; top-k is
+    * TakeOrderedAndProject with a total-order tie-break. */
+  val bigramTopK = 200
+
+  def bigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmOn(Tables.documents(s, d))
+
+  def bigramLmOn(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(
+      explode(TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { toks =>
+        when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+            struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"))))
+      }).as("p"))
+    pairs
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w1_cnt", sum(col("cnt")).over(Window.partitionBy("w1")))
+      .withColumn("p_mle",
+        col("cnt").cast("double") / col("w1_cnt").cast("double"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+      .limit(bigramTopK)
+  }
+
+  val bigramLmSql: String = s"""
+    SELECT w1, w2, cnt, w1_cnt, CAST(cnt AS DOUBLE) / CAST(w1_cnt AS DOUBLE) AS p_mle
+    FROM (
+      SELECT w1, w2, cnt, CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt
+      FROM (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+        FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS p
+              FROM (SELECT ${Extensions.toksSql} AS toks FROM documents)
+              WHERE len(toks) >= 2)
+        GROUP BY 1, 2))
+    ORDER BY cnt DESC, w1, w2 LIMIT $bigramTopK"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -515,5 +567,6 @@ object Curation {
     "q72_pack_sequences"    -> QueryDef(packSequences _, packSequencesSql),
     "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
     "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),
-    "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql))
+    "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql),
+    "q77_bigram_lm"         -> QueryDef(bigramLm _, bigramLmSql))
 }

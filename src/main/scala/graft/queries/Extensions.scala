@@ -812,7 +812,43 @@ object Extensions {
           FROM orders"""
       }.mkString("\n UNION ALL \n")
 
+  // --- q78: per-label embedding centroids -----------------------------------
+
+  /** Centroid recompute — the maintenance step of every vector-index and
+    * clustering structure in this engine (one k-means Lloyd iteration, the
+    * IVF coarse-quantizer refresh, per-class mean embeddings for probing).
+    * Emits (label, dim, centroid, n) rows: dimension-exploded rather than
+    * an array column (the driver gate cannot sort array cells — the round-2
+    * q50 lesson), and reassembling the vector is a collect_list away.
+    *
+    * Float discipline: element values widen float→double exactly, then go
+    * through [[graft.functions.Exact.davg]] (floor-quantized decimal sums)
+    * so the per-(label,dim) mean is bit-identical at ANY parallelism and
+    * to the DuckDB oracle — the property a 1000-executor recompute needs.
+    *
+    * Scale shape: posexplode is row-local; ONE map-side-combined aggregate
+    * shuffles on (label, dim) — labels×dims cells, each a pair of decimal
+    * counters, never the vectors themselves. */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        graft.functions.Exact.davg(col("v").cast("double"), 6).as("centroid"),
+        count(lit(1)).as("n"))
+
+  val embeddingCentroidsSql: String = s"""
+    SELECT label, p.dim AS dim,
+           ${graft.functions.Exact.davgSql("p.v", 6)} AS centroid,
+           count(*) AS n
+    FROM (SELECT label,
+            unnest(list_transform(range(len(embedding)),
+              i -> struct_pack(dim := i, v := CAST(embedding[i+1] AS DOUBLE)))) AS p
+          FROM embeddings)
+    GROUP BY 1, 2"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q78_embedding_centroids" -> QueryDef(embeddingCentroids _, embeddingCentroidsSql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
     "q22_text_quality"       -> QueryDef(textQuality _, textQualitySql),

@@ -278,6 +278,28 @@ class CurationSpec extends AnyFunSuite {
     chunks.foreach { case (id, len) => assert(len >= 1, s"doc $id chunk_len") }
   }
 
+  test("bigram LM: exact counts, head denominators, and MLE ratios") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c"), (3L, "x")).toDF("doc_id", "text")
+    val rows = Curation.bigramLmOn(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1 bigrams: (a,b) (b,a) (a,b) (b,c); doc 2: (b,c); doc 3: none
+    assert(rows === Map(
+      ("a", "b") -> ((2L, 2L, 1.0)),
+      ("b", "a") -> ((1L, 3L, 1.0 / 3.0)),
+      ("b", "c") -> ((2L, 3L, 2.0 / 3.0))))
+  }
+
+  test("bigram LM plans: head window on the aggregated table, top-k is TakeOrdered") {
+    val plan = Curation.bigramLm(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("hashpartitioning(w1"),
+      s"the head-count window must partition on w1:\n$plan")
+  }
+
   test("token rarity: common-token docs outscore rare-token docs; exact sums") {
     import spark.implicits._
     val docs = Seq(

@@ -464,6 +464,36 @@ class ExtensionsSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("embedding centroids: exact means, one aggregate shuffle on (label, dim)") {
+    // plan first, before caching swaps in an InMemoryRelation: row-local
+    // explode + ONE exchange for the (label, dim) aggregate
+    val plan = graft.queries.Extensions.embeddingCentroids(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"centroids must shuffle exactly once:\n$plan")
+    val cents = graft.queries.Extensions.embeddingCentroids(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf)
+    val dims = emb.select(size(col("embedding"))).distinct().collect()(0).getInt(0)
+    val labels = emb.select("label").distinct().count()
+    assert(cents.count() === labels * dims)
+    // n is constant across dims within a label and equals the vector count
+    val perLabel = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cents.collect().foreach { r =>
+      assert(r.getAs[Long]("n") === perLabel(r.getAs[Int]("label")))
+    }
+    // quantized mean tracks the naive float mean to the quantization step
+    val naive = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    val joined = cents.join(naive, Seq("label", "dim"))
+      .select(abs(col("centroid") - col("m")).as("d"))
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(joined < 1e-5, s"quantized mean drifted from naive mean by $joined")
+    cents.unpersist()
+  }
+
   test("fingerprint is stable and collision-free on distinct prefixes at sf0.001") {
     val fp = graft.queries.Extensions.fingerprint(spark, sf).cache()
     val docs = fp.count()
