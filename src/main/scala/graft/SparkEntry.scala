@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.Extensions.defs ++
     graft.queries.Curation.defs ++
     graft.queries.LayoutQueries.defs ++
+    graft.queries.Stats.defs ++
     graft.queries.PipelineReplay.defs ++
     graft.queries.ReferenceQueries.defs
 

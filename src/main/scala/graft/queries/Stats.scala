@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Exact
+
+/** Exact distributed statistics — the profiling pass a training-data
+  * pipeline runs to understand a corpus' numeric columns before filtering
+  * on them. Everything here keeps the engine's cross-engine float
+  * discipline: sums are floor-quantized decimals (order-independent, so
+  * results are identical at ANY parallelism — see
+  * [[graft.functions.Exact]]), divisions and square roots are single IEEE
+  * operations on identical operands (sqrt IS correctly rounded by
+  * IEEE 754, unlike log/exp, so it is gate-safe).
+  */
+object Stats {
+
+  // --- q79: equal-width value histogram -------------------------------------
+
+  /** Fixed-width histogram of lineitem extended price: bin id is one IEEE
+    * division + floor (identical both engines), per-bin count / min / max
+    * (element picks, no summation) and quantized mean. ONE map-side-combined
+    * aggregate shuffle on the bin id; bins are domain/width bounded, never
+    * row-count bounded — the same histogram costs one pass at 100 TB. */
+  val histBinWidth = 5000.0
+
+  def priceHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(floor(col("l_extendedprice") / lit(histBinWidth)).cast("long").as("bin"),
+        col("l_extendedprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"),
+        Exact.davg(col("l_extendedprice"), 2).as("mean_price"))
+
+  val priceHistogramSql: String = s"""
+    SELECT CAST(floor(l_extendedprice / $histBinWidth) AS BIGINT) AS bin,
+           count(*) AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi,
+           ${Exact.davgSql("l_extendedprice", 2)} AS mean_price
+    FROM lineitem
+    GROUP BY 1"""
+
+  // --- q80: second-moment statistics (covariance / correlation) -------------
+
+  /** Per-returnflag covariance and Pearson correlation of quantity vs
+    * extended price, from five floor-quantized decimal sums (x, y, x², y²,
+    * xy) + a count — the classic one-pass parallel second-moment form.
+    * Spark's own covar_pop/corr are summation-order dependent (doubles);
+    * this is the reproducible-at-any-parallelism variant, and the final
+    * combination is plain IEEE arithmetic + one sqrt per side on identical
+    * operands in both engines.
+    *
+    * Quantization domain: |x·y| ≤ 55 · 1.1e5 ≈ 6e6, ×1e2 ≈ 6e8 per row —
+    * comfortably inside 2^53; decimal(27,0) absorbs any SF's row count. */
+  def momentStats(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Exact.dsum(x, 2).as("sx"),
+        Exact.dsum(y, 2).as("sy"),
+        Exact.dsum(x * x, 2).as("sxx"),
+        Exact.dsum(y * y, 2).as("syy"),
+        Exact.dsum(x * y, 2).as("sxy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("cov_pop"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+  }
+
+  val momentStatsSql: String = {
+    val sx  = Exact.dsumSql("l_quantity", 2)
+    val sy  = Exact.dsumSql("l_extendedprice", 2)
+    val sxx = Exact.dsumSql("l_quantity * l_quantity", 2)
+    val syy = Exact.dsumSql("l_extendedprice * l_extendedprice", 2)
+    val sxy = Exact.dsumSql("l_quantity * l_extendedprice", 2)
+    s"""
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (sxy - sx * sy / n) / n AS cov_pop,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
+      FROM lineitem
+      GROUP BY 1)"""
+  }
+
+  // --- q81: per-group discrete p99 (order statistic) -------------------------
+
+  /** Exact per-event-type p99 of `value`: the element at rank
+    * ceil(0.99 · n) in (value, event_id) order — a picked element, not an
+    * interpolation, so it is engine-exact (the q56 median pattern, one
+    * tail percentile instead).
+    *
+    * Scale note: the selection window partitions on event_type, whose
+    * cardinality bounds parallelism — exact order statistics on a 100 TB
+    * table are approx_percentile's job (sketches, one pass, mergeable);
+    * this query pins the exact semantics the sketch approximates, and
+    * StatsSpec checks Spark's own approx_percentile lands within its
+    * accuracy bound of this exact answer. */
+  def p99PerType(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === ceil(col("n") * 0.99).cast("long"))
+      .select(col("event_type"), col("n"), col("value").as("p99"))
+  }
+
+  val p99PerTypeSql: String = """
+    SELECT event_type, n, value AS p99
+    FROM (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+    WHERE rn = CAST(ceil(n * 0.99) AS BIGINT)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
+    "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
+    "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql))
+}
