@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses ONE machine-readable JSON line from the
+// tail of `sbt "runMain ..."` output. Two sbt default behaviors defeat that:
+// the forked JVM's stdout is re-logged with an "[info] " prefix
+// (LoggedOutput), and sbt appends a "[success] Total time: ..." line AFTER
+// the program's last line. StdoutOutput passes the forked process' stdout
+// through verbatim; showSuccess=false drops the trailing banner — so the
+// program's final println IS the final line of sbt's output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

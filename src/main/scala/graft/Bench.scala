@@ -113,7 +113,15 @@ object Bench {
       (if (allErrs.size > 3) Seq(s""""more_errors":${allErrs.size - 3}""") else Nil))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The machine line must be the LAST line the driver sees (it keeps the
+    // final ~2000 bytes and parses a JSON line out of that window; r1–r5 all
+    // recorded "parsed": null while this line carried sbt's "[info] " prefix
+    // and was followed by the "[success]" banner). Print it AFTER
+    // spark.stop() — nothing in this JVM writes to stdout afterwards — and
+    // rely on build.sbt's StdoutOutput + showSuccess=false to keep sbt from
+    // decorating or appending to it.
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
