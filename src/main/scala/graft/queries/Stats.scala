@@ -72,9 +72,12 @@ object Stats {
       .select(col("l_returnflag"),
         col("n").cast("long").as("n"),
         ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("cov_pop"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+        // try_divide: a zero-variance side NULLs corr, matching DuckDB's
+        // NULL-on-zero double division (Spark's ANSI `/` would throw);
+        // nonzero divisors are the identical IEEE division either way
+        try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+          sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))).as("corr"))
   }
 
   val momentStatsSql: String = {
@@ -99,24 +102,72 @@ object Stats {
 
   // --- q81: per-group discrete p99 (order statistic) -------------------------
 
-  /** Exact per-event-type p99 of `value`: the element at rank
+  /** Bin count for the distributed-selection pass. Candidate set after the
+    * refine filter is ~n/4096 rows per group — the only rows that ever see a
+    * per-group sort. */
+  val p99Bins = 4096
+
+  /** Exact per-event-type p99 of non-null `value`: the element at rank
     * ceil(0.99 · n) in (value, event_id) order — a picked element, not an
     * interpolation, so it is engine-exact (the q56 median pattern, one
     * tail percentile instead).
     *
-    * Scale note: the selection window partitions on event_type, whose
-    * cardinality bounds parallelism — exact order statistics on a 100 TB
-    * table are approx_percentile's job (sketches, one pass, mergeable);
-    * this query pins the exact semantics the sketch approximates, and
-    * StatsSpec checks Spark's own approx_percentile lands within its
-    * accuracy bound of this exact answer. */
+    * Plan: two-pass distributed selection, NOT a per-group global sort (a
+    * window partitioned on a 5-value key full-sorts the table at
+    * parallelism 5 — the round-5 scale-killer this replaces).
+    *   1. per-group (min, max, n, rank) — one map-side-combined aggregate;
+    *      broadcast (one row per group).
+    *   2. bin each row into [[p99Bins]] equal-width bins — row-local
+    *      arithmetic against the broadcast stats. Binning is monotone in
+    *      `value` (IEEE subtract/multiply/divide by positive constants are
+    *      correctly rounded ⇒ order-preserving, equal values share a bin),
+    *      so cumulative-bin rank + within-bin rank ≡ global rank and the
+    *      selected ELEMENT is independent of where bin edges fall.
+    *   3. per-(group, bin) counts — the only full-table shuffle, on the
+    *      HIGH-cardinality composite key. Cumulative counts over that
+    *      aggregate locate the bin holding the rank; the window there
+    *      partitions per group over ≤ [[p99Bins]] aggregated rows, the
+    *      bounded-table window pattern (cf. q77), not a data-sized one.
+    *   4. sort only the rows of the target bin (~n/4096 per group) and pick
+    *      the element at rank − below.
+    * Degenerate case min==max collapses to one bin and step 4 sorts the
+    * whole (constant-valued) group; a recursion on the target bin would
+    * bound that too, but a constant group's p99 is its only value, so the
+    * answer is still exact. Three columnar scans of the input total —
+    * selection algorithms buy bounded memory with an extra pass. */
   def p99PerType(s: SparkSession, d: String): DataFrame = {
-    val byType = Window.partitionBy(col("event_type"))
-    Tables.events(s, d)
+    val base = Tables.events(s, d)
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
-      .filter(col("rn") === ceil(col("n") * 0.99).cast("long"))
+      .filter(col("value").isNotNull)
+    val stats = base.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+      .withColumn("rank", ceil(col("n") * 0.99).cast("long"))
+
+    val binOf = when(col("mx") > col("mn"),
+      least(floor((col("value") - col("mn")) * lit(p99Bins.toDouble) / (col("mx") - col("mn")))
+        .cast("long"), lit(p99Bins - 1L)))
+      .otherwise(lit(0L))
+    // n/rank ride along through the bin aggregate (constant per group) so
+    // stats joins ONCE — its two identical scan→agg→broadcast subtrees are
+    // canonically equal and collapse via ReuseExchange at execution
+    val binned = base.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("value"), col("event_id"), binOf.as("bin"),
+        col("n"), col("rank"))
+
+    val overBins = Window.partitionBy("event_type").orderBy("bin")
+    val target = binned.groupBy("event_type", "n", "rank", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(overBins))
+      .filter(col("cum") - col("cnt") < col("rank") && col("rank") <= col("cum"))
+      .select(col("event_type").as("t_type"), col("bin").as("t_bin"),
+        (col("cum") - col("cnt")).as("below"), col("n"), col("rank"))
+
+    val inBin = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    binned.select(col("event_type"), col("value"), col("event_id"), col("bin"))
+      .join(broadcast(target),
+        col("event_type") === col("t_type") && col("bin") === col("t_bin"))
+      .withColumn("rn", row_number().over(inBin))
+      .filter(col("rn") === col("rank") - col("below"))
       .select(col("event_type"), col("n"), col("value").as("p99"))
   }
 
@@ -126,7 +177,8 @@ object Stats {
             row_number() OVER (PARTITION BY event_type
                                ORDER BY value, event_id) AS rn,
             count(*) OVER (PARTITION BY event_type) AS n
-          FROM events)
+          FROM events
+          WHERE value IS NOT NULL)
     WHERE rn = CAST(ceil(n * 0.99) AS BIGINT)"""
 
   val defs: Map[String, QueryDef] = Map(

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Stats
+
+/** The exact-statistics module (q79 histogram, q80 moments, q81 p99).
+  * Edge cases run through the REAL query path: each test writes a crafted
+  * `events.parquet` / `lineitem.parquet` into a temp SF dir and calls the
+  * registered query function on it, so the Tables readers, binning, and
+  * selection plumbing are all exercised, not a lookalike. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpSf(): String =
+    java.nio.file.Files.createTempDirectory("statsf").toString
+
+  /** (event_id, ts, user_id, event_type, value, props) with nullable value. */
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def writeLineitem(dir: String,
+      rows: Seq[(String, Double, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Reference order statistic: the element at rank ceil(0.99 n) in
+    * (value, event_id) order — the oracle formula, computed in plain Scala. */
+  private def refP99(rows: Seq[(String, Double, Long)]): Map[String, (Long, Double)] =
+    rows.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sorted
+      val rank = math.ceil(sorted.size * 0.99).toInt
+      t -> (sorted.size.toLong, sorted(rank - 1)._1)
+    }
+
+  private def p99Rows(dir: String): Map[String, (Long, Double)] =
+    Stats.p99PerType(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  // --- q81 semantics -------------------------------------------------------
+
+  test("q81: empty events yields no rows") {
+    val d = tmpSf()
+    writeEvents(d, Seq.empty)
+    assert(Stats.p99PerType(spark, d).count() === 0)
+  }
+
+  test("q81: all-null values yield no rows; mixed nulls are excluded from n and rank") {
+    val d = tmpSf()
+    writeEvents(d, (1L to 4L).map(i => (i, i, i, "a", None: Option[Double], "")))
+    assert(Stats.p99PerType(spark, d).count() === 0)
+
+    val d2 = tmpSf()
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0)
+    writeEvents(d2,
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, 0L, "a", Some(v), "") } ++
+        Seq((100L, 100L, 0L, "a", None, ""), (101L, 101L, 0L, "a", None, "")))
+    // n counts non-null rows only; rank = ceil(8 * .99) = 8 -> the max
+    assert(p99Rows(d2) === Map("a" -> (8L, 9.0)))
+  }
+
+  test("q81: single row and constant-valued group (min==max degenerate bin)") {
+    val d = tmpSf()
+    writeEvents(d,
+      Seq((1L, 1L, 0L, "solo", Some(42.5), "")) ++
+        (1L to 10L).map(i => (10 + i, i, 0L, "const", Some(7.0), "")))
+    assert(p99Rows(d) === Map("solo" -> (1L, 42.5), "const" -> (10L, 7.0)))
+  }
+
+  test("q81: ties at the rank boundary break on event_id, matching the oracle order") {
+    val d = tmpSf()
+    // 100 rows, all value 1.0 except three 9.0s; rank = 99 -> the SECOND 9.0
+    // in (value, event_id) order. A picked element, so the tie-break is load-bearing.
+    val rows = (1L to 97L).map(i => (i, i, 0L, "t", Some(1.0), "")) ++
+      Seq((200L, 1L, 0L, "t", Some(9.0), ""), (201L, 1L, 0L, "t", Some(9.0), ""),
+        (202L, 1L, 0L, "t", Some(9.0), ""))
+    writeEvents(d, rows)
+    assert(p99Rows(d) === Map("t" -> (100L, 9.0)))
+  }
+
+  test("q81: randomized groups match the window-formula reference (ties included)") {
+    val d = tmpSf()
+    val rnd = new scala.util.Random(20260812L)
+    // coarse value grid plants plenty of duplicate values across bins
+    val rows = (1L to 3000L).map { i =>
+      val t = s"t${rnd.nextInt(3)}"
+      (i, i, 0L, t, Some((rnd.nextInt(500) * 17).toDouble / 7.0), "")
+    }
+    writeEvents(d, rows)
+    val expected = refP99(rows.map(r => (r._4, r._5.get, r._1)))
+    assert(p99Rows(d) === expected)
+  }
+
+  test("q81: approx_percentile lands within its accuracy bound of the exact answer") {
+    // the exact query pins the semantics the sketch approximates: with
+    // accuracy B the sketch's rank error is <= n/B; at sf0.001 n/B < 1, so
+    // the sketch must return an element within +-2 ranks of the exact pick
+    val exact = p99Rows(sf)
+    val approx = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val byType = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((t, (n, p99)) <- exact) {
+      val sorted = byType(t).map(x => (x._2, x._3)).sorted
+      val rank = math.ceil(n * 0.99).toInt
+      val window = (math.max(1, rank - 2) to math.min(n.toInt, rank + 2))
+        .map(r => sorted(r - 1)._1).toSet
+      assert(window.contains(approx(t)),
+        s"$t: approx ${approx(t)} outside +-2 ranks of exact $p99 ($window)")
+    }
+  }
+
+  // --- q81 plan: the scale contract ----------------------------------------
+
+  test("q81 plan: data-sized window only over bin-filtered candidates, no full-table group sort") {
+    val plan = Stats.p99PerType(spark, sf).queryExecution.executedPlan.toString
+    // the full-table shuffle must be on the high-cardinality composite
+    // (event_type, ..., bin), never on event_type alone feeding a sort
+    assert(plan.linesIterator.exists(l => l.contains("Exchange hashpartitioning(event_type#")
+        && l.contains(", bin#")),
+      s"no composite (event_type, bin) exchange in plan:\n$plan")
+    // the selection window's input arrives through the target-bin broadcast
+    // join — that filter is what makes the final sort candidate-sized
+    assert(plan.linesIterator.exists(l => l.contains("BroadcastHashJoin [event_type#")
+        && l.contains(", bin#")),
+      s"no (event_type, bin) candidate join in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in plan:\n$plan")
+    // exactly two windows: cumulative bins (aggregated, bounded input) and
+    // the in-bin selection; a third would mean a data-sized window crept back
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) +
+      plan.linesIterator.count(_.trim.startsWith(":- Window")) === 2,
+      s"unexpected window count in plan:\n$plan")
+  }
+
+  // --- q79 / q80 -----------------------------------------------------------
+
+  test("q79/q80: empty lineitem yields no rows") {
+    val d = tmpSf()
+    writeLineitem(d, Seq.empty)
+    assert(Stats.priceHistogram(spark, d).count() === 0)
+    assert(Stats.momentStats(spark, d).count() === 0)
+  }
+
+  test("q79: single row lands in the right bin with exact min/max/mean") {
+    val d = tmpSf()
+    writeLineitem(d, Seq(("A", 5.0, 12345.67)))
+    val r = Stats.priceHistogram(spark, d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("bin")) === 2L) // floor(12345.67 / 5000)
+    assert(row.getLong(row.fieldIndex("n")) === 1L)
+    assert(row.getDouble(row.fieldIndex("lo")) === 12345.67)
+    assert(row.getDouble(row.fieldIndex("hi")) === 12345.67)
+  }
+
+  test("q80: constant column makes corr NULL (zero variance, DuckDB-aligned), cov_pop zero") {
+    val d = tmpSf()
+    writeLineitem(d, (1 to 5).map(i => ("A", i.toDouble, 100.0)))
+    val row = Stats.momentStats(spark, d).collect().head
+    assert(row.getDouble(row.fieldIndex("cov_pop")) === 0.0)
+    assert(row.isNullAt(row.fieldIndex("corr")))
+  }
+
+  test("q79/q80 plans: ONE aggregate exchange, scan pruned to the aggregated columns") {
+    val h = Stats.priceHistogram(spark, sf).queryExecution.executedPlan.toString
+    assert(h.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"q79 should shuffle exactly once:\n$h")
+    assert(h.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"q79 scan reads more than l_extendedprice:\n$h")
+    val m = Stats.momentStats(spark, sf).queryExecution.executedPlan.toString
+    assert(m.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"q80 should shuffle exactly once:\n$m")
+    assert(m.contains("l_returnflag") && m.contains("l_quantity"),
+      s"q80 scan misses expected columns:\n$m")
+  }
+}
