@@ -31,7 +31,8 @@ object GraftExtensions {
   /** Any foldable integer expression (literal, 16+16, …) evaluated at
     * analysis time; rejects non-constant or non-positive values with a
     * builder-level error instead of a runtime array-size exception. */
-  private def posIntConst(e: Expression, what: String): Int = {
+  private def posIntConst(e: Expression, what: String,
+      max: Int = Int.MaxValue): Int = {
     val v = e match {
       case c if c.foldable && c.dataType == IntegerType =>
         c.eval() match {
@@ -42,10 +43,21 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"$what must be a constant integer expression, got: ${other.sql}")
     }
-    if (v <= 0) throw new IllegalArgumentException(
-      s"$what must be positive, got: $v")
+    if (v <= 0 || v > max) throw new IllegalArgumentException(
+      s"$what must be in [1, $max], got: $v")
     v
   }
+
+  /** Builder-level arity check: a descriptive error beats the raw
+    * IndexOutOfBoundsException `es(n)` would throw during analysis. */
+  private def checkArity(name: String, es: Seq[Expression],
+      atLeast: Int, atMost: Int): Unit =
+    if (es.size < atLeast || es.size > atMost) {
+      val expected = if (atLeast == atMost) s"$atLeast"
+        else s"$atLeast to $atMost"
+      throw new IllegalArgumentException(
+        s"$name expects $expected arguments, got ${es.size}")
+    }
 
   /** Builders cast array arguments to the expression's expected element
     * type: SQL callers passing array<float> (the embeddings fixture's native
@@ -54,22 +66,34 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(
-        Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))),
+      (es: Seq[Expression]) => {
+        checkArity("graft_dot", es, 2, 2)
+        DotProduct(
+          Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))
+      }),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (es: Seq[Expression]) => MinHashSignature(
-        Cast(es(0), ArrayType(StringType)), posIntConst(es(1), "numHashes"))),
+      (es: Seq[Expression]) => {
+        checkArity("graft_minhash", es, 2, 2)
+        MinHashSignature(
+          Cast(es(0), ArrayType(StringType)), posIntConst(es(1), "numHashes"))
+      }),
     ("graft_fingerprint",
       new ExpressionInfo(classOf[PolyFingerprint].getName, "graft_fingerprint"),
-      (es: Seq[Expression]) => PolyFingerprint(
-        Cast(es(0), StringType),
-        if (es.size > 1) posIntConst(es(1), "prefixLen") else 64)),
+      (es: Seq[Expression]) => {
+        checkArity("graft_fingerprint", es, 1, 2)
+        PolyFingerprint(
+          Cast(es(0), StringType),
+          if (es.size > 1) posIntConst(es(1), "prefixLen") else 64)
+      }),
     ("graft_zorder",
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
-      (es: Seq[Expression]) => ZOrderKey(
-        Cast(es(0), LongType), Cast(es(1), LongType),
-        if (es.size > 2) posIntConst(es(2), "bits") else 21)))
+      (es: Seq[Expression]) => {
+        checkArity("graft_zorder", es, 2, 3)
+        ZOrderKey(
+          Cast(es(0), LongType), Cast(es(1), LongType),
+          if (es.size > 2) posIntConst(es(2), "bits", max = 31) else 21)
+      }))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -23,10 +23,18 @@ object Layout {
     * `OPTIMIZE ZORDER BY` runs per file group. After `.write.parquet`,
     * per-file min/max stats are tight on BOTH keys: a reader filtering on
     * either one prunes ~sqrt-fraction of files instead of all-but-none.
+    *
+    * The Morton key is an internal clustering artifact: it is computed
+    * under a collision-safe name and DROPPED once partitioning and
+    * in-partition order are fixed, so `.write.parquet` publishes the
+    * caller's schema unchanged (and a user column named "zval" survives).
     */
+  private val zKey = "__graft_zval"
+
   def zorderCluster(df: DataFrame, x: Column, y: Column, bits: Int,
                     numPartitions: Int): DataFrame =
-    df.withColumn("zval", ZOrderKey.zorder(x.cast("long"), y.cast("long"), bits))
-      .repartitionByRange(numPartitions, col("zval"))
-      .sortWithinPartitions(col("zval"))
+    df.withColumn(zKey, ZOrderKey.zorder(x.cast("long"), y.cast("long"), bits))
+      .repartitionByRange(numPartitions, col(zKey))
+      .sortWithinPartitions(col(zKey))
+      .drop(zKey)
 }

@@ -56,14 +56,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(viaColumn === viaMirror)
   }
 
-  test("zorderCluster plans one range exchange on zval and nothing else") {
-    val plan = Layout.zorderCluster(Tables.lineitem(spark, sf),
+  test("graft_zorder builder rejects wrong arity and out-of-range bits descriptively") {
+    GraftExtensions.register(spark)
+    Tables.lineitem(spark, sf).limit(5)
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      .createOrReplaceTempView("zarity")
+    val tooFew = intercept[Exception](
+      spark.sql("SELECT graft_zorder(x) FROM zarity").collect())
+    assert(tooFew.getMessage.contains("graft_zorder expects 2 to 3 arguments"),
+      s"expected an arity message, got: ${tooFew.getMessage}")
+    val badBits = intercept[Exception](
+      spark.sql("SELECT graft_zorder(x, y, 40) FROM zarity").collect())
+    assert(badBits.getMessage.contains("bits must be in [1, 31]"),
+      s"expected a bits-range message, got: ${badBits.getMessage}")
+  }
+
+  test("zorderCluster plans one range exchange on the z-key and drops it from output") {
+    val clustered = Layout.zorderCluster(Tables.lineitem(spark, sf),
       col("l_partkey"), col("l_suppkey"), 21, 16)
-      .queryExecution.executedPlan.toString
+    val plan = clustered.queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 === 1,
       s"clustering must shuffle exactly once:\n$plan")
-    assert(plan.contains("rangepartitioning(zval"),
-      s"the one exchange must be a range partitioning on zval:\n$plan")
+    assert(plan.contains("rangepartitioning(__graft_zval"),
+      s"the one exchange must be a range partitioning on the z-key:\n$plan")
+    // the clustering key is an internal artifact, not a published column
+    assert(clustered.columns.toSeq === Tables.lineitem(spark, sf).columns.toSeq,
+      s"zorderCluster must publish the caller's schema unchanged: ${clustered.columns.mkString(",")}")
+    // a pre-existing user column named zval must survive clustering intact
+    val withUserZval = Tables.lineitem(spark, sf).limit(50).withColumn("zval", lit(7))
+    val out = Layout.zorderCluster(withUserZval, col("l_partkey"), col("l_suppkey"), 21, 4)
+    assert(out.columns.contains("zval") && out.select("zval").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(7))
   }
 
   test("z-ordered partitions are tight on BOTH keys; a plain sort is not") {
