@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.TextFunctions
+import graft.functions.{Exact, TextFunctions}
 import graft.operators.Sampling
 
 /** Corpus-curation query inventory: the selection / weighting / scrubbing
@@ -524,23 +524,31 @@ object Curation {
   def bigramLm(s: SparkSession, d: String): DataFrame =
     bigramLmOn(Tables.documents(s, d))
 
-  def bigramLmOn(docs: DataFrame): DataFrame = {
-    val pairs = docs.select(
-      explode(TextFunctions.bindOnce(TextFunctions.tokens(col("text"))) { toks =>
-        when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
-            struct(element_at(toks, i + 1).as("w1"),
-              element_at(toks, i + 2).as("w2"))))
-      }).as("p"))
-    pairs
+  /** Bigram-per-row array of a token column: struct(w1, w2) for each
+    * adjacent pair; empty for docs under two tokens. */
+  private def bigramArray(text: org.apache.spark.sql.Column) =
+    TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+      when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2), i =>
+          struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+    }
+
+  /** Full LM count table over a corpus: exact (w1, w2) counts + head counts.
+    * The head-count window runs over the AGGREGATED, vocabulary-bounded
+    * bigram table partitioned on w1 — never over corpus-sized data. */
+  private def bigramLmTable(docs: DataFrame): DataFrame =
+    docs.select(explode(bigramArray(col("text"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("w1_cnt", sum(col("cnt")).over(Window.partitionBy("w1")))
+
+  def bigramLmOn(docs: DataFrame): DataFrame =
+    bigramLmTable(docs)
       .withColumn("p_mle",
         col("cnt").cast("double") / col("w1_cnt").cast("double"))
       .orderBy(desc("cnt"), asc("w1"), asc("w2"))
       .limit(bigramTopK)
-  }
 
   val bigramLmSql: String = s"""
     SELECT w1, w2, cnt, w1_cnt, CAST(cnt AS DOUBLE) / CAST(w1_cnt AS DOUBLE) AS p_mle
@@ -555,6 +563,80 @@ object Curation {
         GROUP BY 1, 2))
     ORDER BY cnt DESC, w1, w2 LIMIT $bigramTopK"""
 
+  // --- q82: LM quality filter (the consumer of q77's statistics) -----------
+
+  /** Docs with doc_id % [[lmHoldoutMod]] == 0 are held out of LM training,
+    * so scoring them produces genuine out-of-vocabulary bigrams. */
+  val lmHoldoutMod = 10
+
+  /** Perplexity-style quality score of EVERY document against the bigram LM
+    * trained on the non-held-out corpus — the filter q77's count table
+    * exists for. Per doc: bigram count, OOV-bigram count and rate, and the
+    * min / mean MLE conditional probability over in-vocabulary bigrams.
+    *
+    * Gate-safe float discipline: each p is ONE IEEE division of two exact
+    * integers (cnt / w1_cnt); min is an element pick; the mean is a
+    * floor-quantized exact sum divided once (order-independent at any
+    * parallelism — no libm log; a consumer takes -log of mean_p at read
+    * time to get cross-entropy). try_divide NULLs the ratios for
+    * zero-bigram / all-OOV docs, matching DuckDB's NULL-on-zero division.
+    *
+    * Scale shape: token explode, one map-side-combined count shuffle on
+    * (w1, w2) for the LM, a (w1, w2)-keyed equi-join of doc-bigrams against
+    * the LM (both sides shuffle on the bigram key; candidates are bounded
+    * by the join key, nothing quadratic), and one per-doc aggregate.
+    * explode_outer keeps zero-bigram docs in the output without a second
+    * documents join. */
+  def lmQualityScore(s: SparkSession, d: String): DataFrame =
+    lmQualityScoreOn(Tables.documents(s, d))
+
+  def lmQualityScoreOn(docs: DataFrame): DataFrame = {
+    val lm = bigramLmTable(docs.filter(col("doc_id") % lmHoldoutMod =!= 0))
+    docs.select(col("doc_id"), explode_outer(bigramArray(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .withColumn("p", col("cnt").cast("double") / col("w1_cnt").cast("double"))
+      .groupBy("doc_id")
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        count(when(col("w1").isNotNull && col("cnt").isNull, lit(1))).as("n_oov"),
+        min(col("p")).as("min_p"),
+        try_divide(Exact.dsum(col("p"), 6), count(col("p"))).as("mean_p"))
+      .withColumn("oov_rate",
+        try_divide(col("n_oov").cast("double"), col("n_bigrams").cast("double")))
+      .select("doc_id", "n_bigrams", "n_oov", "oov_rate", "min_p", "mean_p")
+  }
+
+  val lmQualitySql: String = s"""
+    WITH pairs AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+      FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+              i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS p
+            FROM (SELECT doc_id, ${Extensions.toksSql} AS toks FROM documents)
+            WHERE len(toks) >= 2)),
+    lm AS (
+      SELECT w1, w2, cnt, CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt
+      FROM (SELECT w1, w2, count(*) AS cnt
+            FROM pairs WHERE doc_id % $lmHoldoutMod != 0 GROUP BY 1, 2)),
+    scored AS (
+      SELECT pairs.doc_id, lm.cnt,
+             CAST(lm.cnt AS DOUBLE) / CAST(lm.w1_cnt AS DOUBLE) AS p
+      FROM pairs LEFT JOIN lm ON pairs.w1 = lm.w1 AND pairs.w2 = lm.w2),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             count(CASE WHEN cnt IS NULL THEN 1 END) AS n_oov,
+             min(p) AS min_p,
+             ${Exact.dsumSql("p", 6)} / count(p) AS mean_p
+      FROM scored GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.n_oov, 0) AS n_oov,
+           CAST(a.n_oov AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS oov_rate,
+           a.min_p AS min_p,
+           a.mean_p AS mean_p
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -568,5 +650,6 @@ object Curation {
     "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
     "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),
     "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql),
-    "q77_bigram_lm"         -> QueryDef(bigramLm _, bigramLmSql))
+    "q77_bigram_lm"         -> QueryDef(bigramLm _, bigramLmSql),
+    "q82_lm_quality"        -> QueryDef(lmQualityScore _, lmQualitySql))
 }

@@ -345,4 +345,47 @@ class CurationSpec extends AnyFunSuite {
       s"doc 1 shares exactly 2 distinct grams with probe 97: ${hits.toSeq}")
     assert(!hits.exists { case (d, p, _) => d == p }, "no self pairs")
   }
+
+  test("q82: LM quality score flags a planted gibberish doc, passes fluent text") {
+    import spark.implicits._
+    // docs 1..9 train the LM (doc 10 is held out by doc_id % 10); the
+    // gibberish doc's bigrams never occur in training -> all OOV
+    val train = (1L to 9L).map(i => (i, "the cat sat on the mat"))
+    val df = (train :+ (10L, "zxq qqw wvx jjk")).toDF("doc_id", "text")
+    val rows = Curation.lmQualityScoreOn(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val fluent = rows(1L)
+    assert(fluent.getLong(fluent.fieldIndex("n_bigrams")) === 5L)
+    assert(fluent.getLong(fluent.fieldIndex("n_oov")) === 0L)
+    assert(fluent.getDouble(fluent.fieldIndex("oov_rate")) === 0.0)
+    // "the"->"cat" and "the"->"mat" each occur 9 times among 18 "the" heads
+    assert(fluent.getDouble(fluent.fieldIndex("min_p")) === 0.5)
+    // in-vocab p values: the->cat .5, cat->sat 1, sat->on 1, on->the 1, the->mat .5
+    assert(math.abs(fluent.getDouble(fluent.fieldIndex("mean_p")) - 0.8) < 1e-6)
+
+    val gibberish = rows(10L)
+    assert(gibberish.getLong(gibberish.fieldIndex("n_bigrams")) === 3L)
+    assert(gibberish.getLong(gibberish.fieldIndex("n_oov")) === 3L)
+    assert(gibberish.getDouble(gibberish.fieldIndex("oov_rate")) === 1.0)
+    assert(gibberish.isNullAt(gibberish.fieldIndex("min_p")), "all-OOV doc has no in-vocab p")
+    assert(gibberish.isNullAt(gibberish.fieldIndex("mean_p")))
+  }
+
+  test("q82: zero-token and single-token docs score with zero bigrams and NULL ratios") {
+    import spark.implicits._
+    val df = Seq((1L, "shared words shared words"), (2L, ""), (3L, "   "),
+      (4L, "lonely")).toDF("doc_id", "text")
+    val rows = Curation.lmQualityScoreOn(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L), "every doc appears in the output")
+    for (id <- Seq(2L, 3L, 4L)) {
+      val r = rows(id)
+      assert(r.getLong(r.fieldIndex("n_bigrams")) === 0L)
+      assert(r.getLong(r.fieldIndex("n_oov")) === 0L)
+      assert(r.isNullAt(r.fieldIndex("oov_rate")), s"doc $id oov_rate must be NULL, not 0/0")
+      assert(r.isNullAt(r.fieldIndex("min_p")))
+      assert(r.isNullAt(r.fieldIndex("mean_p")))
+    }
+  }
 }
