@@ -118,6 +118,54 @@ class LayoutSpec extends AnyFunSuite {
     grid.unpersist()
   }
 
+  test("z-clustered layout prunes row groups on BOTH keys at read time; a single-key sort cannot") {
+    // 64 one-row-group files over a 256x256 grid: the z-layout tiles the
+    // plane ~32x32, so a point predicate on EITHER key touches ~8 files;
+    // the x-sorted layout is perfect on x (1 file) but every file spans all
+    // of y, so a y predicate reads the whole table
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zprune").toString
+    val zdir = s"$base/z"; val xdir = s"$base/xsort"
+    Layout.zorderCluster(grid, col("x"), col("y"), 21, 64).write.parquet(zdir)
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(xdir)
+
+    // (a) stats-based: files whose [min, max] span contains the predicate —
+    // exactly what footer min/max skipping consumes
+    def filesContaining(dir: String, key: String, v: Int): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(key).as("lo"), max(key).as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v)
+        .count()
+    val zFiles = filesContaining(zdir, "x", 129) + filesContaining(zdir, "y", 129)
+    val lexFiles = filesContaining(xdir, "x", 129) + filesContaining(xdir, "y", 129)
+    assert(filesContaining(xdir, "y", 129) === 64, "x-sorted layout cannot skip any file on y")
+    assert(zFiles <= 24, s"z layout should touch ~8 files per key, touched $zFiles total")
+    assert(zFiles * 2 < lexFiles, s"z files touched $zFiles vs single-key $lexFiles")
+
+    // (b) the real read path: pushed filter -> parquet row-group skip; the
+    // scan's numOutputRows counts rows surviving the skip
+    def scanRows(dir: String, key: String): Long = {
+      val df = spark.read.parquet(dir).filter(col(key) === 129)
+      df.collect()
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      exec.collectLeaves().head.metrics("numOutputRows").value
+    }
+    val zScanned = scanRows(zdir, "x") + scanRows(zdir, "y")
+    val lexScanned = scanRows(xdir, "x") + scanRows(xdir, "y")
+    assert(lexScanned > 65536, s"single-key layout must scan the full table for the y probe: $lexScanned")
+    assert(zScanned * 2 < lexScanned,
+      s"z layout scanned $zScanned rows for both probes vs $lexScanned single-key")
+    info(s"rows scanned for an x-probe + y-probe: z-order $zScanned, single-key sort $lexScanned " +
+      f"(${lexScanned.toDouble / zScanned}%.1fx)")
+  }
+
   test("q76 buckets partition rows and nest inside the interleave geometry") {
     val rows = LayoutQueries.zorderStats(spark, sf).collect()
     assert(rows.nonEmpty)
