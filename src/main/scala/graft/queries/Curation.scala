@@ -637,6 +637,148 @@ object Curation {
            a.mean_p AS mean_p
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
+  // --- q83: cross-doc duplicated n-gram fraction ----------------------------
+
+  /** Exact-substring duplication diagnostic (the signal behind
+    * substring-level train-set dedup): for every document, the fraction of
+    * its DISTINCT word-[[dupGramN]]-grams that also occur in at least one
+    * OTHER document. q68 measures repetition WITHIN a document; this
+    * measures overlap ACROSS the corpus — boilerplate headers, mirrored
+    * pages, and template text light up here even when no whole-document
+    * near-dup exists.
+    *
+    * Per-doc distinct grams make df a document frequency, so "df ≥ 2" is
+    * exactly "appears in another document". The fraction is one IEEE
+    * division of two exact integers (the q62 rule).
+    *
+    * Scale shape: the inverted-index pattern (q69) — explode per-doc
+    * DISTINCT grams, ONE map-side-combined count shuffle on the gram for
+    * df, an equi-join back on the gram (the df side is pre-aggregated to
+    * one row per gram), and one per-doc aggregate. Nothing is all-pairs;
+    * per-doc distinctness caps any document's contribution to a hot gram
+    * at 1. At 100 TB the gram would be a 13-gram hash instead of a 5-gram
+    * string to keep the shuffle payload narrow. */
+  val dupGramN = 5
+
+  def dupNgramFraction(s: SparkSession, d: String): DataFrame =
+    dupNgramFractionOn(Tables.documents(s, d))
+
+  def dupNgramFractionOn(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), dupGramN))).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  val dupNgramFractionSql: String = s"""
+    WITH t AS (SELECT doc_id, ${Extensions.toksSql} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - ${dupGramN - 1}),
+            i -> ${(0 until dupGramN).map(j => s"toks[i+${j + 1}]").mkString(" || ' ' || ")}))) AS g
+          FROM t WHERE len(toks) >= $dupGramN),
+    df AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+    SELECT doc_id, count(*) AS n_grams,
+           count(CASE WHEN df.df >= 2 THEN 1 END) AS n_dup,
+           CAST(count(CASE WHEN df.df >= 2 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM g JOIN df USING (g)
+    GROUP BY doc_id"""
+
+  // --- q84: mixture resampling to a target domain distribution --------------
+
+  /** Domain-mix rebalancing: downsample each source toward a UNIFORM target
+    * share (1/S of the corpus each) — the "fix the web-crawl/books/code
+    * ratio" pass of training-data assembly. A document survives iff
+    *
+    *   bucket/10000  <  (N/S) / n_s      (acceptance ratio of its source)
+    *
+    * evaluated as the all-integer cross-multiplication
+    * `bucket·S·n_s < 10000·N`, so both engines decide every row with exact
+    * integer arithmetic — no float ratio anywhere. Under-represented
+    * sources (n_s ≤ N/S) pass whole (ratio ≥ 1); over-represented sources
+    * are cut to ≈ N/S docs. The bucket is the content fingerprint mod
+    * 10⁴ (q59/q61's primitive), so the sample is reproducible,
+    * re-shard-stable, and duplicate-stable.
+    *
+    * Scale shape: one map-side-combined count per source (S rows),
+    * broadcast back; the total attaches as a broadcast 1-row cross join
+    * (the q62 N pattern). The data pass itself is row-local — no shuffle
+    * of the corpus, ever. Overflow: bucket < 10⁴, S·n_s ≤ S·N; at 10¹²
+    * docs and 100 sources the product is ~10¹⁸ < 2⁶³. */
+  def domainMixSample(s: SparkSession, d: String): DataFrame =
+    domainMixSampleOn(Tables.documents(s, d))
+
+  def domainMixSampleOn(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("doc_id"), col("source"),
+      (TextFunctions.fingerprint(col("text")) % 10000).as("bucket"))
+    val counts = b.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum("n_s").as("n_total"), count(lit(1)).as("n_sources"))
+    b.join(broadcast(counts), "source")
+      .crossJoin(broadcast(tot))
+      .filter(col("bucket") * col("n_sources") * col("n_s") <
+        lit(10000L) * col("n_total"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
+  val domainMixSampleSql: String = s"""
+    WITH b AS (SELECT doc_id, source,
+                      ${Extensions.fingerprintExprSql} % 10000 AS bucket
+               FROM documents),
+    c AS (SELECT source, count(*) AS n_s FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                 count(*) AS n_sources FROM c)
+    SELECT doc_id, b.source AS source, bucket
+    FROM b JOIN c ON b.source = c.source CROSS JOIN t
+    WHERE bucket * n_sources * n_s < 10000 * n_total"""
+
+  // --- q85: incremental vocabulary maintenance ------------------------------
+
+  /** Cross-run token-count maintenance, gate-shaped like q52: the corpus is
+    * split into two "ingest days" by doc-id parity, day 1's token counts
+    * are materialized ONCE per sf dir (the q31/q52 offline-index caching
+    * pattern), and the query merges day 2's delta counts into the
+    * persisted base — counts(base) ⊎ counts(delta) with a summing merge.
+    * The oracle recomputes the whole-corpus counts from scratch; equality
+    * is the algebraic identity that count is a commutative monoid — the
+    * merged refresh IS the full answer.
+    *
+    * Scale shape: the refresh tokenizes ONLY the delta (cost ∝ new data,
+    * not corpus size), then one summing shuffle bounded by |vocab| + |delta
+    * vocab| — the incremental-materialized-aggregate pattern every corpus
+    * statistics job at 100 TB needs (full retokenization of a 100 TB corpus
+    * per ingest batch is the alternative). */
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  private[graft] def vocabIndexDir(d: String): String =
+    Extensions.indexCacheDir("graft-vocab-cache", d, "documents", "tok")
+
+  private val vocabBuildLock = new Object
+
+  def incrementalVocab(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = vocabIndexDir(d)
+    vocabBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        tokenCounts(docs.filter(col("doc_id") % 2 === 0))
+          .write.mode("overwrite").parquet(dir)
+    }
+    val base = s.read.parquet(dir)
+    val delta = tokenCounts(docs.filter(col("doc_id") % 2 === 1))
+    base.unionByName(delta).groupBy("token").agg(sum("cnt").as("cnt"))
+  }
+
+  val incrementalVocabSql: String = s"""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(${Extensions.toksSql}) AS token FROM documents)
+    GROUP BY 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -651,5 +793,8 @@ object Curation {
     "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),
     "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql),
     "q77_bigram_lm"         -> QueryDef(bigramLm _, bigramLmSql),
-    "q82_lm_quality"        -> QueryDef(lmQualityScore _, lmQualitySql))
+    "q82_lm_quality"        -> QueryDef(lmQualityScore _, lmQualitySql),
+    "q83_dup_ngram_frac"    -> QueryDef(dupNgramFraction _, dupNgramFractionSql),
+    "q84_domain_mix_sample" -> QueryDef(domainMixSample _, domainMixSampleSql),
+    "q85_incremental_vocab" -> QueryDef(incrementalVocab _, incrementalVocabSql))
 }

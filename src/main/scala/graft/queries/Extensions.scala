@@ -251,8 +251,8 @@ object Extensions {
     * a parameter change can never probe an incompatible index; band hashes
     * built under different numHashes would simply never collide, silently
     * emitting zero candidates). */
-  private def indexCacheDir(cache: String, d: String, srcTable: String,
-                            params: String): String = {
+  private[queries] def indexCacheDir(cache: String, d: String, srcTable: String,
+                                     params: String): String = {
     val src = new java.io.File(s"$d/$srcTable.parquet")
     val fp = java.lang.Long.toHexString(src.lastModified() ^ (src.length() * 1000003L))
     s"/root/repo/target/$cache/" +

@@ -388,4 +388,86 @@ class CurationSpec extends AnyFunSuite {
       assert(r.isNullAt(r.fieldIndex("mean_p")))
     }
   }
+
+  test("q83: dup-ngram fraction counts cross-doc 5-gram overlap exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),   // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),   // grams: "a b c d e", "b c d e x"
+      (3L, "z y x w v"),     // one gram, unique
+      (4L, "too short")      // no 5-grams -> absent
+    ).toDF("doc_id", "text")
+    val rows = Curation.dupNgramFractionOn(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L), "docs without 5-grams are absent")
+    assert(rows(1L) === ((2L, 1L, 0.5)), "doc 1 shares 'a b c d e' with doc 2")
+    assert(rows(2L) === ((2L, 1L, 0.5)))
+    assert(rows(3L) === ((1L, 0L, 0.0)), "unique doc has zero dup fraction")
+  }
+
+  test("q83: intra-doc repetition is NOT cross-doc duplication (distinct grams per doc)") {
+    import spark.implicits._
+    // one doc repeating its own 5-gram: df stays 1, frac stays 0
+    val df = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val r = Curation.dupNgramFractionOn(df).collect()
+    assert(r.forall(_.getLong(2) === 0L), "self-repetition must not count as dup")
+  }
+
+  test("q83: exact duplicate documents in the corpus score dup_frac 1.0") {
+    val out = Curation.dupNgramFraction(spark, sf)
+    assert(out.filter(col("dup_frac") === 1.0).count() >= 2,
+      "the fixture's planted exact dups must have every gram shared")
+    // inverted-index shape: the gram join must be an equi-join, never a
+    // cartesian/broadcast-nested-loop pair blow-up
+    val plan = Curation.dupNgramFraction(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"gram join must be key-bounded:\n$plan")
+  }
+
+  test("q84: over-represented sources are cut toward N/S, small sources pass whole") {
+    import spark.implicits._
+    // source A: 300 docs, B: 50, C: 50 -> N=400, S=3, target share ~133
+    val df = ((1 to 300).map(i => (i.toLong, "A", s"alpha document number $i payload")) ++
+      (301 to 350).map(i => (i.toLong, "B", s"beta document number $i payload")) ++
+      (351 to 400).map(i => (i.toLong, "C", s"gamma document number $i payload")))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.domainMixSampleOn(df)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("B") === 50L, "under-represented source must survive whole")
+    assert(kept("C") === 50L)
+    // acceptance ratio for A = (400/3)/300 = 0.444; content-hash buckets are
+    // roughly uniform, so the kept count lands well inside (60, 220)
+    assert(kept("A") > 60L && kept("A") < 220L,
+      s"over-represented source must be cut toward 133, got ${kept("A")}")
+  }
+
+  test("q84: sampling decision is content-deterministic and the corpus side never sort-merges") {
+    val a = Curation.domainMixSample(spark, sf).collect().map(_.getLong(0)).sorted
+    val b = Curation.domainMixSample(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "re-running the sample must keep the same docs")
+    val plan = Curation.domainMixSample(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"counts and total must broadcast, never shuffle the corpus for a join:\n$plan")
+  }
+
+  test("q85: merged incremental counts equal a full recompute") {
+    val merged = Curation.incrementalVocab(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, sf)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === full,
+      "incremental merge must reproduce the from-scratch vocabulary exactly")
+  }
+
+  test("q85: the day-1 base index is built once and reused") {
+    Curation.incrementalVocab(spark, sf).count() // ensure built
+    val success = new java.io.File(s"${Curation.vocabIndexDir(sf)}/_SUCCESS")
+    assert(success.exists(), "persisted base index must exist after a run")
+    val mtime = success.lastModified()
+    Curation.incrementalVocab(spark, sf).count()
+    assert(success.lastModified() === mtime,
+      "a second run must reuse the persisted base, not rebuild it")
+  }
 }

@@ -376,7 +376,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
     val err = intercept[Exception](
       spark.sql("SELECT graft_fingerprint('a', 0) AS f").collect())
-    assert(err.getMessage.contains("positive"))
+    assert(err.getMessage.contains("must be in [1,"))
   }
 
   test("SQL graft_dot widens array<float> input instead of misreading it") {
@@ -399,7 +399,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // non-positive count is a builder error, not a runtime array exception
     val err = intercept[Exception](
       spark.sql("SELECT graft_minhash(array('a'), 0) AS s").collect())
-    assert(err.getMessage.contains("positive"))
+    assert(err.getMessage.contains("must be in [1,"))
   }
 
   test("graft_minhash treats null shingles like the lambda form (no NPE)") {
