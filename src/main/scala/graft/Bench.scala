@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Local iteration: SPARK_GRAFT_ONLY=<substring[,substring…]> restricts the
   * run to matching query names (warmup unchanged).
+  *
+  * q06 variance (judged a watch item in rounds 2→3 and 4→5, investigated
+  * round 6): isolated at sf0.1/local[32] with 7 reps, q06's median is
+  * 1.66 s with a 1.53 s min — an 8 % spread. The ±40 % movement seen
+  * across full-registry runs is cross-query JVM state (GC pressure and
+  * codegen-cache churn from the ~80 preceding queries) plus machine load,
+  * not the q06 plan: its TakeOrderedAndProject shape and its shared
+  * validFeatures upstream are unchanged and q02 (same upstream) moves the
+  * other way in the same rounds. The per-query "queries_min" on the
+  * benchdetail line is the noise floor to compare across rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
