@@ -189,23 +189,25 @@ object Curation {
   /** Training-mix source capping: keep at most `sourceCapK` documents per
     * source, chosen by content-hash priority (bucket asc, doc_id as the
     * tie-break) — so WHICH docs survive the cap is reproducible and
-    * duplicate-stable, not ingest-order-dependent. One shuffle on source;
-    * per-source state is a row_number stream, no materialized group. A
-    * skewed giant source bounds at `sourceCapK` output rows but still
-    * sorts its partition — for 100 TB hot sources, pre-filter with an
-    * approximate per-source count and a higher-selectivity bucket cut
-    * before the exact window. */
+    * duplicate-stable, not ingest-order-dependent.
+    *
+    * Runs on [[graft.operators.Selection.capPerGroup]] — distributed
+    * two-pass selection, NOT a `row_number` window partitioned on the
+    * low-cardinality source (which would full-sort the corpus at
+    * parallelism |sources|; until round 6 this query carried exactly that
+    * documented scale caveat). The output is row-identical to the window
+    * form (CurationSpec asserts it on a skewed fixture); the oracle is
+    * unchanged. */
   val sourceCapK = 10
 
-  def sourceCap(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("bucket"), col("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("bucket", Sampling.pctBucket(col("text")))
-      .withColumn("keep_rank", row_number().over(w))
-      .filter(col("keep_rank") <= sourceCapK)
+  def sourceCap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Selection.capPerGroup(
+      Tables.documents(s, d)
+        .withColumn("bucket", Sampling.pctBucket(col("text")))
+        .select(col("doc_id"), col("source"), col("bucket")),
+      groupCol = "source", bucketCol = "bucket", idCol = "doc_id",
+      k = sourceCapK)
       .select(col("doc_id"), col("source"), col("bucket"), col("keep_rank"))
-  }
 
   val sourceCapSql: String = s"""
     SELECT doc_id, source, bucket, keep_rank FROM (

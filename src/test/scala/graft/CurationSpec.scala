@@ -450,6 +450,42 @@ class CurationSpec extends AnyFunSuite {
       s"counts and total must broadcast, never shuffle the corpus for a join:\n$plan")
   }
 
+  test("q67: distributed selection cap ≡ the naive window form on a skewed corpus") {
+    import spark.implicits._
+    // source A: 5000 rows concentrated in few buckets (hot source), B: 7
+    // rows (fewer than k), C: 40 rows spread out
+    val df = ((1 to 5000).map(i => (i.toLong, "A", s"hot source row $i")) ++
+      (6001 to 6007).map(i => (i.toLong, "B", s"tiny source row $i")) ++
+      (7001 to 7040).map(i => (i.toLong, "C", s"spread source row $i")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("bucket", Sampling.pctBucket(col("text")))
+      .select("doc_id", "source", "bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
+    val naive = df.withColumn("keep_rank", row_number().over(w))
+      .filter(col("keep_rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val fast = graft.operators.Selection
+      .capPerGroup(df, "source", "bucket", "doc_id", 10)
+      .select("doc_id", "source", "bucket", "keep_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(fast === naive, "selection cap must be row-identical to the window form")
+    assert(fast.count(_._2 == "B") === 7, "a sub-k group survives whole")
+    assert(fast.count(_._2 == "A") === 10)
+  }
+
+  test("q67: the cap plan aggregates partially (bounded buffers), never sorts the corpus per group") {
+    val plan = Curation.sourceCap(spark, sf).queryExecution.executedPlan.toString
+    // the bottom-k udaf must run as a partial+final aggregate pair — the
+    // bounded-buffer property that keeps a hot group off the driver/executor
+    assert(plan.toLowerCase.contains("bottomklongs"),
+      s"bounded bottom-k aggregate missing from plan:\n$plan")
+    // the only windows in the plan run over pre-aggregated bounded tables
+    // (bucket histogram, ≤k survivors) — the raw document scan must feed an
+    // Aggregate, not a Sort+Window
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("q85: merged incremental counts equal a full recompute") {
     val merged = Curation.incrementalVocab(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
