@@ -64,4 +64,17 @@ object CurationPipeline {
           .when(col("split_bucket") < 90, lit("val"))
           .otherwise(lit("test")))
   }
+
+  /** Streaming twin of q85's incremental vocabulary maintenance: a running
+    * `groupBy(token).count()` over the live document stream. The streaming
+    * aggregation state is bounded by |vocabulary| (one long per distinct
+    * token — the zipf ceiling, NOT corpus size), and Spark's partial
+    * aggregation pre-combines each micro-batch map-side, so every trigger
+    * shuffles at most |batch vocabulary| rows. Counts are a commutative
+    * monoid, so any replay arrangement converges to the batch answer —
+    * CurationPipelineSpec asserts stream ≡ batch recompute, the same
+    * identity the q85 oracle pins for the persisted-index form. */
+  def runningTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
 }

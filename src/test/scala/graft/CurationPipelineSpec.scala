@@ -49,6 +49,31 @@ class CurationPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running token counts: streaming state converges to the batch vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = fixtureDocs.as[CurDoc].collect().toList
+    val shuffled = new scala.util.Random(41).shuffle(docs)
+
+    val in = MemoryStream[CurDoc]
+    val q = CurationPipeline.runningTokenCounts(in.toDF())
+      .writeStream.format("memory").queryName("vocab_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(77).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("vocab_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = CurationPipeline.runningTokenCounts(fixtureDocs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streamed running counts must converge to the batch vocabulary")
+    } finally q.stop()
+  }
+
   test("batch curation: stage contracts hold end-to-end") {
     val out = CurationPipeline.curate(fixtureDocs, "ts").cache()
     try {
