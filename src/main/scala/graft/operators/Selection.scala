@@ -84,6 +84,48 @@ object Selection {
     }
   }
 
+  /** Bounded-memory Misra-Gries frequency summary over a string stream:
+    * at most k counters per buffer, partially aggregatable (the merge
+    * combines counts then subtracts the (k+1)-th largest, the standard
+    * mergeable-summaries result), with the classic guarantee that any
+    * element with true frequency > n/k survives to the final summary —
+    * undercounted, but never absent. Candidates only; an exact second
+    * pass over the candidate set turns the sketch into an exact
+    * heavy-hitter answer (no false negatives by the guarantee, false
+    * positives die on the exact counts). */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Array[String]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], v: String): Map[String, Long] =
+      buf.get(v) match {
+        case Some(c) => buf.updated(v, c + 1L)
+        case None if buf.size < k => buf.updated(v, 1L)
+        case None => // decrement-all step: drop zeros, v itself is absorbed
+          buf.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val comb = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+      if (comb.size <= k) comb
+      else {
+        // subtract the (k+1)-th largest count from everything, keep positive
+        val counts = comb.values.toArray
+        java.util.Arrays.sort(counts)
+        val sub = counts(comb.size - k - 1)
+        comb.collect { case (t, c) if c > sub => t -> (c - sub) }
+      }
+    }
+
+    override def finish(buf: Map[String, Long]): Array[String] = buf.keys.toArray.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
   /** Keep the k smallest (bucketCol, idCol) rows per groupCol, with their
     * 1-based rank as `keep_rank` — equivalent to
     * `row_number() OVER (PARTITION BY group ORDER BY bucket, id) <= k`

@@ -781,6 +781,55 @@ object Curation {
     FROM (SELECT unnest(${Extensions.toksSql}) AS token FROM documents)
     GROUP BY 1"""
 
+  // --- q86: heavy-hitter tokens (bounded sketch + exact verify) -------------
+
+  /** Every token holding at least 1/[[hhFraction]] of all token
+    * occurrences, with its EXACT count — the "which boilerplate tokens
+    * dominate my corpus" diagnostic. Two passes:
+    *
+    *   1. candidates from a [[graft.operators.Selection.MisraGries]]
+    *      summary (≤ [[hhSketchK]] counters per task and per merge — a
+    *      100 TB token stream never materializes a vocabulary for this
+    *      query, unlike the q63 full vocab build). MG guarantees any token
+    *      with frequency > n/[[hhSketchK]] survives; the threshold
+    *      n/[[hhFraction]] is coarser, so there are NO false negatives.
+    *      The ≤ [[hhSketchK]] candidates collect to the driver — bounded
+    *      metadata, the q52-index/BPE-winner precedent.
+    *   2. exact counts of candidate tokens only (the isin filter prunes
+    *      the second scan before its map-side combine), and the exact
+    *      all-integer threshold `cnt · hhFraction ≥ n` kills false
+    *      positives.
+    *
+    * The output is exact and sketch-independent — the sketch only decides
+    * how little memory pass 1 needs — so the oracle is the plain
+    * count-and-filter recompute. */
+  val hhFraction = 200L
+  val hhSketchK = 400
+
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHittersOn(Tables.documents(s, d))
+
+  def heavyHittersOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val mg = udaf(new graft.operators.Selection.MisraGries(hhSketchK),
+      org.apache.spark.sql.Encoders.STRING)
+    val candidates = toks.agg(mg(col("token")).as("cand"))
+      .head.getSeq[String](0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(hhFraction) >= col("n_total"))
+      .select(col("token"), col("cnt"))
+  }
+
+  val heavyHittersSql: String = s"""
+    WITH tok AS (SELECT unnest(${Extensions.toksSql}) AS token FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+    SELECT token, cnt FROM c CROSS JOIN t
+    WHERE cnt * $hhFraction >= n_total"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -798,5 +847,6 @@ object Curation {
     "q82_lm_quality"        -> QueryDef(lmQualityScore _, lmQualitySql),
     "q83_dup_ngram_frac"    -> QueryDef(dupNgramFraction _, dupNgramFractionSql),
     "q84_domain_mix_sample" -> QueryDef(domainMixSample _, domainMixSampleSql),
-    "q85_incremental_vocab" -> QueryDef(incrementalVocab _, incrementalVocabSql))
+    "q85_incremental_vocab" -> QueryDef(incrementalVocab _, incrementalVocabSql),
+    "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql))
 }

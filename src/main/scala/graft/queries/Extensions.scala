@@ -781,6 +781,62 @@ object Extensions {
       .withColumn("rolling_cents_24h", sum(col("cents")).over(w))
   }
 
+  /** q87: gap-based sessionization of the raw event log — the batch
+    * analytics twin of the streaming invoice sessionizer (ST4): a new
+    * session starts when a user's inter-event gap exceeds
+    * [[sessionGapUs]]. The classic lag → boundary-flag → running-sum
+    * session numbering, then one session-level rollup.
+    *
+    * Exactness: gaps compare `unix_micros` longs (epoch_us in DuckDB) —
+    * integer microseconds, no timestamp arithmetic ambiguity; span is an
+    * integer difference.
+    *
+    * Scale shape: the lag/running-sum windows partition on user_id —
+    * HIGH-cardinality (the q66/q70 class, not the q81 scale-killer
+    * class) — so the table shuffles once on user and each partition
+    * sorts only its own users' events. The rollup then aggregates on
+    * (user_id, session_seq), map-side combined. */
+  val sessionGapUs: Long = 1800L * 1000000L // 30 min
+
+  def eventSessions(s: SparkSession, d: String): DataFrame =
+    eventSessionsOn(Tables.events(s, d))
+
+  def eventSessionsOn(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > sessionGapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+  }
+
+  val eventSessionsSql: String = s"""
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts_us) AS start_us,
+           max(ts_us) - min(ts_us) AS span_us
+    FROM (
+      SELECT user_id, event_id, ts_us,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) IS NULL
+                      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) > $sessionGapUs
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)))
+    GROUP BY user_id, session_seq"""
+
   /** DuckDB window sums of integers are HUGEINT (→ float64 in the driver's
     * pandas compare — the q60 failure class), hence the explicit BIGINT
     * cast on the windowed sum. */
@@ -875,5 +931,6 @@ object Extensions {
     "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql),
     "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql),
     "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql),
-    "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql))
+    "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql),
+    "q87_event_sessions"     -> QueryDef(eventSessions _, eventSessionsSql))
 }

@@ -486,6 +486,34 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("q86: Misra-Gries summary stays bounded and never loses a true heavy hitter") {
+    val mg = new graft.operators.Selection.MisraGries(5)
+    // 60 'hot' among 100 distinct cold tokens: true freq 60/160 >> n/k
+    val stream = scala.util.Random.shuffle(
+      (Seq.fill(60)("hot") ++ (1 to 100).map(i => s"cold$i")).toList)
+    val buf = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(buf.size <= 5, "buffer must never exceed k counters")
+    assert(buf.contains("hot"), "an element with freq > n/k must survive")
+    // mergeability: split the stream in 4, merge partial summaries
+    val merged = stream.grouped(40).toList
+      .map(part => part.foldLeft(mg.zero)(mg.reduce))
+      .reduce(mg.merge)
+    assert(merged.size <= 5)
+    assert(merged.contains("hot"), "the merged summary keeps the heavy hitter")
+  }
+
+  test("q86: heavy hitters are exact — sketch candidates verified by real counts") {
+    import spark.implicits._
+    // 'the' holds 50% of 600 tokens; each unique token's single occurrence
+    // is under the 1/200 threshold (200·1 < 600)
+    val docs = (1L to 300L).map(i => (i, s"the unique$i"))
+      .toDF("doc_id", "text")
+    val out = Curation.heavyHittersOn(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("the" -> 300L),
+      s"only the dominant token passes the exact threshold, got $out")
+  }
+
   test("q85: merged incremental counts equal a full recompute") {
     val merged = Curation.incrementalVocab(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -502,4 +502,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fp.filter(col("fp").isNull).count() === 0)
     fp.unpersist()
   }
+
+  test("q87: gap sessionization splits strictly above 30 min, spans exact") {
+    import spark.implicits._
+    val base = 1700000000L // epoch seconds
+    val ev = Seq(
+      (1L, 7L, base),               // user 7, session 1
+      (2L, 7L, base + 600),         // +10 min: same session
+      (3L, 7L, base + 600 + 1801),  // gap 30:01 -> session 2
+      (4L, 8L, base),               // user 8, session 1
+      (5L, 8L, base + 1800)         // gap exactly 30:00 -> SAME session
+    ).toDF("event_id", "user_id", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val out = graft.queries.Extensions.eventSessionsOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val us = 1000000L
+    assert(out.keySet === Set((7L, 1L), (7L, 2L), (8L, 1L)))
+    assert(out((7L, 1L)) === ((2L, base * us, 600L * us)),
+      "session 1 holds the two close events with a 10-minute span")
+    assert(out((7L, 2L)) === ((1L, (base + 2401L) * us, 0L)),
+      "a 30:01 gap opens a new session")
+    assert(out((8L, 1L)) === ((2L, base * us, 1800L * us)),
+      "a gap of exactly 30:00 does NOT split (strict >)")
+  }
 }
