@@ -830,6 +830,60 @@ object Curation {
     SELECT token, cnt FROM c CROSS JOIN t
     WHERE cnt * $hhFraction >= n_total"""
 
+  // --- q88: the composed curation pipeline, oracled end-to-end --------------
+
+  /** The FULL [[graft.streaming.CurationPipeline]] cascade — quality route
+    * → keep → stratified sample → exact keep-first dedup → content-hash
+    * train/val/test split — as one registry query with a DuckDB oracle
+    * over the whole composition. The per-stage queries (q65, q61, q20,
+    * q59) each pin one operator; this pins their COMPOSITION, so a
+    * stage-ordering regression (e.g. sampling before routing, or splitting
+    * before dedup) fails the gate even when every stage is individually
+    * correct. The streaming replay-equivalence test
+    * (CurationPipelineSpec) ties the same composition to the live-stream
+    * form — together: stream ≡ batch ≡ independent SQL engine. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CurationPipeline.curate(
+      Tables.documents(s, d).withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id") % 300)), "ts")
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+
+  val curationPipelineSql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, t -> t IN (${Extensions.enStops}))) AS DOUBLE)
+                 / NULLIF(CAST(len(toks) AS DOUBLE), 0.0)
+               - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / NULLIF(CAST(length(text) AS DOUBLE), 0.0)
+               - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS quality
+      FROM (SELECT doc_id, text, lang, source, ${Extensions.toksSql} AS toks
+            FROM documents)),
+    kept AS (
+      SELECT * FROM scored
+      WHERE CASE WHEN n_tokens < $minTokens THEN 'too_short'
+                 WHEN n_tokens > $maxTokens THEN 'too_long'
+                 WHEN quality < $minQuality THEN 'low_quality'
+                 ELSE 'keep' END = 'keep'),
+    samp AS (
+      SELECT * FROM (
+        SELECT *, ${Extensions.fingerprintExprSql} % 100 AS bucket FROM kept)
+      WHERE bucket < CASE lang WHEN 'en' THEN ${strataRates("en")}
+                               WHEN 'zh' THEN ${strataRates("zh")}
+                               ELSE $strataDefault END),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM samp)
+      WHERE rn = 1)
+    SELECT doc_id, lang, source,
+           CASE WHEN sb < 80 THEN 'train'
+                WHEN sb < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, ${Extensions.fingerprintExprSqlOn("reverse(text)")} % 100 AS sb
+          FROM deduped)"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -848,5 +902,6 @@ object Curation {
     "q83_dup_ngram_frac"    -> QueryDef(dupNgramFraction _, dupNgramFractionSql),
     "q84_domain_mix_sample" -> QueryDef(domainMixSample _, domainMixSampleSql),
     "q85_incremental_vocab" -> QueryDef(incrementalVocab _, incrementalVocabSql),
-    "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql))
+    "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql),
+    "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql))
 }

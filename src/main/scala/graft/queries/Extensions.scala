@@ -187,12 +187,14 @@ object Extensions {
   /** The 31-bit polynomial fingerprint fold — ONE snippet shared by every
     * oracle that mirrors `TextFunctions.fingerprint` (q28, q59), so a
     * change to the fold (prefix, modulus, init) can't desynchronize them. */
-  private[queries] val fingerprintExprSql: String = """list_reduce(
+  private[queries] def fingerprintExprSqlOn(e: String): String = s"""list_reduce(
         list_concat([CAST(0 AS BIGINT)],
           list_transform(
-            list_filter(regexp_split_to_array(substr(text, 1, 64), ''), c -> c <> ''),
+            list_filter(regexp_split_to_array(substr($e, 1, 64), ''), c -> c <> ''),
             c -> CAST(unicode(c) AS BIGINT))),
         (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  private[queries] val fingerprintExprSql: String = fingerprintExprSqlOn("text")
 
   val fingerprintSql: String = s"""
     SELECT doc_id, $fingerprintExprSql AS fp
