@@ -116,6 +116,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("RangeFrame"), s"expected a RANGE frame:\n$plan")
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective dim join") {
+    // the 100 TB knob: Spark injects a bloom filter built from the selective
+    // (filtered) dim side into the fact-side scan, killing non-joining rows
+    // BEFORE the shuffle. Off by default at toy scan sizes only because of
+    // the application-side size threshold — zero it to prove the engine path
+    // this library relies on for selective fact-dim joins at scale.
+    val conf = spark.conf
+    val old = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the injection rule targets probable SHUFFLE joins — it skips any
+      // join whose build side is broadcastable by size, as a toy-scale dim
+      // always is; at 100 TB the dim outgrows this threshold naturally
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+      val p = Tables.part(spark, sf).filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_name"))
+      // defeat the broadcast path so the runtime-filter rule (which targets
+      // shuffle joins) applies, as it would when the dim outgrows the driver
+      val joined = li.hint("merge")
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+        s"expected an injected bloom runtime filter in the optimized plan:\n$optimized")
+      // and the filtered result is still exactly the join
+      val expected = li.join(p, col("l_partkey") === col("p_partkey")).count()
+      assert(joined.count() === expected && expected > 0)
+    } finally old.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("salted join equals the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf)
