@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Curation.defs ++
     graft.queries.LayoutQueries.defs ++
     graft.queries.Stats.defs ++
+    graft.queries.MaintenanceQueries.defs ++
     graft.queries.PipelineReplay.defs ++
     graft.queries.ReferenceQueries.defs
 

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators: snapshot diff (CDC), merge-apply (upsert),
+  * and slowly-changing-dimension type-2 history. The reference pipeline is
+  * append-only, but any engine feeding a training corpus from operational
+  * tables needs the change-capture half: detect what moved between two
+  * snapshots, apply a changefeed to a target, and keep attribute history.
+  *
+  * Scale shape (the whole point of these formulations):
+  *  - `snapshotDiff` is ONE co-partitioned full-outer join on the key —
+  *    attribute comparison is row-local, so 100 TB diffs at the cost of one
+  *    key shuffle per side. No window, no collect.
+  *  - `applyChanges` is one key join against the changefeed plus a union of
+  *    inserts — the changefeed is usually tiny relative to the target, so
+  *    Catalyst/AQE broadcasts it and the target never shuffles at all.
+  *  - `scd2History` windows exclusively on the ENTITY key (high cardinality
+  *    by construction — one partition per entity's handful of rows), never
+  *    on a low-cardinality attribute: both passes sort within the same key
+  *    partitioning, so the second window reuses the first's exchange.
+  *
+  * All comparisons are null-safe (`<=>` / IS DISTINCT FROM): a NULL→value
+  * transition is a real update, NULL→NULL is not — the semantics DuckDB,
+  * Spark, and the SQL standard agree on, which is what makes these
+  * operators oracle-checkable cross-engine.
+  */
+object Maintenance {
+
+  private def requireSameSchema(a: DataFrame, b: DataFrame): Unit =
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"snapshot schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+
+  /** Changes between two snapshots of the same table, keyed by `keys`:
+    * one row per inserted ('I'), deleted ('D'), or updated ('U') key, with
+    * `old_<attr>` / `new_<attr>` columns for every non-key attribute.
+    * Unchanged keys produce no row. Exactly one full-outer key join;
+    * attribute comparison is a row-local null-safe fold. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    requireSameSchema(oldSnap, newSnap)
+    require(keys.nonEmpty && keys.forall(oldSnap.columns.contains),
+      s"keys ${keys.mkString(",")} must be columns of the snapshots")
+    val attrs = oldSnap.columns.filterNot(keys.contains).toSeq
+    val o = oldSnap.select(oldSnap.columns.map(c => col(c).as(s"__o_$c")).toSeq: _*)
+    val n = newSnap.select(newSnap.columns.map(c => col(c).as(s"__n_$c")).toSeq: _*)
+    val on = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _)
+    val anyDiff = attrs.map(a => !(col(s"__o_$a") <=> col(s"__n_$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val change = when(col(s"__n_${keys.head}").isNull, lit("D"))
+      .when(col(s"__o_${keys.head}").isNull, lit("I"))
+      .when(anyDiff, lit("U"))
+    val keyCols = keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k))
+    val attrCols = attrs.flatMap(a =>
+      Seq(col(s"__o_$a").as(s"old_$a"), col(s"__n_$a").as(s"new_$a")))
+    o.join(n, on, "full_outer")
+      .withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .select((keyCols :+ col("change")) ++ attrCols: _*)
+  }
+
+  /** Applies a [[snapshotDiff]]-shaped changefeed to `target` (MERGE):
+    * 'D' rows are dropped, 'U' rows take their `new_<attr>` values, 'I'
+    * rows are appended. `applyChanges(old, snapshotDiff(old, new), keys)`
+    * is exactly `new` — the round-trip law MaintenanceSpec and the q90
+    * oracle pin. One left join on the key (broadcast when the feed is
+    * small) plus a union of inserts. */
+  def applyChanges(target: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val attrs = target.columns.filterNot(keys.contains).toSeq
+    val feedCols = keys ++ Seq("change") ++ attrs.map(a => s"new_$a")
+    require(feedCols.forall(changes.columns.contains),
+      s"changefeed must carry ${feedCols.mkString(",")}")
+    val feed = changes.select(feedCols.map(col).toSeq: _*)
+    val on = keys.map(k => target(k) <=> feed(k)).reduce(_ && _)
+    val merged = target.join(feed, on, "left_outer")
+      .filter(feed("change").isNull || feed("change") === "U")
+      .select(keys.map(k => target(k).as(k)) ++ attrs.map(a =>
+        when(feed("change") === "U", feed(s"new_$a"))
+          .otherwise(target(a)).as(a)): _*)
+    val inserts = feed.filter(col("change") === "I")
+      .select((keys.map(col) ++ attrs.map(a => col(s"new_$a").as(a))).toSeq: _*)
+    merged.unionByName(inserts)
+  }
+
+  /** Type-2 slowly-changing-dimension history from an append-only
+    * changelog: collapses consecutive equal values of `attr` per key
+    * (ordered by `tsCol`, ties by `tieCols`) into versioned validity
+    * intervals — (version, valid_from, valid_to, is_current), `valid_to`
+    * NULL on the open current row. Revisits re-open a new version (A→B→A
+    * is three rows). Both windows partition on the entity key only. */
+  def scd2History(log: DataFrame, keys: Seq[String], attr: String,
+      tsCol: String, tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val starts = log
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      // first row per key has NULL __prev: IS DISTINCT FROM makes it a start
+      .filter(!(col("__prev") <=> col(attr)))
+    starts
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keys.map(col) ++ Seq(col(attr), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+}

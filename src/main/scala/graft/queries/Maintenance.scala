@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.{Maintenance => M}
+
+/** Table-maintenance query surface (see [[graft.operators.Maintenance]]).
+  *
+  * The two snapshots are derived DETERMINISTICALLY from the customer table
+  * by key arithmetic — both engines build byte-identical inputs, so the
+  * diff/merge semantics are what the oracle checks, not data generation:
+  *  - old snapshot: every customer except keys ≡ 3 (mod 10) — those appear
+  *    only in the new snapshot, i.e. they are the INSERTS;
+  *  - new snapshot: every customer except keys ≡ 5 (mod 13) (the DELETES),
+  *    with `c_acctbal` bumped by 100.0 for keys ≡ 2 (mod 7) (the UPDATES;
+  *    one IEEE double addition, identical cross-engine).
+  */
+object MaintenanceQueries {
+
+  private def oldSnap(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 10 =!= 3)
+
+  private def newSnap(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 13 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 2, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+
+  private val oldSnapSql =
+    "SELECT * FROM customer WHERE c_custkey % 10 != 3"
+  private val newSnapSql = """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 2 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 13 != 5"""
+
+  /** q89: CDC between the two snapshots — one 'I'/'D'/'U' row per changed
+    * key with old/new values for every attribute. One full-outer key join;
+    * see [[graft.operators.Maintenance.snapshotDiff]]. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame =
+    M.snapshotDiff(oldSnap(s, d), newSnap(s, d), Seq("c_custkey"))
+
+  val snapshotDiffSql: String = s"""
+    WITH o AS ($oldSnapSql), n AS ($newSnapSql)
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN o.c_custkey IS NULL THEN 'I'
+                ELSE 'U' END AS change,
+           o.c_name AS old_c_name,             n.c_name AS new_c_name,
+           o.c_nationkey AS old_c_nationkey,   n.c_nationkey AS new_c_nationkey,
+           o.c_acctbal AS old_c_acctbal,       n.c_acctbal AS new_c_acctbal,
+           o.c_mktsegment AS old_c_mktsegment, n.c_mktsegment AS new_c_mktsegment
+    FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_name       IS DISTINCT FROM n.c_name
+       OR o.c_nationkey  IS DISTINCT FROM n.c_nationkey
+       OR o.c_acctbal    IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment"""
+
+  /** q90: MERGE round-trip — applying the q89 changefeed to the old
+    * snapshot must reproduce the new snapshot EXACTLY, which is what the
+    * oracle (the new-snapshot SQL itself) asserts. The changefeed is tiny
+    * next to the target, so the join side broadcasts at any scale. */
+  def mergeRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val old = oldSnap(s, d)
+    M.applyChanges(old, M.snapshotDiff(old, newSnap(s, d), Seq("c_custkey")),
+      Seq("c_custkey"))
+  }
+
+  val mergeRoundTripSql: String = newSnapSql
+
+  /** q91: SCD2 order-status history per customer — consecutive equal
+    * statuses (by order date, ties by order key) collapse into versioned
+    * validity intervals; the open row is current. Windows partition on
+    * `o_custkey` only (cardinality grows with the data, never a 5-value
+    * sort — the q81 lesson applied at design time). Timestamps render as
+    * strings so both engines hash identical bytes. */
+  def scd2OrderStatus(s: SparkSession, d: String): DataFrame =
+    M.scd2History(Tables.orders(s, d), Seq("o_custkey"), "o_orderstatus",
+        "o_orderdate", Seq("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("version"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("is_current"))
+
+  val scd2OrderStatusSql: String = """
+    WITH runs AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    starts AS (
+      SELECT * FROM runs WHERE prev IS DISTINCT FROM o_orderstatus),
+    hist AS (
+      SELECT o_custkey, o_orderstatus,
+             row_number() OVER w AS version,
+             o_orderdate AS vf,
+             lead(o_orderdate) OVER w AS vt
+      FROM starts
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, o_orderstatus, version,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (vt IS NULL) AS is_current
+    FROM hist"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
+    "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),
+    "q91_scd2_history"    -> QueryDef(scd2OrderStatus _, scd2OrderStatusSql))
+}

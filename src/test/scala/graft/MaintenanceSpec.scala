@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Maintenance
+
+/** Table-maintenance operators: CDC diff, merge-apply, SCD2 history.
+  * Covers the null-transition semantics, the diff→merge round-trip law,
+  * revisit versioning, and the plan shapes the 100 TB story depends on
+  * (one key join for the diff, entity-key-only windows for SCD2). */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def snap(rows: (Long, Option[String], Double)*) =
+    rows.toDF("id", "name", "bal")
+
+  test("snapshotDiff classifies inserts, deletes, updates; skips unchanged") {
+    val old = snap((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+    val neu = snap((2L, Some("b"), 20.0), (3L, Some("C"), 30.0), (4L, Some("d"), 40.0))
+    val got = Maintenance.snapshotDiff(old, neu, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "D", 3L -> "U", 4L -> "I"))
+  }
+
+  test("snapshotDiff null semantics: NULL→value is an update, NULL→NULL is not") {
+    val old = snap((1L, None, 1.0), (2L, None, 2.0))
+    val neu = snap((1L, Some("x"), 1.0), (2L, None, 2.0))
+    val got = Maintenance.snapshotDiff(old, neu, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "U"))
+  }
+
+  test("snapshotDiff carries old/new attribute values") {
+    val old = snap((7L, Some("n"), 5.0))
+    val neu = snap((7L, Some("n"), 6.5))
+    val r = Maintenance.snapshotDiff(old, neu, Seq("id")).collect().head
+    assert(r.getAs[Double]("old_bal") === 5.0 && r.getAs[Double]("new_bal") === 6.5)
+    assert(r.getAs[String]("old_name") === "n" && r.getAs[String]("new_name") === "n")
+  }
+
+  test("round-trip law: applyChanges(old, snapshotDiff(old, new)) == new") {
+    // deterministic pseudo-random snapshots, incl. null attrs and disjoint keys
+    def h(i: Long, s: Long) = ((i * 2654435761L + s) >>> 7) % 100
+    val old = snap((0L until 60L).filter(h(_, 1) < 80).map(i =>
+      (i, if (h(i, 2) < 10) None else Some(s"n${h(i, 3)}"), h(i, 4).toDouble)): _*)
+    val neu = snap((0L until 60L).filter(h(_, 5) < 80).map(i =>
+      (i, if (h(i, 6) < 10) None else Some(s"n${h(i, 7)}"), h(i, 8).toDouble)): _*)
+    val merged = Maintenance.applyChanges(old,
+      Maintenance.snapshotDiff(old, neu, Seq("id")), Seq("id"))
+    val want = neu.collect().map(_.toString).sorted
+    val got = merged.collect().map(_.toString).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(merged.columns.toSeq === neu.columns.toSeq)
+  }
+
+  test("snapshotDiff plan: one key join, no cartesian / nested loop") {
+    val old = snap((1L, Some("a"), 1.0)); val neu = snap((1L, Some("a"), 2.0))
+    val plan = Maintenance.snapshotDiff(old, neu, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-key join in diff plan:\n$plan")
+  }
+
+  private def log(rows: (Long, String, Long, Long)*) =
+    rows.toDF("key", "status", "tsv", "tie")
+      .withColumn("ts", timestamp_micros(col("tsv") * 1000000L)).drop("tsv")
+
+  test("scd2History collapses runs, versions revisits, marks current") {
+    // key 1: A,A,B,A — three versions; key 2: single run
+    val l = log((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L), (2L, "X", 10L, 5L))
+    val got = Maintenance.scd2History(l, Seq("key"), "status", "ts", Seq("tie"))
+      .select(col("key"), col("status"), col("version"),
+        unix_timestamp(col("valid_from")).as("vf"),
+        unix_timestamp(col("valid_to")).as("vt"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+    assert(got === Set(
+      (1L, "A", 1, 10L, 30L, false),
+      (1L, "B", 2, 30L, 40L, false),
+      (1L, "A", 3, 40L, -1L, true),
+      (2L, "X", 1, 10L, -1L, true)))
+  }
+
+  test("scd2History ties on the same timestamp break by the tie column") {
+    val l = log((1L, "A", 10L, 2L), (1L, "B", 10L, 1L))
+    val got = Maintenance.scd2History(l, Seq("key"), "status", "ts", Seq("tie"))
+      .select("status", "version").as[(String, Int)].collect().toSet
+    assert(got === Set(("B", 1), ("A", 2)))
+  }
+
+  test("scd2 windows partition on the entity key only") {
+    val df = graft.queries.MaintenanceQueries.defs("q91_scd2_history")
+      .fn(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("o_custkey")),
+      s"window not keyed on o_custkey:\n${windowLines.mkString("\n")}")
+  }
+}
