@@ -181,8 +181,78 @@ object Stats {
           WHERE value IS NOT NULL)
     WHERE rn = CAST(ceil(n * 0.99) AS BIGINT)"""
 
+  // --- q92: multi-quantile approximation from ONE histogram pass ------------
+
+  /** Quantiles served per group by the single-pass approximate path. */
+  val approxPs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Approximate per-group (p50, p90, p99) from ONE binned pass: the q81
+    * machinery stopped after the bin-count stage — the answer is the target
+    * bin's LOWER EDGE, and the guarantee `|approx − exact| ≤ (mx−mn)/bins`
+    * holds because the exact order statistic provably lies inside that bin
+    * (StatsSpec asserts the bound against [[p99PerType]] on real data).
+    *
+    * This is the at-scale tradeoff made explicit next to its exact twin:
+    * one fewer full scan than q81 and ALL requested quantiles for free from
+    * the same bounded histogram — per-group cost is O(bins), row cost is
+    * one aggregate shuffle on the high-cardinality (group, bin) key. Every
+    * edge is deterministic IEEE arithmetic on identical operands, so the
+    * approximation itself is oracle-checkable cross-engine — unlike
+    * sketch-based approx_percentile, whose merge order varies by run. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = base.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+
+    val binOf = when(col("mx") > col("mn"),
+      least(floor((col("value") - col("mn")) * lit(p99Bins.toDouble) / (col("mx") - col("mn")))
+        .cast("long"), lit(p99Bins - 1L)))
+      .otherwise(lit(0L))
+    val counts = base.join(broadcast(stats), "event_type")
+      .select(col("event_type"), binOf.as("bin"), col("mn"), col("mx"), col("n"))
+      .groupBy("event_type", "mn", "mx", "n", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+
+    counts
+      .select(col("*"), explode(lit(approxPs.toArray)).as("p"))
+      .withColumn("rank", ceil(col("n") * col("p")).cast("long"))
+      .filter(col("cum") - col("cnt") < col("rank") && col("rank") <= col("cum"))
+      .select(col("event_type"), col("p"),
+        (col("bin").cast("double") * (col("mx") - col("mn")) / lit(p99Bins.toDouble)
+          + col("mn")).as("approx"),
+        ((col("mx") - col("mn")) / lit(p99Bins.toDouble)).as("err_bound"))
+  }
+
+  val approxQuantilesSql: String = s"""
+    WITH stats AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    counts AS (
+      SELECT e.event_type, s.mn, s.mx, s.n,
+             CASE WHEN s.mx > s.mn THEN
+               least(CAST(floor((e.value - s.mn) * ${p99Bins.toDouble} / (s.mx - s.mn))
+                     AS BIGINT), ${p99Bins - 1})
+             ELSE 0 END AS bin,
+             count(*) AS cnt
+      FROM events e JOIN stats s USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2, 3, 4, 5),
+    cums AS (
+      SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM counts)
+    SELECT event_type, p, bin * (mx - mn) / ${p99Bins.toDouble} + mn AS approx,
+           (mx - mn) / ${p99Bins.toDouble} AS err_bound
+    FROM cums, (VALUES ${approxPs.map(p => s"(CAST($p AS DOUBLE))").mkString(", ")}) ps(p)
+    WHERE cum - cnt < CAST(ceil(n * p) AS BIGINT)
+      AND CAST(ceil(n * p) AS BIGINT) <= cum"""
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
-    "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql))
+    "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql),
+    "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql))
 }

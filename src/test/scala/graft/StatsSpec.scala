@@ -185,4 +185,47 @@ class StatsSpec extends AnyFunSuite {
     assert(m.contains("l_returnflag") && m.contains("l_quantity"),
       s"q80 scan misses expected columns:\n$m")
   }
+
+  // --- q92: the approximate twin -------------------------------------------
+
+  test("q92: every approx quantile is within err_bound BELOW the exact order statistic") {
+    // the approx answer is the target bin's lower edge, so exact ∈
+    // [approx, approx + err_bound] — the advertised one-sided guarantee
+    val rows = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val byType = rows.groupBy(_._1)
+    val approx = Stats.approxQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet.map(_._1) === byType.keySet)
+    for (((t, p), (ap, err)) <- approx) {
+      val sorted = byType(t).map(x => (x._2, x._3)).sorted
+      val exact = sorted(math.ceil(sorted.size * p).toInt - 1)._1
+      assert(ap <= exact && exact <= ap + err,
+        s"$t p=$p: exact $exact outside [$ap, ${ap + err}]")
+    }
+  }
+
+  test("q92: quantiles are monotone in p within each group") {
+    val byGroup = Stats.approxQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for ((t, rs) <- byGroup) {
+      val ordered = rs.sortBy(_._2).map(_._3)
+      assert(ordered.sameElements(ordered.sorted), s"$t: non-monotone $ordered")
+    }
+  }
+
+  test("q92 plan: one data-sized shuffle on the composite key, window only over aggregated bins") {
+    val plan = Stats.approxQuantiles(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Exchange hashpartitioning(event_type#")
+        && l.contains(", bin#")),
+      s"no composite (event_type, bin) exchange:\n$plan")
+    // ONE window (cumulative over ≤ p99Bins aggregated rows per group); the
+    // exact twin needs a second selection window — this path must not
+    assert(plan.linesIterator.count(_.contains("Window")) === 1,
+      s"expected exactly one window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
