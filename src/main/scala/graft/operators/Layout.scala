@@ -37,4 +37,41 @@ object Layout {
       .repartitionByRange(numPartitions, col(zKey))
       .sortWithinPartitions(col(zKey))
       .drop(zKey)
+
+  /** Compacts a directory of small parquet files into ~`targetBytes`-sized
+    * ones — the `OPTIMIZE` half of table maintenance (streaming sinks and
+    * over-parallel writes leave thousands of footer-dominated files; scans
+    * then pay per-file open cost and planners per-file listing cost).
+    *
+    * Output file count is sized from the INPUT's on-disk bytes (driver-side
+    * file-status listing — bounded metadata, no data read): parquet in ≈
+    * parquet out, the same estimate real compactors use. With `orderBy`
+    * keys the rewrite range-partitions + sorts so clustering (e.g. a prior
+    * z-order) SURVIVES compaction and per-file min/max stats stay tight;
+    * without, a round-robin shuffle equalizes file sizes exactly.
+    *
+    * Returns (filesBefore, filesAfter). One shuffle of the compacted data
+    * total; at 100 TB this runs per partition / file group, not globally —
+    * pass the subdirectory being compacted as `inDir`. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long,
+              orderBy: Seq[Column] = Nil): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val repart =
+      if (orderBy.nonEmpty)
+        df.repartitionByRange(nOut, orderBy: _*).sortWithinPartitions(orderBy: _*)
+      else df.repartition(nOut)
+    repart.write.mode("overwrite").parquet(outDir)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        f.getLen > 0)
+    (files.size, outFiles)
+  }
 }

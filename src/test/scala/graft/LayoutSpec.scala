@@ -166,6 +166,52 @@ class LayoutSpec extends AnyFunSuite {
       f"(${lexScanned.toDouble / zScanned}%.1fx)")
   }
 
+  test("compact: many small files coalesce to the byte-targeted count, rows intact") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val smallDir = s"$base/small"; val outDir = s"$base/out"
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    src.repartition(64).write.parquet(smallDir)
+
+    val fs = new org.apache.hadoop.fs.Path(smallDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(smallDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val (before, after) = Layout.compact(spark, smallDir, outDir, totalBytes / 4)
+    assert(before === 64)
+    // ceil division target: 4 files (5 tolerated — parquet out ≈ in, not ==)
+    assert(after >= 3 && after <= 5, s"expected ~4 files, got $after")
+    val a = spark.read.parquet(outDir).collect().map(_.toString).sorted
+    val b = src.collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("compact preserves clustering when given order keys: per-file ranges stay disjoint") {
+    val base = java.nio.file.Files.createTempDirectory("compactz").toString
+    val smallDir = s"$base/small"; val outDir = s"$base/out"
+    Tables.events(spark, sf).select("event_id", "user_id")
+      .repartition(32).write.parquet(smallDir)
+    val totalBytes = new org.apache.hadoop.fs.Path(smallDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(smallDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val (_, after) =
+      Layout.compact(spark, smallDir, outDir, totalBytes / 4, Seq(col("event_id")))
+    assert(after >= 2, s"need >=2 files to check disjointness, got $after")
+    // range-partitioned + sorted output ⇒ per-file [min,max] don't overlap
+    val spans = spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file spans: $spans")
+      case _ =>
+    }
+  }
+
   test("q76 buckets partition rows and nest inside the interleave geometry") {
     val rows = LayoutQueries.zorderStats(spark, sf).collect()
     assert(rows.nonEmpty)
