@@ -250,9 +250,47 @@ object Stats {
     WHERE cum - cnt < CAST(ceil(n * p) AS BIGINT)
       AND CAST(ceil(n * p) AS BIGINT) <= cum"""
 
+  // --- q93: oracle-exact HyperLogLog sketch state ---------------------------
+
+  /** Per-event-type HLL sketch of distinct users, all state oracle-exact:
+    * (active buckets, exact-integer harmonic denominator, raw estimate) —
+    * see [[graft.operators.Hll]]. Contrast q33, whose HLL++ registers hide
+    * behind an engine-private hash and can only be rows-only checked. */
+  def hllSketch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Hll.sketch(
+      graft.operators.Hll.registers(
+        Tables.events(s, d), Seq("event_type"), col("user_id")),
+      Seq("event_type"))
+
+  val hllSketchSql: String = {
+    import graft.operators.Hll
+    s"""
+    WITH br AS (
+      SELECT event_type, ${Hll.bucketSql("hv")} AS bucket,
+             ${Hll.rankSql("hv")} AS r
+      FROM (SELECT event_type, ${Hll.hashSql("user_id")} AS hv
+            FROM events WHERE user_id IS NOT NULL)),
+    regs AS (SELECT event_type, bucket, max(r) AS r FROM br GROUP BY 1, 2),
+    agg AS (SELECT event_type, count(*) AS active,
+              -- DuckDB sum(BIGINT) widens to HUGEINT; the value is < 2^63
+              -- by construction, so narrow it back for dtype parity
+              CAST(sum(CAST(1 AS BIGINT) << (${Hll.maxRank} - r)) AS BIGINT)
+                AS s_present
+            FROM regs GROUP BY 1)
+    SELECT event_type, active,
+           s_present + (${Hll.m} - active) * (CAST(1 AS BIGINT) << ${Hll.maxRank})
+             AS s_scaled,
+           0.7213 / (1.0 + 1.079 / ${Hll.m.toDouble}) * ${Hll.m.toDouble}
+             * ${Hll.m.toDouble} * 2251799813685248.0
+             / CAST(s_present + (${Hll.m} - active)
+                    * (CAST(1 AS BIGINT) << ${Hll.maxRank}) AS DOUBLE) AS raw_est
+    FROM agg"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
     "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql),
-    "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql))
+    "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql),
+    "q93_hll_sketch"      -> QueryDef(hllSketch _, hllSketchSql))
 }
