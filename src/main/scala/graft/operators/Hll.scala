@@ -54,18 +54,22 @@ object Hll {
   val maxRank = 51
   private val windowPad = 64 - (62 - p) // leading '0's of w in a 64-char pad
 
-  private def polyCol(u: Column, prime: Long, cs: Seq[Long]): Column = {
+  /** Horner evaluation of a degree-(cs.size−1) polynomial over the prime
+    * field: the input reduces mod `prime` first, so every intermediate is
+    * < 2^62. Shared with the Count-Min sketch ([[Cms]]), whose rows are
+    * the same construction under different coefficients. */
+  def poly(u: Column, prime: Long, cs: Seq[Long]): Column = {
     val x = u % prime
     cs.tail.foldLeft(lit(cs.head): Column)((acc, c) => (acc * x + c) % prime)
   }
-  private def polySql(u: String, prime: Long, cs: Seq[Long]): String = {
+  def polySql(u: String, prime: Long, cs: Seq[Long]): String = {
     val x = s"($u % $prime)"
     cs.tail.foldLeft(cs.head.toString)((acc, c) => s"(($acc) * $x + $c) % $prime")
   }
 
   /** The ~62-bit cross-engine hash of a BIGINT id. */
   def hash(u: Column): Column =
-    polyCol(u, P1, C1) * P2 + polyCol(u, P2, C2)
+    poly(u, P1, C1) * P2 + poly(u, P2, C2)
 
   def hashSql(u: String): String =
     s"(${polySql(u, P1, C1)}) * $P2 + (${polySql(u, P2, C2)})"

@@ -830,6 +830,65 @@ object Curation {
     SELECT token, cnt FROM c CROSS JOIN t
     WHERE cnt * $hhFraction >= n_total"""
 
+  // --- q94: Count-Min frequency estimates, sketch vs exact ------------------
+
+  /** Token-frequency estimates from the bounded Count-Min sketch
+    * ([[graft.operators.Cms]]) for the 100 highest-frequency tokens (ties
+    * → token asc), next to their exact counts: (token, cnt, est) with the
+    * CMS guarantee est ≥ cnt visible in the result set and pinned by the
+    * oracle, which rebuilds the SAME sketch cell-for-cell in SQL.
+    *
+    * Tokens hash through the shared 31-bit fingerprint fold (the q28/q59
+    * cross-engine hash) before the four field-polynomial rows; fingerprint
+    * collisions merge their tokens' cells, which only pushes estimates UP
+    * — the one-sided bound survives, cross-engine determinism is total.
+    *
+    * Scale: the sketch is depth×width cells no matter the corpus; the
+    * probe set here is the q63-style bounded top-k. At 100 TB the probe
+    * list is whatever candidate set needs auditing — the sketch answers
+    * any of them from 8 K integers. */
+  def cmsTokenFreq(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cms
+    val keyed = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .select(col("token"), TextFunctions.fingerprint(col("token"), 64).as("fp"))
+    val sk = Cms.sketch(keyed, col("fp"))
+    val top = keyed.groupBy("token", "fp").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+    val est = Cms.lookup(sk, top.select(col("fp")).distinct(), col("fp"))
+    top.join(est, top("fp") === est("probe_key"))
+      .select(col("token"), col("cnt"), col("est"))
+  }
+
+  val cmsTokenFreqSql: String = {
+    import graft.operators.Cms
+    val fpTok = Extensions.fingerprintExprSqlOn("token")
+    // "row" is reserved in DuckDB (ROW constructor) — alias the depth index rw
+    val cellRows = (0 until Cms.depth).map(i =>
+      s"SELECT $i AS rw, ${Cms.bucketSql("fp", i)} AS bucket FROM keyed")
+      .mkString(" UNION ALL ")
+    val probeRows = (0 until Cms.depth).map(i =>
+      s"SELECT token, cnt, $i AS rw, ${Cms.bucketSql("fp", i)} AS bucket FROM top")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH keyed AS (
+      SELECT token, $fpTok AS fp
+      FROM (SELECT unnest(${Extensions.toksSql}) AS token FROM documents)),
+    cells AS (
+      SELECT rw, bucket, count(*) AS cnt_cell
+      FROM ($cellRows) GROUP BY 1, 2),
+    top AS (
+      SELECT token, fp, cnt FROM (
+        SELECT token, fp, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+        FROM keyed GROUP BY token, fp)
+      WHERE rk <= 100),
+    probes AS ($probeRows)
+    SELECT p.token, p.cnt, min(COALESCE(c.cnt_cell, 0)) AS est
+    FROM probes p LEFT JOIN cells c USING (rw, bucket)
+    GROUP BY p.token, p.cnt"""
+  }
+
   // --- q88: the composed curation pipeline, oracled end-to-end --------------
 
   /** The FULL [[graft.streaming.CurationPipeline]] cascade — quality route
@@ -903,5 +962,6 @@ object Curation {
     "q84_domain_mix_sample" -> QueryDef(domainMixSample _, domainMixSampleSql),
     "q85_incremental_vocab" -> QueryDef(incrementalVocab _, incrementalVocabSql),
     "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql),
-    "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql))
+    "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql),
+    "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql))
 }

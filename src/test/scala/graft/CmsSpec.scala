@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cms
+
+/** Count-Min sketch (q94): one-sided estimate guarantee, cell-wise sum
+  * merge, and the broadcast-lookup plan. Deterministic sketch — every
+  * assertion is an exact pin. */
+class CmsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Zipf-ish stream: key k appears ~1000/k times, keys 1..60. */
+  private def stream = (1L to 60L).flatMap(k => Seq.fill((1000 / k).toInt)(k))
+
+  test("estimates are one-sided: est >= true count for every key") {
+    val items = stream.toDF("key")
+    val sk = Cms.sketch(items, col("key"))
+    val truth = items.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val est = Cms.lookup(sk, truth.select("key"), col("key"))
+    val joined = truth.join(est, col("key") === col("probe_key"))
+      .select("key", "cnt", "est")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(joined.length === 60)
+    joined.foreach { case (k, cnt, est) =>
+      assert(est >= cnt, s"key $k: est $est < true $cnt")
+    }
+    // 60 keys in 4x2048 cells: collisions are possible but the total
+    // overestimate is pinned (deterministic hash) — here there are none
+    assert(joined.forall { case (_, cnt, est) => est === cnt },
+      "60 keys in 8192 cells should sketch exactly on this fixture")
+  }
+
+  test("an unseen key estimates 0 (absent cells count as empty)") {
+    val sk = Cms.sketch(stream.toDF("key"), col("key"))
+    val est = Cms.lookup(sk, Seq(424242L).toDF("key"), col("key"))
+      .collect().head.getLong(1)
+    assert(est === 0L)
+  }
+
+  test("merge = cell-wise sum: sketch(a union b) equals summed shard sketches") {
+    val (a, b) = stream.splitAt(stream.size / 3)
+    val whole = Cms.sketch(stream.toDF("key"), col("key"))
+    val merged = Cms.sketch(a.toDF("key"), col("key"))
+      .union(Cms.sketch(b.toDF("key"), col("key")))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(whole) === cells(merged))
+  }
+
+  test("q94: top tokens carry est >= cnt, exact on the gate corpus") {
+    val rows = graft.queries.Curation.cmsTokenFreq(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the sf0.001 corpus has ~31 distinct tokens — fewer than the top-100 cap
+    assert(rows.length >= 30 && rows.length <= 100, s"got ${rows.length} rows")
+    rows.foreach { case (t, cnt, est) =>
+      assert(est >= cnt, s"token '$t': est $est < cnt $cnt")
+    }
+  }
+
+  test("plan: sketch builds in one exchange; lookup broadcasts the sketch") {
+    val items = stream.toDF("key")
+    val skPlan = Cms.sketch(items, col("key")).queryExecution.executedPlan.toString
+    assert(skPlan.split("Exchange hashpartitioning").length - 1 === 1,
+      s"sketch should shuffle exactly once:\n$skPlan")
+    val lkPlan = Cms.lookup(Cms.sketch(items, col("key")),
+        items.distinct(), col("key"))
+      .queryExecution.executedPlan.toString
+    assert(lkPlan.contains("BroadcastHashJoin"),
+      s"lookup should broadcast the bounded sketch:\n$lkPlan")
+    assert(!lkPlan.contains("CartesianProduct") && !lkPlan.contains("BroadcastNestedLoopJoin"))
+  }
+}
