@@ -106,8 +106,52 @@ object MaintenanceQueries {
            (vt IS NULL) AS is_current
     FROM hist"""
 
+  // --- q95: incremental materialized-view maintenance -----------------------
+
+  /** The orders fact table gets the same deterministic two-snapshot
+    * treatment as the customer dimension: keys ≡ 3 (mod 10) arrive, keys
+    * ≡ 5 (mod 13) leave, keys ≡ 2 (mod 7) reprice by +50.0 — and a
+    * (priority, count, exact revenue) rollup maintained INCREMENTALLY from
+    * the changefeed must equal the rollup recomputed from the new
+    * snapshot, which is precisely what the oracle computes. Exact decimal
+    * arithmetic end to end, so "equal" is bit-equal, at any parallelism. */
+  private def oldOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 3)
+
+  private def newOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 13 =!= 5)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 2, col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")))
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100.0).cast(org.apache.spark.sql.types.DecimalType(27, 0))
+
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val view = oldOrders(s, d).groupBy(col("o_orderpriority").as("g"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("s"))
+    val diff = M.snapshotDiff(oldOrders(s, d), newOrders(s, d), Seq("o_orderkey"))
+      .select(col("change"),
+        col("old_o_orderpriority").as("old_g"), col("new_o_orderpriority").as("new_g"),
+        cents(col("old_o_totalprice")).as("old_q"), cents(col("new_o_totalprice")).as("new_q"))
+    M.incrementalAgg(view, diff)
+      .select(col("g").as("o_orderpriority"), col("cnt").as("n_orders"),
+        (col("s").cast("double") / 100.0).as("sum_price"))
+  }
+
+  val incrementalRollupSql: String = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0) AS DECIMAL(27,0))) AS DOUBLE)
+             / 100.0 AS sum_price
+    FROM (SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 50.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 != 5)
+    GROUP BY 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
     "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),
-    "q91_scd2_history"    -> QueryDef(scd2OrderStatus _, scd2OrderStatusSql))
+    "q91_scd2_history"    -> QueryDef(scd2OrderStatus _, scd2OrderStatusSql),
+    "q95_incremental_view" -> QueryDef(incrementalRollup _, incrementalRollupSql))
 }

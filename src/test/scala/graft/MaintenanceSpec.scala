@@ -63,6 +63,42 @@ class MaintenanceSpec extends AnyFunSuite {
       s"non-key join in diff plan:\n$plan")
   }
 
+  test("incrementalAgg: migrations move count+value, emptied groups vanish, new groups appear") {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (v: Long) => lit(v).cast(DecimalType(27, 0))
+    val view = Seq(("A", 2L, 30L), ("B", 1L, 30L)).toDF("g", "cnt", "sv")
+      .select(col("g"), col("cnt"), col("sv").cast(DecimalType(27, 0)).as("s"))
+    // k1: A(10) -> B(15) migration; k2: A(20) deleted; k4: C(5) inserted
+    val changes = Seq(
+      ("U", Some("A"), Some("B"), Some(10L), Some(15L)),
+      ("D", Some("A"), None, Some(20L), None),
+      ("I", None, Some("C"), None, Some(5L)))
+      .toDF("change", "old_g", "new_g", "old_q", "new_q")
+      .select(col("change"), col("old_g"), col("new_g"),
+        col("old_q").cast(DecimalType(27, 0)).as("old_q"),
+        col("new_q").cast(DecimalType(27, 0)).as("new_q"))
+    val got = Maintenance.incrementalAgg(view, changes)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSet
+    assert(got === Set(("B", 2L, 45L), ("C", 1L, 5L)))
+  }
+
+  test("q95 law: incremental view maintenance equals full recompute, bit-for-bit") {
+    val d = "/root/testdata/sf0.001"
+    val inc = graft.queries.MaintenanceQueries.incrementalRollup(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent recompute of the new snapshot through the same quantizer
+    val full = Tables.orders(spark, d).filter(col("o_orderkey") % 13 =!= 5)
+      .withColumn("p", when(col("o_orderkey") % 7 === 2, col("o_totalprice") + 50.0)
+        .otherwise(col("o_totalprice")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("p") * 100.0)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 0))).cast("double") / 100.0).as("sp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.nonEmpty && inc === full)
+  }
+
   private def log(rows: (Long, String, Long, Long)*) =
     rows.toDF("key", "status", "tsv", "tie")
       .withColumn("ts", timestamp_micros(col("tsv") * 1000000L)).drop("tsv")
