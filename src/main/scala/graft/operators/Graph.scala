@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-analysis over an edge list: fixed-iteration PageRank with the
+  * engine's exact-float discipline. Authority scoring is a curation
+  * primitive — weighting documents by their link graph (crawl authority)
+  * or picking the canonical survivor inside a near-dup cluster — and it is
+  * the engine's demonstration that ITERATIVE float computation can still
+  * be oracle-exact: each power-iteration step quantizes its per-edge
+  * contributions (floor ·10^12) and sums them as decimals, so every
+  * iteration's scores are order-independent and bit-identical at any
+  * parallelism or in any engine evaluating the same formula (q96's DuckDB
+  * oracle unrolls the same three steps as CTEs).
+  *
+  * Scale shape per iteration: one equi-join of edges against the current
+  * score vector on `src` (co-partitioned — the same key both sides), one
+  * aggregate shuffle on `dst`, one broadcast of the 1-row node count.
+  * Nothing is quadratic; the K-iteration plan is K such blocks. A dangling
+  * node (out-degree 0) cannot occur in a symmetric edge list — callers
+  * feed undirected graphs both ways, so degree ≥ 1 for every node.
+  */
+object Graph {
+
+  /** damping 0.85, teleport 0.15/N — the standard constants, written as
+    * the same literals in the SQL mirror. */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    val pr0 = deg.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
+    (1 to iterations).foldLeft(pr0) { (pr, _) =>
+      val msgs = edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+        .select(col("dst").as("node"),
+          floor(col("pr") / col("sdeg") * lit(1e12))
+            .cast(DecimalType(27, 0)).as("q"))
+        .groupBy("node").agg(sum("q").as("sq"))
+      deg.crossJoin(broadcast(n))
+        .join(msgs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(0.15) / col("nn") + lit(0.85) *
+            (coalesce(col("sq"), lit(0)).cast("double") / lit(1e12))).as("pr"))
+    }
+  }
+}

@@ -149,7 +149,56 @@ object MaintenanceQueries {
           FROM orders WHERE o_orderkey % 13 != 5)
     GROUP BY 1"""
 
+  // --- q96: PageRank authority over the co-purchase graph -------------------
+
+  /** Parts ranked by 3-iteration PageRank on the undirected co-purchase
+    * graph (parts sharing an order), top 50: the canonical "authority
+    * score" curation primitive, proven oracle-exact DESPITE being an
+    * iterative float computation — see [[graft.operators.Graph.pageRank]].
+    * The graph build joins on the order key (bounded per-order fanout,
+    * never all-pairs), and each iteration is edge-join + quantized
+    * aggregate. */
+  val prIterations = 3
+
+  def copurchaseRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val pairs = e.as("a").join(e.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRank(pairs, prIterations)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(50)
+  }
+
+  val copurchaseRankSql: String = {
+    def iterCte(prev: String, k: Int): String = s"""it$k AS (
+      SELECT d.node,
+             CAST(0.15 AS DOUBLE) / nn + CAST(0.85 AS DOUBLE) *
+               (CAST(COALESCE(m.sq, 0) AS DOUBLE) / 1e12) AS pr
+      FROM deg d CROSS JOIN n
+      LEFT JOIN (
+        SELECT p.dst AS node,
+               SUM(CAST(floor(pp.pr / pd.deg * 1e12) AS DECIMAL(27,0))) AS sq
+        FROM pairs p JOIN $prev pp ON pp.node = p.src
+                     JOIN deg pd ON pd.node = p.src
+        GROUP BY 1) m ON m.node = d.node)"""
+    val ctes = (1 to prIterations)
+      .map(k => iterCte(if (k == 1) "pr0" else s"it${k - 1}", k)).mkString(",\n")
+    s"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM e a JOIN e b USING (l_orderkey)
+              WHERE a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM deg),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS pr FROM deg CROSS JOIN n),
+    $ctes
+    SELECT node, pr FROM it$prIterations ORDER BY pr DESC, node LIMIT 50"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
     "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
     "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),
     "q91_scd2_history"    -> QueryDef(scd2OrderStatus _, scd2OrderStatusSql),

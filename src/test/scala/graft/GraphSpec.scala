@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Fixed-iteration PageRank (q96): fixed points, mass conservation,
+  * quantized determinism, and the per-iteration plan shape. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("uniform graphs sit at the uniform fixed point") {
+    // 2-clique and 4-cycle: every node keeps pr = 1/N exactly (up to the
+    // 1e-12 quantization floor) at every iteration
+    val two = Graph.pageRank(sym((1L, 2L)), 3)
+      .collect().map(_.getDouble(1))
+    two.foreach(p => assert(math.abs(p - 0.5) < 1e-11, s"2-clique pr $p"))
+    val cycle = Graph.pageRank(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), 3)
+      .collect().map(_.getDouble(1))
+    cycle.foreach(p => assert(math.abs(p - 0.25) < 1e-11, s"4-cycle pr $p"))
+  }
+
+  test("star graph: center outranks leaves; mass is conserved") {
+    val star = sym((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val pr = Graph.pageRank(star, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L) * 2, s"center should dominate: $pr")
+    assert((1L to 4L).map(pr).distinct.size === 1, "leaves are symmetric")
+    val mass = pr.values.sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+  }
+
+  test("scores are bit-identical across partitionings (quantized sums)") {
+    val edges = sym((1L to 40L).flatMap(i =>
+      Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1))).filter(p => p._1 != p._2): _*)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(edges)
+    val b = run(edges.repartition(13))
+    assert(a === b, "pagerank must not drift with partitioning")
+  }
+
+  test("q96 returns 50 ranked parts with positive scores, descending") {
+    val rows = graft.queries.MaintenanceQueries
+      .copurchaseRank(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 50)
+    assert(rows.forall(_._2 > 0))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("plan: per-iteration joins are key equi-joins; no cartesian product") {
+    val plan = Graph.pageRank(sym((1L, 2L), (2L, 3L)), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the only nested-loop is the broadcast of the 1-row node count
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val crossCount = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Cross"))
+    assert(bnlj === crossCount && bnlj <= 3,
+      s"unexpected non-broadcast-scalar nested loops:\n$plan")
+  }
+}
