@@ -166,7 +166,7 @@ object MaintenanceQueries {
       .filter(col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-    graft.operators.Graph.pageRank(pairs, prIterations)
+    graft.operators.Graph.pageRank(pairs, prIterations, broadcastScores = true)
       .orderBy(col("pr").desc, col("node"))
       .limit(50)
   }
