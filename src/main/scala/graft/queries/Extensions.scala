@@ -96,6 +96,37 @@ object Extensions {
   }
 
   /** Exact word-3-gram Jaccard between each doc and its successor. */
+  /** q97: exact Jaccard ≥ 0.9 similarity SELF-JOIN via prefix filtering
+    * ([[graft.operators.SimJoin]]) — the zero-false-anything counterpart
+    * of the q25/q27 probabilistic near-dup paths. Scoped to the first 500
+    * doc ids so the ORACLE's brute-force verify stays tractable at every
+    * SF (the operator itself has no such bound; its pruning is the prefix
+    * theorem, not the scope). */
+  def simJoinExact(s: SparkSession, d: String): DataFrame = {
+    val docTok = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").as("id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .distinct()
+    graft.operators.SimJoin.exactJaccardJoin(docTok, num = 9, den = 10)
+  }
+
+  val simJoinExactSql: String = s"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id AS id, unnest($toksSql) AS token
+      FROM documents WHERE doc_id < 500),
+    sz AS (SELECT id, count(*) AS n FROM dt GROUP BY 1),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS c
+      FROM dt a JOIN dt b ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = doc_a
+    JOIN sz sb ON sb.id = doc_b
+    WHERE 19 * c >= 9 * (sa.n + sb.n)"""
+
   def jaccardAdjacent(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val a = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks_a"))
@@ -914,6 +945,7 @@ object Extensions {
     "q24_ann_brute_topk"     -> QueryDef(annBruteTopK _, annBruteTopKSql),
     "q25_near_dup_minhash"   -> QueryDef(nearDupMinhash _, nearDupMinhashSql),
     "q26_jaccard_adjacent"   -> QueryDef(jaccardAdjacent _, jaccardAdjacentSql),
+    "q97_simjoin_exact"      -> QueryDef(simJoinExact _, simJoinExactSql),
     "q27_simhash_adjacent"   -> QueryDef(simhashAdjacent _, simhashAdjacentSql),
     "q28_fingerprint"        -> QueryDef(fingerprint _, fingerprintSql),
     "q29_multimodal_meta"    -> QueryDef(multimodalMeta _, multimodalMetaSql),
