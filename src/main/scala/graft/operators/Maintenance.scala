@@ -84,6 +84,39 @@ object Maintenance {
     merged.unionByName(inserts)
   }
 
+  /** Continuously applies a streaming changefeed to a parquet target:
+    * each micro-batch MERGEs via [[applyChanges]] and atomically swaps the
+    * target directory (write-new → rename). The batch operator being
+    * deterministic makes the stream's final state equal to one big batch
+    * apply of the same changes — MaintenanceSpec replays a chunked feed
+    * and compares against the q90 round-trip law.
+    *
+    * Scale note: rewrite-on-batch is the no-table-format fallback; on a
+    * real deployment the same foreachBatch body targets a format with
+    * row-level MERGE, and with a partitioned target only partitions
+    * containing changed keys need rewriting. The streaming plumbing —
+    * exactly-once per epoch via checkpointed offsets + idempotent swap —
+    * is what this operator pins. */
+  def applyChangesStream(changes: DataFrame, targetDir: String,
+      keys: Seq[String], checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = spark.read.parquet(targetDir)
+        val merged = applyChanges(target, batch, keys)
+        val tmp = targetDir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(targetDir).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(targetDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(targetDir))
+        ()
+      }
+      .start()
+
   /** Incrementally maintains a (group, count, exact-sum) aggregate view
     * under a [[snapshotDiff]] changefeed — materialized-view delta
     * maintenance, the step that lets a 100 TB fact table's rollup refresh

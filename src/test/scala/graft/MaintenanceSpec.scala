@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Maintenance
 
+/** Changefeed row shape for the streaming CDC replay test. */
+case class Chg(id: Long, change: String, new_name: Option[String],
+               new_bal: Option[Double])
+
 /** Table-maintenance operators: CDC diff, merge-apply, SCD2 history.
   * Covers the null-transition semantics, the diff→merge round-trip law,
   * revisit versioning, and the plan shapes the 100 TB story depends on
@@ -97,6 +101,38 @@ class MaintenanceSpec extends AnyFunSuite {
           .cast(org.apache.spark.sql.types.DecimalType(27, 0))).cast("double") / 100.0).as("sp"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(inc.nonEmpty && inc === full)
+  }
+
+  test("streaming CDC apply: chunked changefeed replay converges to the new snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = java.nio.file.Files.createTempDirectory("cdcstream").toString
+    val targetDir = s"$base/target"; val ckpt = s"$base/ckpt"
+    def h(i: Long, s: Long) = ((i * 2654435761L + s) >>> 7) % 100
+    val old = snap((0L until 80L).filter(h(_, 1) < 85).map(i =>
+      (i, Some(s"n${h(i, 2)}"), h(i, 3).toDouble)): _*)
+    val neu = snap((0L until 80L).filter(h(_, 4) < 85).map(i =>
+      (i, Some(s"n${h(i, 5)}"), h(i, 6).toDouble)): _*)
+    old.write.parquet(targetDir)
+
+    // feed the diff in key-disjoint chunks (each batch's merge must only
+    // touch its own keys; ordering across chunks is irrelevant)
+    val diff = Maintenance.snapshotDiff(old, neu, Seq("id"))
+      .select(col("id"), col("change"), col("new_name"), col("new_bal"))
+      .as[Chg].collect().toList
+    val chunks = diff.groupBy(_.id % 3).values.toList
+
+    val in = MemoryStream[Chg]
+    val q = Maintenance.applyChangesStream(in.toDF(), targetDir, Seq("id"), ckpt)
+    try {
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.read.parquet(targetDir).collect().map(_.toString).sorted
+    val want = neu.collect().map(_.toString).sorted
+    assert(got.toSeq === want.toSeq,
+      "streamed CDC apply must converge to the new snapshot")
   }
 
   private def log(rows: (Long, String, Long, Long)*) =
