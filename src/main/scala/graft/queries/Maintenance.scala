@@ -197,8 +197,61 @@ object MaintenanceQueries {
     SELECT node, pr FROM it$prIterations ORDER BY pr DESC, node LIMIT 50"""
   }
 
+  // --- q98: data-quality constraint report ----------------------------------
+
+  /** Pre-publication audit of the star schema: key uniqueness,
+    * referential integrity, domain predicates, completeness — each row of
+    * the report one constraint with (violations, checked). See
+    * [[graft.operators.Quality]]; the testdata is clean by construction,
+    * so the EXPECTED report is all-zeros except the events value-null
+    * completeness count, and any future drift in the generator surfaces
+    * here as a red gate row. */
+  def dataQualityReport(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Quality
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    Quality.report(Seq(
+      Quality.uniqueCheck(cust, "customer_pk_unique", Seq("c_custkey")),
+      Quality.referentialCheck(ord, "o_custkey", cust, "c_custkey",
+        "orders_fk_customer"),
+      Quality.predicateCheck(Tables.lineitem(s, d), "lineitem_qty_positive",
+        col("l_quantity") > 0),
+      Quality.predicateCheck(ord, "orders_price_positive",
+        col("o_totalprice") > 0),
+      Quality.predicateCheck(Tables.events(s, d), "events_value_notnull",
+        col("value").isNotNull)))
+  }
+
+  val dataQualityReportSql: String = """
+    SELECT 'customer_pk_unique' AS check_name,
+           count(*) - count(DISTINCT c_custkey) AS violations,
+           count(*) AS checked
+    FROM customer
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           count(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           count(*)
+    FROM orders o WHERE o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           count(*) FILTER (WHERE NOT COALESCE(l_quantity > 0, FALSE)),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_price_positive',
+           count(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'events_value_notnull',
+           count(*) FILTER (WHERE NOT COALESCE(value IS NOT NULL, FALSE)),
+           count(*)
+    FROM events"""
+
   val defs: Map[String, QueryDef] = Map(
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
+    "q98_data_quality"    -> QueryDef(dataQualityReport _, dataQualityReportSql),
     "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
     "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),
     "q91_scd2_history"    -> QueryDef(scd2OrderStatus _, scd2OrderStatusSql),
