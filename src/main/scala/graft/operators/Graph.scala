@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 /** Link-analysis over an edge list: fixed-iteration PageRank with the
   * engine's exact-float discipline. Authority scoring is a curation
@@ -18,11 +19,28 @@ import org.apache.spark.sql.types.DecimalType
   * Scale shape per iteration: one equi-join of edges against the current
   * score vector on `src` (co-partitioned — the same key both sides), one
   * aggregate shuffle on `dst`, one broadcast of the 1-row node count.
-  * Nothing is quadratic; the K-iteration plan is K such blocks. A dangling
-  * node (out-degree 0) cannot occur in a symmetric edge list — callers
-  * feed undirected graphs both ways, so degree ≥ 1 for every node.
+  * Nothing is quadratic; the K-iteration plan is K such blocks.
+  *
+  * The formulation assumes NO dangling nodes (out-degree 0): a symmetric
+  * (undirected, both ways) edge list satisfies that by construction. A
+  * directed edge list with dst-only nodes would silently leak rank mass —
+  * so [[pageRank]] VALIDATES the assumption (one anti-join count against
+  * the degree table, which doubles as the cache warm-up) and fails loudly
+  * instead of returning wrong scores.
   */
 object Graph {
+
+  /** The bare K-iteration plan over caller-prepared inputs — LAZY, no
+    * persist, no validation. Exposed for plan inspection (GraphSpec's
+    * shape assertions) and for callers that manage caching themselves;
+    * pipelines should use [[pageRank]], which adds the iterative-algorithm
+    * hygiene (persist, dangling-node guard, materialize, unpersist). */
+  def pageRankPlan(edges: DataFrame, iterations: Int,
+                   broadcastScores: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    pageRankIterate(edges, deg, iterations, broadcastScores)
+  }
 
   /** damping 0.85, teleport 0.15/N — the standard constants, written as
     * the same literals in the SQL mirror.
@@ -33,24 +51,53 @@ object Graph {
     * shuffling the edge list K times (q96: 20 K nodes vs 2.4 M edges —
     * the edges never move). A web-scale graph whose node set rivals its
     * edge set should leave it false and let the co-partitioned sort-merge
-    * path reuse the edges' exchange across iterations. */
+    * path reuse the edges' exchange across iterations.
+    *
+    * EAGER: the returned scores are already computed. The graph and its
+    * degree table are persisted for the K iterations (M6 cache-before-
+    * sweep), the final scores are materialized via `localCheckpoint`, and
+    * BOTH caches are unpersisted before returning — a long-lived session
+    * running many rankings leaks nothing (GraphSpec asserts the cache
+    * manager is empty afterwards). The checkpointed score vector is
+    * node-count-sized — tiny next to the edges — and its blocks are freed
+    * by the ContextCleaner once the result is unreachable; on a fault-
+    * tolerant deployment, write the scores to storage instead of local
+    * checkpointing if executor loss during downstream reads matters. */
   def pageRank(edges: DataFrame, iterations: Int,
                broadcastScores: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = cached.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // guard: every dst must have out-edges, or its rank mass would
+      // silently vanish (deg is built from src only). One anti-join count —
+      // cheap next to K iterations, and it warms both caches.
+      val dangling = cached.select(col("dst").as("node")).distinct()
+        .join(deg.select("node"), Seq("node"), "left_anti").count()
+      require(dangling == 0L,
+        s"pageRank requires out-edges for every node ($dangling dangling " +
+          "node(s) found): feed an undirected graph both ways, or " +
+          "redistribute dangling mass upstream")
+      pageRankIterate(cached, deg, iterations, broadcastScores)
+        .localCheckpoint(true)
+    } finally {
+      cached.unpersist(false)
+      deg.unpersist(false)
+    }
+  }
+
+  /** The iteration blocks over already-persisted edges/degrees — same
+    * arithmetic as [[pageRankPlan]], reusing the caller's cached frames. */
+  private def pageRankIterate(edges: DataFrame, deg: DataFrame,
+                              iterations: Int, broadcastScores: Boolean): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastScores) broadcast(_) else identity
-    // the graph is re-read by every iteration (and deg twice per block):
-    // persist it once instead of recomputing the caller's build K+1 times —
-    // the standard iterative-algorithm discipline (M6 cache-before-sweep).
-    // CacheManager serves canonically-equal future plans from these entries.
-    val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = cached.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.agg(count(lit(1)).as("nn"))
     val pr0 = deg.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
     (1 to iterations).foldLeft(pr0) { (pr, _) =>
-      val msgs = cached
+      val msgs = edges
         .join(bc(pr.withColumnRenamed("node", "src")), "src")
         .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
         .select(col("dst").as("node"),

@@ -54,7 +54,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("plan: per-iteration joins are key equi-joins; no cartesian product") {
-    val plan = Graph.pageRank(sym((1L, 2L), (2L, 3L)), 2)
+    val plan = Graph.pageRankPlan(sym((1L, 2L), (2L, 3L)), 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     // the only nested-loop is the broadcast of the 1-row node count
@@ -63,5 +63,35 @@ class GraphSpec extends AnyFunSuite {
       l.contains("BroadcastNestedLoopJoin") && l.contains("Cross"))
     assert(bnlj === crossCount && bnlj <= 3,
       s"unexpected non-broadcast-scalar nested loops:\n$plan")
+  }
+
+  test("pageRank leaves no cache entries behind (session hygiene)") {
+    // a long-lived session running many rankings must not accumulate
+    // persisted graph/degree frames — the round-6 leak. Other suites
+    // legitimately keep session caches (the ML fit memo), so the check is
+    // RELATIVE: of the RDDs pageRank adds, only the node-count-sized
+    // localCheckpoint of the result may remain — never the two
+    // edge-shaped persists.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Graph.pageRank(sym((1L, 2L), (2L, 3L), (3L, 1L)), 3).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"pageRank left ${added.size} persisted RDDs behind (expected at most " +
+        "the checkpointed result)")
+  }
+
+  test("directed edge list with dangling nodes fails loudly, not wrongly") {
+    // node 3 has in-edges only: its mass would silently vanish (deg is
+    // built from src). The guard must reject instead of mis-ranking.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(directed, 2)
+    }
+    assert(e.getMessage.contains("dangling"), e.getMessage)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "failed validation must still unpersist the graph and degree caches")
+    // the same edges fed both ways are accepted
+    assert(Graph.pageRank(sym((1L, 2L), (2L, 3L)), 2).count() === 3L)
   }
 }
