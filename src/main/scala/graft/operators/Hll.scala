@@ -56,14 +56,19 @@ object Hll {
 
   /** Horner evaluation of a degree-(cs.size−1) polynomial over the prime
     * field: the input reduces mod `prime` first, so every intermediate is
-    * < 2^62. Shared with the Count-Min sketch ([[Cms]]), whose rows are
-    * the same construction under different coefficients. */
+    * < 2^62. The double-mod `((u % p) + p) % p` maps NEGATIVE keys into
+    * [0, p) — both Spark's and DuckDB's `%` keep the dividend's sign, so
+    * without it a negative BIGINT id would produce negative hashes,
+    * negative buckets, and engine-divergent rank arithmetic; for u ≥ 0 it
+    * is the identity, so existing sketches are unchanged. Shared with the
+    * Count-Min sketch ([[Cms]]), whose rows are the same construction
+    * under different coefficients. */
   def poly(u: Column, prime: Long, cs: Seq[Long]): Column = {
-    val x = u % prime
+    val x = (u % prime + prime) % prime
     cs.tail.foldLeft(lit(cs.head): Column)((acc, c) => (acc * x + c) % prime)
   }
   def polySql(u: String, prime: Long, cs: Seq[Long]): String = {
-    val x = s"($u % $prime)"
+    val x = s"((($u % $prime) + $prime) % $prime)"
     cs.tail.foldLeft(cs.head.toString)((acc, c) => s"(($acc) * $x + $c) % $prime")
   }
 

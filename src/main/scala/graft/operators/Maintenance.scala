@@ -85,37 +85,63 @@ object Maintenance {
   }
 
   /** Continuously applies a streaming changefeed to a parquet target:
-    * each micro-batch MERGEs via [[applyChanges]] and atomically swaps the
-    * target directory (write-new → rename). The batch operator being
-    * deterministic makes the stream's final state equal to one big batch
-    * apply of the same changes — MaintenanceSpec replays a chunked feed
-    * and compares against the q90 round-trip law.
+    * each micro-batch MERGEs via [[applyChanges]] and swaps the target
+    * directory through a crash-safe rename sequence. The batch operator
+    * being deterministic makes the stream's final state equal to one big
+    * batch apply of the same changes — MaintenanceSpec replays a chunked
+    * feed and compares against the q90 round-trip law.
+    *
+    * Swap protocol (no step ever deletes the only copy of the data):
+    * write `.next` → delete stale `.old` → rename target→`.old` →
+    * rename `.next`→target → delete `.old`. The target can only be
+    * missing between the two renames, and then the displaced pre-batch
+    * state is at `.old`; batch start restores it ([[recoverSwap]]) and the
+    * checkpoint replays the uncommitted epoch against it — recovery lands
+    * on the pre-batch state, never on a half-applied one. Renames are
+    * per-directory filesystem moves: atomic on HDFS-like stores, NOT on
+    * object stores — there, and in any deployment wanting concurrent
+    * readers, target a table format with a real commit protocol (the
+    * foreachBatch body is unchanged; only the swap is format-specific).
     *
     * Scale note: rewrite-on-batch is the no-table-format fallback; on a
     * real deployment the same foreachBatch body targets a format with
     * row-level MERGE, and with a partitioned target only partitions
-    * containing changed keys need rewriting. The streaming plumbing —
-    * exactly-once per epoch via checkpointed offsets + idempotent swap —
-    * is what this operator pins. */
+    * containing changed keys need rewriting. */
   def applyChangesStream(changes: DataFrame, targetDir: String,
       keys: Seq[String], checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
-        val target = spark.read.parquet(targetDir)
-        val merged = applyChanges(target, batch, keys)
-        val tmp = targetDir + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
         val conf = spark.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(targetDir).getFileSystem(conf)
-        fs.delete(new org.apache.hadoop.fs.Path(targetDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(targetDir))
+        val target = new Path(targetDir)
+        val fs = target.getFileSystem(conf)
+        recoverSwap(fs, target)
+        val merged = applyChanges(spark.read.parquet(targetDir), batch, keys)
+        val tmp = new Path(targetDir + ".next")
+        val old = new Path(targetDir + ".old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(old, true) // stale from a crash after a completed swap
+        fs.rename(target, old)
+        fs.rename(tmp, target)
+        fs.delete(old, true)
         ()
       }
       .start()
+
+  /** Restores the target if a previous run died mid-swap: the only state
+    * with the target missing is between the two renames, where the
+    * pre-batch data sits whole at `.old`. Idempotent; no-op when healthy. */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
+    if (!fs.exists(target) && fs.exists(old)) {
+      fs.rename(old, target)
+      ()
+    }
+  }
 
   /** Incrementally maintains a (group, count, exact-sum) aggregate view
     * under a [[snapshotDiff]] changefeed — materialized-view delta

@@ -17,18 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Rows violating a row-local predicate. */
+  /** Rows violating a row-local predicate. The outer coalesce keeps the
+    * report (0, 0) on an EMPTY table — `sum` over zero rows is NULL, and
+    * the SQL mirror's `count(*) FILTER` is 0, so without it the report
+    * would diverge cross-engine exactly when a table vanishes. */
   def predicateCheck(df: DataFrame, name: String, ok: Column): DataFrame =
-    df.agg(sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)).as("violations"),
+    df.agg(
+        coalesce(sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)), lit(0L))
+          .as("violations"),
         count(lit(1)).as("checked"))
       .select(lit(name).as("check_name"), col("violations"), col("checked"))
 
-  /** Duplicate occurrences of a supposed key: total rows − distinct keys. */
-  def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+  /** Duplicate occurrences of a supposed key: total rows − distinct
+    * complete keys. A key with ANY NULL component is no key at all (PK
+    * semantics: PRIMARY KEY implies NOT NULL), so every such row counts as
+    * a violation — which is also what `count(*) − count(DISTINCT key)`
+    * computes in ANSI SQL, where DISTINCT ignores NULLs. The `when`
+    * guard makes Spark's `count_distinct` (which would otherwise count a
+    * null-field struct as a real value) match that semantic exactly. */
+  def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame = {
+    val keyComplete = keys.map(col(_).isNotNull).reduce(_ && _)
     df.agg(count(lit(1)).as("n"),
-        count_distinct(struct(keys.map(col): _*)).as("d"))
+        count_distinct(when(keyComplete, struct(keys.map(col): _*))).as("d"))
       .select(lit(name).as("check_name"), (col("n") - col("d")).as("violations"),
         col("n").as("checked"))
+  }
 
   /** Child rows whose foreign key has no parent (NULL FKs are orphans'
     * opposite — they're skipped, matching SQL FK semantics). */

@@ -61,6 +61,24 @@ class HllSpec extends AnyFunSuite {
     assert(err2 < 0.05, s"sequential-id estimate $est2 (err $err2)")
   }
 
+  test("negative keys hash into the valid (bucket, rank) domain and estimate accurately") {
+    // the public API takes any BIGINT: the normalized field arithmetic must
+    // keep buckets in [0, m) and ranks in [1, 51] for negative ids too, and
+    // normalization must not disturb non-negative keys' hashes
+    val neg = (1L to 50000L).map(i => HllEvent("neg", -i)).toDF()
+    val regs = Hll.registers(neg, Seq("event_type"), col("user_id"))
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(regs.forall { case (b, _) => b >= 0L && b < Hll.m },
+      "bucket out of [0, m)")
+    assert(regs.forall { case (_, rk) => rk >= 1 && rk <= Hll.maxRank },
+      "rank out of [1, 51]")
+    val sk = Hll.sketch(Hll.registers(neg, Seq("event_type"), col("user_id")),
+      Seq("event_type")).collect().head
+    val est = Hll.correctedEstimate(sk.getLong(1), sk.getDouble(3))
+    val err = math.abs(est - 50000.0) / 50000.0
+    assert(err < 0.05, s"negative-id estimate $est (err $err)")
+  }
+
   test("streaming registers converge to the batch registers on shuffled replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

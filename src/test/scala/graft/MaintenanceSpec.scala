@@ -135,6 +135,40 @@ class MaintenanceSpec extends AnyFunSuite {
       "streamed CDC apply must converge to the new snapshot")
   }
 
+  test("streaming CDC apply recovers a target stranded mid-swap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = java.nio.file.Files.createTempDirectory("cdcrecover").toString
+    val targetDir = s"$base/target"; val ckpt = s"$base/ckpt"
+    val old = snap((1L, Some("a"), 1.0), (2L, Some("b"), 2.0))
+    val neu = snap((1L, Some("a"), 1.0), (2L, Some("B"), 2.5), (3L, Some("c"), 3.0))
+    old.write.parquet(targetDir)
+
+    // simulate a crash between the swap's two renames: the target has been
+    // displaced to .old and a stale .next from the dead batch lingers
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(targetDir),
+      new org.apache.hadoop.fs.Path(targetDir + ".old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(targetDir + ".next"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(targetDir)))
+
+    // the replayed epoch must restore the pre-batch state, merge onto it,
+    // and leave no sidecar directories behind
+    val diff = Maintenance.snapshotDiff(old, neu, Seq("id"))
+      .select(col("id"), col("change"), col("new_name"), col("new_bal"))
+      .as[Chg].collect().toList
+    val in = MemoryStream[Chg]
+    val q = Maintenance.applyChangesStream(in.toDF(), targetDir, Seq("id"), ckpt)
+    try { in.addData(diff); q.processAllAvailable() } finally q.stop()
+
+    val got = spark.read.parquet(targetDir).collect().map(_.toString).sorted
+    assert(got.toSeq === neu.collect().map(_.toString).sorted.toSeq)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(targetDir + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(targetDir + ".next")))
+  }
+
   private def log(rows: (Long, String, Long, Long)*) =
     rows.toDF("key", "status", "tsv", "tie")
       .withColumn("ts", timestamp_micros(col("tsv") * 1000000L)).drop("tsv")

@@ -25,6 +25,33 @@ class QualitySpec extends AnyFunSuite {
     assert(got === Map("k_unique" -> (3L, 6L))) // one extra 2, two extra 3s
   }
 
+  test("uniqueCheck: NULL key components are violations (PK semantics)") {
+    // matches ANSI count(*) - count(DISTINCT key), where DISTINCT ignores
+    // NULLs: [1, 1, 2, NULL, NULL] has 2 distinct complete keys, so the
+    // duplicate 1 AND both NULL-key rows violate — 3 of 5
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, None).toDF("k")
+    val got = reportMap(Quality.uniqueCheck(df, "k_unique", Seq("k")))
+    assert(got === Map("k_unique" -> (3L, 5L)))
+    // multi-column keys: ANY null component disqualifies the key
+    val df2 = Seq((Some(1L), Some("a")), (Some(1L), None), (None, Some("a")))
+      .toDF("k1", "k2")
+    val got2 = reportMap(Quality.uniqueCheck(df2, "kk", Seq("k1", "k2")))
+    assert(got2 === Map("kk" -> (2L, 3L)))
+  }
+
+  test("empty tables report (0, 0), never NULL") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rep = Quality.report(Seq(
+      Quality.predicateCheck(empty, "p", col("v") > 0),
+      Quality.uniqueCheck(empty, "u", Seq("k")),
+      Quality.referentialCheck(empty, "k", Seq(1L).toDF("pk"), "pk", "r")))
+      .collect()
+    rep.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"NULL in report row $r")
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L, s"non-zero on empty: $r")
+    }
+  }
+
   test("referentialCheck counts orphans, skips NULL foreign keys") {
     val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
