@@ -292,12 +292,29 @@ object Relational {
 
   /** A-coverage: HyperLogLog distinct estimate per group — the sketch path
     * for 100 TB cardinalities (constant memory per group vs exact distinct's
-    * shuffle of every key). Algorithms differ across engines, so this is a
-    * rows-only query; DistinctSpec pins the estimate within 5% of exact. */
-  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    * shuffle of every key). The ESTIMATE is engine-private (HLL++ under a
+    * Spark-internal hash), so the oracle-checked output is the CONTRACT
+    * instead: the exact distinct count (computable in both engines) plus a
+    * boolean asserting Spark's estimate landed within 3× its requested
+    * relative standard deviation of it. The oracle states `TRUE` — a sketch
+    * regression surfaces as a hash-mismatched FALSE, which upgrades this
+    * row from the old rows-only check to a real gate row. (The oracle-exact
+    * alternative whose state itself is checkable bit-for-bit is q93.) */
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame = {
+    val rsd = 0.02
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          lit(3 * rsd) * col("exact_users").cast("double")).as("within_bound"))
+  }
+
+  val approxDistinctUsersSql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type"""
 
   /** Anti join: customers with no orders (NOT EXISTS). */
   def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
@@ -517,7 +534,7 @@ object Relational {
     "q13_distinct_users_by_type" -> QueryDef(distinctUsersByType _, distinctUsersByTypeSql),
     "q14_customers_without_orders" -> QueryDef(customersWithoutOrders _, customersWithoutOrdersSql),
     "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql),
-    "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, None),
+    "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, approxDistinctUsersSql),
     "q34_rollup_revenue"      -> QueryDef(rollupRevenue _, rollupRevenueSql),
     "q35_customer_order_summary" -> QueryDef(customerOrderSummary _, customerOrderSummarySql),
     "q36_big_customers"       -> QueryDef(bigCustomers _, bigCustomersSql),

