@@ -139,19 +139,39 @@ object Similarity {
           lit(0.0), (acc, e) => acc + e))
       .select(col(idCol), col("scale"), col("codes"), col("sq_err"))
 
-  /** Materialize the IVF index for a FIXED quantizer (no training job):
-    * assign every vector its nearest cell, write partitioned by cell. The
-    * per-vector norm is precomputed into the index — serving probes then
-    * fold only the query·candidate dot, not the norms. */
-  def writeIvfIndex(corpus: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+  /** (id, v, nrm, cell) layout rows for an index write: nearest-cell
+    * assignment against fixed centers, per-vector norm precomputed so
+    * serving probes fold only the query·candidate dot. */
+  private def indexRows(corpus: DataFrame, centers: Seq[Seq[Double]],
+                        idCol: String, vecCol: String): DataFrame =
     corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("dists", array(centers.map(c => distToFold(col("v"), c)): _*))
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
       .drop("dists")
+
+  /** Materialize the IVF index for a FIXED quantizer (no training job):
+    * assign every vector its nearest cell, write partitioned by cell. */
+  def writeIvfIndex(corpus: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    indexRows(corpus, centers, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+  /** Roll the index forward after an embedding batch is accepted — the
+    * vector twin of [[Dedup.appendToSignatureIndex]]: ONLY the new batch
+    * is assigned (same centers the index was built with — the quantizer is
+    * index metadata and must not drift) and its cell files are APPENDED;
+    * existing files are never rewritten, so a daily corpus drop costs one
+    * batch-sized job instead of a rebuild. Probes ([[ivfTopKIndexed]]) are
+    * unchanged — the cell-partitioned layout absorbs the new files, and
+    * because assignment is per-vector deterministic, append ≡ full
+    * rebuild for every query (the q99 gate row and SimilarityIndexSpec
+    * pin that law). */
+  def appendToIvfIndex(newVectors: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    indexRows(newVectors, centers, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
 
   /** Per-table sign-LSH bucket codes for a vector: table t's code packs
     * `bits` sign bits, bit b = [v · hyperplane(t·bits+b) > 0]. Shared by

@@ -313,8 +313,11 @@ object Extensions {
 
   /** The quantizer is deterministic, so DuckDB reproduces the ENTIRE IVF
     * pipeline — cell assignment, probe selection, candidate set, cosine
-    * ranking — making the approximate index exactly checkable. */
-  val annIvfTopKSql: String = s"""
+    * ranking — making the approximate index exactly checkable. Shared by
+    * q31 (build-once probe) and q99 (append-then-probe): cell assignment
+    * is per-vector, so the incrementally-grown index holds exactly the
+    * full-rebuild rows and ONE oracle form covers both. */
+  private def ivfProbeSql(queryPred: String): String = s"""
     WITH c AS ($embSql),
     ctr AS (SELECT * FROM (VALUES ${centersValuesSql(ivfCenters)}) t(cell, cc)),
     rk AS (SELECT vec_id, v, cell,
@@ -324,7 +327,7 @@ object Extensions {
                  FROM c CROSS JOIN ctr)),
     assign AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
     q AS (SELECT vec_id AS query_id, v AS qv, cell FROM rk
-          WHERE rn <= 4 AND vec_id < 10),
+          WHERE rn <= 4 AND ($queryPred)),
     cand AS (SELECT q.query_id, q.qv, a.vec_id AS neighbor_id, a.v
              FROM q JOIN assign a USING (cell)
              WHERE a.vec_id <> q.query_id),
@@ -336,6 +339,8 @@ object Extensions {
                                 ORDER BY sim DESC, neighbor_id) AS rn
       FROM scored)
     WHERE rn <= 5"""
+
+  val annIvfTopKSql: String = ivfProbeSql("vec_id < 10")
 
   /** q53: sign-LSH ANN — 4 tables × 6 sign bits from 24 fixed ±1
     * hyperplanes (same deterministic mixer as the IVF centers, so the
@@ -751,6 +756,43 @@ object Extensions {
     FROM jp
     WHERE jaccard >= 0.2 AND (id_a % 2) <> (id_b % 2)"""
 
+  /** q99: incremental ANN index maintenance — the vector twin of q52's
+    * signature-index roll-forward. The corpus is split into two "ingest
+    * days" by vec_id parity: day 1 builds the cell-partitioned IVF index,
+    * day 2 is APPENDED via [[Similarity.appendToIvfIndex]] (only the new
+    * batch is assigned; no day-1 file is rewritten —
+    * SimilarityIndexSpec asserts that at the file level). Both steps are
+    * offline index maintenance, cached per sf fingerprint like q31/q52;
+    * the QUERY probes the grown index. Because cell assignment is
+    * per-vector deterministic, the grown index holds exactly the
+    * full-rebuild rows, so the oracle — the same full-corpus IVF pipeline
+    * as q31 under a different query set — checks append ≡ rebuild
+    * end-to-end, hash-exact. */
+  private def ivfIncrDir(d: String): String =
+    indexCacheDir("graft-ivf-incr-cache", d, "embeddings", "c16incr")
+
+  private val ivfIncrLock = new Object
+
+  def annIvfAppendProbe(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    val dir = ivfIncrDir(d)
+    ivfIncrLock.synchronized {
+      // two-step build under one marker: day-1 overwrite, day-2 append.
+      // The marker is written LAST, so a half-built index (crash between
+      // the steps) is rebuilt from scratch, never probed.
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir, ivfCenters)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), dir, ivfCenters)
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
+      }
+    }
+    Similarity.ivfTopKIndexed(dir, ivfCenters,
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), k = 5, nProbe = 4)
+  }
+
+  val annIvfAppendProbeSql: String = ivfProbeSql("vec_id >= 10 AND vec_id < 20")
+
   /** q66: last-touch attribution — for each purchase, every click by the
     * same user in the 24 h before it (via [[graft.streaming.StreamJoin]],
     * the SAME operator that runs the watermarked stream-stream join),
@@ -960,6 +1002,7 @@ object Extensions {
     "q50_embedding_quantize" -> QueryDef(embeddingQuantize _, embeddingQuantizeSql),
     "q52_incremental_dedup"  -> QueryDef(incrementalDedup _, incrementalDedupSql),
     "q53_ann_lsh_topk"       -> QueryDef(annLshTopK _, annLshTopKSql),
+    "q99_ann_ivf_append"     -> QueryDef(annIvfAppendProbe _, annIvfAppendProbeSql),
     "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql),
     "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql),
     "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql),

@@ -46,6 +46,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(fromIndex === inMemory)
   }
 
+  test("IVF append: day-1 files untouched, probes equal a full rebuild (q99 law)") {
+    implicit val s = spark
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val centers = Similarity.fixedCenters(cells = 16, dim = 64)
+    val base = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val incrDir = s"$base/incr"; val fullDir = s"$base/full"
+
+    // grow incrementally: day-1 build, day-2 append
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), incrDir, centers)
+    def files(dir: String) = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val day1Files = files(incrDir)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), incrDir, centers)
+    val grownFiles = files(incrDir)
+    // append is append: every day-1 data file survives byte-identical in
+    // size, and the growth is strictly new files — no rewrite amplification
+    day1Files.foreach { case (p, len) =>
+      assert(grownFiles.get(p).contains(len), s"day-1 file rewritten: $p")
+    }
+    assert(grownFiles.size > day1Files.size, "append added no files")
+
+    // probes against the grown index equal probes against a full rebuild
+    Similarity.writeIvfIndex(emb, fullDir, centers)
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    def probe(dir: String) = Similarity
+      .ivfTopKIndexed(dir, centers, queries, 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(probe(incrDir) === probe(fullDir),
+      "incrementally-grown index diverged from the full rebuild")
+  }
+
   test("as-of join plans linear: one window over a union, no pair blow-up") {
     val df = graft.queries.Extensions.asofPurchaseClick(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
