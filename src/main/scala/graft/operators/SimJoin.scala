@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object SimJoin {
 
-  /** `docTok`: DISTINCT (id, token). Returns (doc_a, doc_b, c, na, nb,
-    * jaccard) for every pair with J ≥ num/den, doc_a < doc_b. */
-  def exactJaccardJoin(docTok: DataFrame, num: Int, den: Int): DataFrame = {
+  /** The candidate stage alone — (doc_a, doc_b, na, nb) pairs sharing a
+    * PREFIX token and passing the size filter, before exact verification.
+    * Exposed so SimJoinSpec can pin the candidate VOLUME on adversarial
+    * fixtures: the operator's pruning power lives entirely here, and a
+    * regression in the rare-first ordering shows up as a candidate
+    * blow-up long before it shows up as a timeout. */
+  private[graft] def candidatePairs(docTok: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
     val sz = docTok.groupBy("id").agg(count(lit(1)).as("n"))
     val freq = docTok.groupBy("token").agg(count(lit(1)).as("tf"))
@@ -44,13 +48,19 @@ object SimJoin {
       .filter(col("pos") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
       .select(col("id"), col("token"), col("n"))
 
-    val cand = prefix.select(col("id").as("doc_a"), col("token"), col("n").as("na"))
+    prefix.select(col("id").as("doc_a"), col("token"), col("n").as("na"))
       .join(prefix.select(col("id").as("doc_b"), col("token"), col("n").as("nb")),
         "token")
       .filter(col("doc_a") < col("doc_b"))
       .filter(lit(num) * greatest(col("na"), col("nb")) <=
         lit(den) * least(col("na"), col("nb")))
       .select("doc_a", "doc_b", "na", "nb").distinct()
+  }
+
+  /** `docTok`: DISTINCT (id, token). Returns (doc_a, doc_b, c, na, nb,
+    * jaccard) for every pair with J ≥ num/den, doc_a < doc_b. */
+  def exactJaccardJoin(docTok: DataFrame, num: Int, den: Int): DataFrame = {
+    val cand = candidatePairs(docTok, num, den)
 
     cand
       .join(docTok.select(col("id").as("doc_a"), col("token")), "doc_a")
