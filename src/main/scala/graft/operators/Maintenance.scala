@@ -170,6 +170,25 @@ object Maintenance {
       .filter(col("cnt") > 0)
   }
 
+  /** Point-in-time (temporal) lookup against an SCD2 history: for each
+    * probe row (entity key + `probe_ts`), the history version whose
+    * half-open validity interval [valid_from, valid_to) contains the
+    * probe instant — the query side of [[scd2History]], and the lookup a
+    * feature store runs to avoid training-serving leakage ("the value AS
+    * OF the example's timestamp", never the current one).
+    *
+    * Scale shape: ONE co-partitioned equi-join on the entity key; the
+    * interval predicate is row-local on the joined pair, so no range-join
+    * blow-up — per-entity history is versions-per-entity small by
+    * construction. A probe inside the history always matches EXACTLY one
+    * version (intervals partition [first_valid_from, ∞)); probes before
+    * an entity's first version produce no row. */
+  def pointInTime(history: DataFrame, probes: DataFrame,
+      keys: Seq[String], probeTs: String = "probe_ts"): DataFrame =
+    history.join(probes, keys)
+      .filter(col("valid_from") <= col(probeTs) &&
+        (col("valid_to").isNull || col("valid_to") > col(probeTs)))
+
   /** Type-2 slowly-changing-dimension history from an append-only
     * changelog: collapses consecutive equal values of `attr` per key
     * (ordered by `tsCol`, ties by `tieCols`) into versioned validity

@@ -106,6 +106,56 @@ object MaintenanceQueries {
            (vt IS NULL) AS is_current
     FROM hist"""
 
+  // --- q100: point-in-time status lookup against the SCD2 history -----------
+
+  /** Each customer's order status AS OF the midpoint of their own order
+    * history — the temporal join a feature store runs to read attributes
+    * at an example's timestamp instead of leaking the current value. The
+    * probe instant is derived deterministically per entity (integer-div
+    * midpoint of min/max order-date micros, identical cross-engine), the
+    * history is q91's, and the lookup is one entity-key equi-join with a
+    * row-local interval predicate ([[graft.operators.Maintenance
+    * .pointInTime]]). Every probe lands inside its own history (midpoint
+    * ≥ first order), so the result is exactly one row per customer —
+    * which the oracle recomputes independently. */
+  def statusAsOf(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val hist = M.scd2History(ord, Seq("o_custkey"), "o_orderstatus",
+      "o_orderdate", Seq("o_orderkey"))
+    val probes = ord.groupBy(col("o_custkey"))
+      .agg(timestamp_micros(((unix_micros(min(col("o_orderdate")).cast("timestamp")) +
+        unix_micros(max(col("o_orderdate")).cast("timestamp"))) / 2).cast("long"))
+        .cast("timestamp_ntz").as("probe_ts"))
+    M.pointInTime(hist, probes, Seq("o_custkey"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("version"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"))
+  }
+
+  val statusAsOfSql: String = """
+    WITH runs AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    starts AS (
+      SELECT * FROM runs WHERE prev IS DISTINCT FROM o_orderstatus),
+    hist AS (
+      SELECT o_custkey, o_orderstatus,
+             row_number() OVER w AS version,
+             o_orderdate AS vf,
+             lead(o_orderdate) OVER w AS vt
+      FROM starts
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    probes AS (
+      SELECT o_custkey,
+             make_timestamp((epoch_us(min(o_orderdate))
+                             + epoch_us(max(o_orderdate))) // 2) AS probe_ts
+      FROM orders GROUP BY 1)
+    SELECT h.o_custkey, h.o_orderstatus, h.version,
+           strftime(p.probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts
+    FROM hist h JOIN probes p USING (o_custkey)
+    WHERE h.vf <= p.probe_ts AND (h.vt IS NULL OR h.vt > p.probe_ts)"""
+
   // --- q95: incremental materialized-view maintenance -----------------------
 
   /** The orders fact table gets the same deterministic two-snapshot
@@ -280,5 +330,6 @@ object MaintenanceQueries {
     "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
     "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),
     "q91_scd2_history"    -> QueryDef(scd2OrderStatus _, scd2OrderStatusSql),
+    "q100_status_asof"    -> QueryDef(statusAsOf _, statusAsOfSql),
     "q95_incremental_view" -> QueryDef(incrementalRollup _, incrementalRollupSql))
 }

@@ -191,6 +191,22 @@ class MaintenanceSpec extends AnyFunSuite {
       (2L, "X", 1, 10L, -1L, true)))
   }
 
+  test("pointInTime: half-open intervals, exactly-one-version, pre-history probes drop") {
+    // key 1 history: A [10, 30), B [30, open). Probes: 9 (before history:
+    // no row), 10 (first instant of A), 29 (last instant of A), 30 (the
+    // boundary belongs to B — [from, to) half-open), 99 (open row)
+    val l = log((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L))
+    val hist = Maintenance.scd2History(l, Seq("key"), "status", "ts", Seq("tie"))
+    val probes = Seq(9L, 10L, 29L, 30L, 99L)
+      .toDF("pv").select(lit(1L).as("key"),
+        timestamp_micros(col("pv") * 1000000L).as("probe_ts"), col("pv"))
+    val got = Maintenance.pointInTime(hist, probes, Seq("key"))
+      .select(col("pv"), col("status")).as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "A", 29L -> "A", 30L -> "B", 99L -> "B"))
+    // exactly one version per in-history probe: no duplicate pv keys
+    assert(Maintenance.pointInTime(hist, probes, Seq("key")).count() === 4L)
+  }
+
   test("scd2History ties on the same timestamp break by the tie column") {
     val l = log((1L, "A", 10L, 2L), (1L, "B", 10L, 1L))
     val got = Maintenance.scd2History(l, Seq("key"), "status", "ts", Seq("tie"))
