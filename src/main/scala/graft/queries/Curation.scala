@@ -943,6 +943,61 @@ object Curation {
     FROM (SELECT *, ${Extensions.fingerprintExprSqlOn("reverse(text)")} % 100 AS sb
           FROM deduped)"""
 
+  // --- q101: corpus drift report between two snapshot days -------------------
+
+  /** Token-distribution drift between two corpus snapshots (doc_id parity
+    * as the deterministic day split) — the monitoring pass a production
+    * corpus runs before training: did yesterday's crawl shift the
+    * distribution, and WHICH tokens moved? Per token, both days' counts
+    * and the EXACT cross-multiplied divergence |ca·tb − cb·ta| (the
+    * integer-scaled |relfreq_a − relfreq_b|; ta/tb are the day totals) —
+    * ranking on the integer avoids float rounding entirely, and the
+    * reported `drift_score` = diff / (ta·tb) is one IEEE division of
+    * identical operands, bit-equal cross-engine. Top 30 by (diff, token).
+    *
+    * Scale shape: one (token, day-flag) aggregate shuffle, a broadcast
+    * 1-row totals join, TakeOrderedAndProject for the top-k — no window,
+    * no global sort. BIGINT cross-products hold to ~3·10^9 tokens per
+    * day; beyond that, lift the multiplication to DECIMAL(38,0) on both
+    * engines (the [[graft.functions.Exact]] discipline). */
+  def corpusDrift(s: SparkSession, d: String): DataFrame =
+    corpusDriftOn(Tables.documents(s, d))
+
+  def corpusDriftOn(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select((col("doc_id") % 2 === 0).as("day1"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("day1"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("day1"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("diff", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .orderBy(col("diff").desc, col("token"))
+      .limit(30)
+      .select(col("token"), col("ca"), col("cb"), col("diff"),
+        (col("diff").cast("double") /
+          (col("ta") * col("tb")).cast("double")).as("drift_score"))
+  }
+
+  val corpusDriftSql: String = s"""
+    WITH tok AS (SELECT doc_id % 2 = 0 AS day1,
+                        unnest(${Extensions.toksSql}) AS token
+                 FROM documents),
+    counts AS (SELECT token,
+                      count(*) FILTER (WHERE day1) AS ca,
+                      count(*) FILTER (WHERE NOT day1) AS cb
+               FROM tok GROUP BY token),
+    -- DuckDB sum(BIGINT) widens to HUGEINT; narrow back for dtype parity
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                   CAST(sum(cb) AS BIGINT) AS tb FROM counts)
+    SELECT token, ca, cb, abs(ca * tb - cb * ta) AS diff,
+           CAST(abs(ca * tb - cb * ta) AS DOUBLE)
+             / CAST(ta * tb AS DOUBLE) AS drift_score
+    FROM counts, tot
+    ORDER BY diff DESC, token
+    LIMIT 30"""
+
   val defs: Map[String, QueryDef] = Map(
     "q61_stratified_sample" -> QueryDef(stratifiedSample _, stratifiedSampleSql),
     "q62_tfidf_top_terms"   -> QueryDef(tfidfTopTerms _, tfidfTopTermsSql),
@@ -952,6 +1007,7 @@ object Curation {
     "q67_source_cap"        -> QueryDef(sourceCap _, sourceCapSql),
     "q68_repetition_stats"  -> QueryDef(repetitionStats _, repetitionStatsSql),
     "q69_decontaminate"     -> QueryDef(decontaminate _, decontaminateSql),
+    "q101_corpus_drift"     -> QueryDef(corpusDrift _, corpusDriftSql),
     "q72_pack_sequences"    -> QueryDef(packSequences _, packSequencesSql),
     "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
     "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),

@@ -316,6 +316,61 @@ object Relational {
            TRUE AS within_bound
     FROM events GROUP BY event_type"""
 
+  /** q102: strict-order funnel — of the users who signed up, how many
+    * then viewed, then clicked, then purchased, each stage STRICTLY after
+    * the previous one's first completion (min-ts semantics: the funnel
+    * clock starts at the user's first qualifying event per stage).
+    * Sequential-pattern analytics over the event stream — the query shape
+    * behind conversion dashboards and training-cohort selection.
+    *
+    * Scale shape: each stage is one user-keyed aggregate joined to the
+    * previous stage's (user, ts) — all four joins and aggregates share
+    * the user_id partitioning, so AQE reuses one exchange per side; the
+    * final conversion window runs over exactly 4 stage rows (bounded, not
+    * data-sized). No event ever pairs with more than its own user's
+    * stage row — nothing quadratic. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def stage(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
+    val first = stage("signup").groupBy("user_id").agg(min("ts").as("t"))
+    def next(prev: DataFrame, t: String) =
+      stage(t).join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .filter(col("ts") > col("pt"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val stages = Seq(
+      "1_signup" -> first,
+      "2_view" -> next(first, "view"))
+    val s3 = next(stages.last._2, "click")
+    val all = stages ++ Seq("3_click" -> s3, "4_purchase" -> next(s3, "purchase"))
+    val counts = all.map { case (name, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    }.reduce(_ unionByName _)
+    counts.withColumn("conversion",
+      col("users").cast("double") /
+        lag(col("users"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("stage")).cast("double"))
+  }
+
+  val funnelSql: String = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+    counts AS (
+      SELECT '1_signup' AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT '2_view', count(*) FROM s2
+      UNION ALL SELECT '3_click', count(*) FROM s3
+      UNION ALL SELECT '4_purchase', count(*) FROM s4)
+    SELECT stage, users,
+           CAST(users AS DOUBLE)
+             / CAST(lag(users) OVER (ORDER BY stage) AS DOUBLE) AS conversion
+    FROM counts"""
+
   /** Anti join: customers with no orders (NOT EXISTS). */
   def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -535,6 +590,7 @@ object Relational {
     "q14_customers_without_orders" -> QueryDef(customersWithoutOrders _, customersWithoutOrdersSql),
     "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql),
     "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, approxDistinctUsersSql),
+    "q102_funnel"             -> QueryDef(funnel _, funnelSql),
     "q34_rollup_revenue"      -> QueryDef(rollupRevenue _, rollupRevenueSql),
     "q35_customer_order_summary" -> QueryDef(customerOrderSummary _, customerOrderSummarySql),
     "q36_big_customers"       -> QueryDef(bigCustomers _, bigCustomersSql),

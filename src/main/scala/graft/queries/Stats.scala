@@ -250,6 +250,62 @@ object Stats {
     WHERE cum - cnt < CAST(ceil(n * p) AS BIGINT)
       AND CAST(ceil(n * p) AS BIGINT) <= cum"""
 
+  // --- q103: exact global percentile rank without a global sort -------------
+
+  /** Every document's EXACT percentile rank by token count — the
+    * normalization behind "keep the middle 80 % by length" curation
+    * thresholds, computed with the q81 bin-offset discipline instead of
+    * the textbook `percent_rank() OVER (ORDER BY score)` whose single
+    * ORDER BY partition is the canonical distributed-ranking scale-killer.
+    *
+    * Pass structure (everything integer until the final division):
+    *   1. score = token count; global (mn, mx, n) broadcast;
+    *   2. bin = (score−mn)·4096 div (mx−mn+1) — ALL-INTEGER equal-width
+    *      binning, no float edges;
+    *   3. per-(bin, score) counts; bin totals cumsum over ≤ 4096
+    *      aggregated rows (the bounded-table window, cf. q92);
+    *   4. within-bin cumsum over (bin, score) rows — partitioned by bin,
+    *      high cardinality — gives strictly-smaller counts, so
+    *      rank_below = below_bin + smaller_in_bin, and
+    *      pct_rank = rank_below / (n−1): one IEEE division of identical
+    *      operands, which is exactly DuckDB's percent_rank (ties share
+    *      the minimal rank).
+    * Join back to docs is on (bin, score) — aggregated cardinality, far
+    * smaller than rows when scores repeat (lengths do). */
+  def lengthPctRank(s: SparkSession, d: String): DataFrame = {
+    val B = 4096L
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("score"))
+    val stats = scored.agg(min("score").as("mn"), max("score").as("mx"),
+      count(lit(1)).as("n"))
+    val binned = scored.crossJoin(broadcast(stats))
+      .withColumn("bin", expr(s"((score - mn) * $B) div (mx - mn + 1)"))
+
+    val scoreCounts = binned.groupBy("bin", "score").agg(count(lit(1)).as("c"))
+    val overBins = Window.orderBy("bin")
+    val belowBin = scoreCounts.groupBy("bin").agg(sum("c").as("bc"))
+      .withColumn("below_bin", sum("bc").over(overBins) - col("bc"))
+      .select(col("bin"), col("below_bin"))
+    val inBin = Window.partitionBy("bin").orderBy("score")
+    val ranks = scoreCounts
+      .withColumn("smaller_in_bin", sum("c").over(inBin) - col("c"))
+      .join(broadcast(belowBin), "bin")
+      .select(col("bin"), col("score"),
+        (col("below_bin") + col("smaller_in_bin")).as("rank_below"))
+
+    binned.join(ranks, Seq("bin", "score"))
+      .select(col("doc_id"), col("score"),
+        (col("rank_below").cast("double") /
+          (col("n") - 1L).cast("double")).as("pct_rank"))
+  }
+
+  val lengthPctRankSql: String = s"""
+    SELECT doc_id, score,
+           percent_rank() OVER (ORDER BY score) AS pct_rank
+    FROM (SELECT doc_id, len(${graft.queries.Extensions.toksSql}) AS score
+          FROM documents)"""
+
   // --- q93: oracle-exact HyperLogLog sketch state ---------------------------
 
   /** Per-event-type HLL sketch of distinct users, all state oracle-exact:
@@ -292,5 +348,6 @@ object Stats {
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
     "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql),
     "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql),
-    "q93_hll_sketch"      -> QueryDef(hllSketch _, hllSketchSql))
+    "q93_hll_sketch"      -> QueryDef(hllSketch _, hllSketchSql),
+    "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql))
 }

@@ -228,4 +228,42 @@ class StatsSpec extends AnyFunSuite {
       s"expected exactly one window:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // --- q103: exact global percentile rank ------------------------------------
+
+  test("q103: pct_rank matches percent_rank semantics on a tie-heavy fixture") {
+    // ties share the minimal rank; pct = strictly_smaller / (n - 1)
+    import spark.implicits._
+    val d = tmpSf()
+    Seq((1L, "a b"), (2L, "a b"), (3L, "a"), (4L, "a b c d"), (5L, "a b c"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = Stats.lengthPctRank(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      3L -> (1L, 0.0),            // smallest
+      1L -> (2L, 1.0 / 4.0),      // tied pair shares rank_below = 1
+      2L -> (2L, 1.0 / 4.0),
+      5L -> (3L, 3.0 / 4.0),
+      4L -> (4L, 1.0)))           // largest
+  }
+
+  test("q103 plan: no global ORDER BY partition — data-sized windows partition by bin") {
+    val plan = Stats.lengthPctRank(spark, sf).queryExecution.executedPlan.toString
+    // the scale contract: every single-partition exchange feeds only the
+    // aggregated ≤ 4096-bin table, never the row stream. The row-stream
+    // windows hash-partition on bin.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(bin#")),
+      s"no bin-partitioned exchange in plan:\n$plan")
+    assert(plan.contains("Exchange SinglePartition") ||
+      plan.contains("Exchange rangepartitioning"),
+      s"expected the bounded bin-table window exchange:\n$plan")
+    // the only nested loops are broadcasts of the 1-row global stats
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val crossScalar = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Cross"))
+    assert(bnlj === crossScalar,
+      s"non-scalar nested loop in plan:\n$plan")
+  }
 }
