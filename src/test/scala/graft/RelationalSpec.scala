@@ -67,4 +67,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(graft.queries.Relational.unionBranches(spark, sf).count() ===
       Tables.events(spark, sf).count())
   }
+
+  test("q102 funnel: monotone non-increasing stages; conversions in (0, 1]") {
+    val rows = graft.queries.Relational.funnel(spark, sf)
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.map(_._1).toSeq ===
+      Seq("1_signup", "2_view", "3_click", "4_purchase"))
+    val users = rows.map(_._2)
+    assert(users.head > 0)
+    users.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) >= w(1), s"funnel grew: ${users.toSeq}") }
+    assert(rows.head._3.isEmpty, "first stage has no prior to convert from")
+    rows.tail.foreach { case (s, _, c) =>
+      assert(c.exists(v => v > 0.0 && v <= 1.0), s"$s conversion $c") }
+  }
+
+  test("q100/q101/q102 plans: key equi-joins only, top-k via TakeOrdered") {
+    val q100 = graft.queries.MaintenanceQueries.statusAsOf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q100.contains("CartesianProduct") &&
+      !q100.contains("BroadcastNestedLoopJoin"),
+      s"q100 non-equi join:\n$q100")
+
+    val q101 = graft.queries.Curation.corpusDrift(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q101.contains("TakeOrderedAndProject"),
+      s"q101 top-30 must be TakeOrdered, not a global sort:\n$q101")
+    assert(!q101.contains("CartesianProduct"))
+    // the only nested loop is the broadcast 1-row totals
+    val bnlj = q101.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val cross = q101.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Cross"))
+    assert(bnlj === cross, s"q101 non-scalar nested loop:\n$q101")
+
+    val q102 = graft.queries.Relational.funnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q102.contains("CartesianProduct") &&
+      !q102.contains("BroadcastNestedLoopJoin"),
+      s"q102 non-equi join:\n$q102")
+  }
 }
