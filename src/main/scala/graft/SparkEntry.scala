@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.LayoutQueries.defs ++
     graft.queries.Stats.defs ++
     graft.queries.MaintenanceQueries.defs ++
+    graft.queries.ScaleJoins.defs ++
     graft.queries.PipelineReplay.defs ++
     graft.queries.ReferenceQueries.defs
 

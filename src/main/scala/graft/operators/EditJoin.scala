@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance join: all pairs with levenshtein(a, b) ≤ τ, found
+  * WITHOUT an all-pairs comparison — PassJoin-style segment blocking
+  * (partition-based similarity join, public literature: Li/Deng/Feng,
+  * VLDB 2011).
+  *
+  * Principle: split the indexed string r into τ+1 contiguous segments.
+  * τ edits can touch at most τ segments, so any s within distance τ
+  * contains at least one segment as an EXACT substring, and — because ≤ τ
+  * net insertions/deletions shift alignment by at most τ positions — that
+  * occurrence starts within ±τ of the segment's home position. Candidate
+  * generation is therefore an EQUI-join between right-side segments keyed
+  * (r_len, seg_i, seg) and left-side probe substrings generated at the
+  * (2τ+1) plausible lengths × (τ+1) segments × (2τ+1) shifted positions;
+  * a final `levenshtein` verify keeps the join exact.
+  *
+  * 100 TB shape: both sides collapse to DISTINCT key strings before any
+  * expansion (duplicate-heavy corpora — part names, titles — pay the
+  * blocking cost once per distinct string, and the id fan-out happens
+  * AFTER the verified string-pair set, which is the small side). Probe
+  * expansion is a bounded constant ((2τ+1)²(τ+1) ≈ 18 rows at τ=1) per
+  * distinct string; the candidate join is an equi-shuffle on
+  * (r_len, seg_i, seg) — high-cardinality for natural text — and the
+  * verifier touches candidates only, never the cross product. No stage is
+  * all-pairs, mirroring the q97 prefix-filter discipline for set overlap.
+  */
+object EditJoin {
+
+  /** Segment geometry for a string of length L split into τ+1 parts: the
+    * first L % (τ+1) segments take one extra char. Both sides derive
+    * positions from the SAME formulas, so the equi-key never drifts. */
+  private def segLen(L: Column, i: Column, tau: Int): Column =
+    floor(L / lit(tau + 1)).cast("int") +
+      when(i < pmod(L, lit(tau + 1)), lit(1)).otherwise(lit(0))
+
+  private def segPos(L: Column, i: Column, tau: Int): Column =
+    (i * floor(L / lit(tau + 1)).cast("int") +
+      least(i, pmod(L, lit(tau + 1)))).cast("int")
+
+  /** Indexed side: each DISTINCT string contributes its τ+1 segments,
+    * keyed by (r_len, seg_i, seg). */
+  private[operators] def segments(keys: DataFrame, tau: Int): DataFrame = {
+    val rLen = length(col("r_key"))
+    keys.select(col("r_key")).distinct()
+      .select(col("r_key"),
+        posexplode(transform(sequence(lit(0), lit(tau)),
+          i => col("r_key").substr(segPos(rLen, i, tau) + 1, segLen(rLen, i, tau))))
+          .as(Seq("seg_i", "seg")))
+      .withColumn("r_len", rLen)
+  }
+
+  /** Probe side: each DISTINCT string s emits, for every plausible right
+    * length L ∈ [|s|−τ, |s|+τ], segment index i and shift δ ∈ [−τ, τ],
+    * the substring of s of length len_i(L) at position pos_i(L)+δ. Any r
+    * with ed(s, r) ≤ τ is guaranteed to share one of these keys. */
+  private[operators] def probes(keys: DataFrame, tau: Int): DataFrame = {
+    val s = col("s_key")
+    val lenS = length(s)
+    val cands = flatten(transform(
+      sequence(greatest(lenS - tau, lit(0)), lenS + tau), lCol =>
+        flatten(transform(sequence(lit(0), lit(tau)), i =>
+          filter(
+            transform(sequence(segPos(lCol, i, tau) - tau, segPos(lCol, i, tau) + tau),
+              p => when(p >= 0 && p + segLen(lCol, i, tau) <= lenS,
+                struct(lCol.cast("int").as("r_len"), i.cast("int").as("seg_i"),
+                  s.substr(p + 1, segLen(lCol, i, tau)).as("seg")))
+                .otherwise(lit(null)))
+          , x => x.isNotNull)))))
+    keys.select(col("s_key")).distinct()
+      .select(s, explode(array_distinct(cands)).as("probe"))
+      .select(s, col("probe.r_len"), col("probe.seg_i"), col("probe.seg"))
+  }
+
+  /** All (s_key, r_key, dist) string pairs with levenshtein ≤ τ between
+    * the distinct values of `leftKey` and `rightKey`. Exact: the blocking
+    * is complete (PassJoin pigeonhole) and the verify is sound. */
+  def editDistanceJoin(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String, tau: Int): DataFrame = {
+    require(tau >= 0, s"tau must be non-negative, got $tau")
+    probes(left.select(col(leftKey).as("s_key")), tau)
+      .join(segments(right.select(col(rightKey).as("r_key")), tau),
+        Seq("r_len", "seg_i", "seg"))
+      .select(col("s_key"), col("r_key")).distinct()
+      .withColumn("dist", levenshtein(col("s_key"), col("r_key")))
+      .filter(col("dist") <= tau)
+  }
+
+  /** Candidate string pairs BEFORE the levenshtein verify — exposed so
+    * specs can pin the blocking's pruning power (candidate volume vs the
+    * |L|·|R| cross product), the same guard SimJoinSpec keeps on q97. */
+  private[graft] def candidatePairs(left: DataFrame, leftKey: String,
+                                    right: DataFrame, rightKey: String,
+                                    tau: Int): DataFrame =
+    probes(left.select(col(leftKey).as("s_key")), tau)
+      .join(segments(right.select(col(rightKey).as("r_key")), tau),
+        Seq("r_len", "seg_i", "seg"))
+      .select(col("s_key"), col("r_key")).distinct()
+}

@@ -139,13 +139,17 @@ object Similarity {
           lit(0.0), (acc, e) => acc + e))
       .select(col(idCol), col("scale"), col("codes"), col("sq_err"))
 
-  /** (id, v, nrm, cell) layout rows for an index write: nearest-cell
-    * assignment against fixed centers, per-vector norm precomputed so
-    * serving probes fold only the query·candidate dot. */
+  /** (id[, meta…], v, nrm, cell) layout rows for an index write:
+    * nearest-cell assignment against fixed centers, per-vector norm
+    * precomputed so serving probes fold only the query·candidate dot.
+    * `metaCols` co-locates filterable attributes (label, lang, source…)
+    * WITH the vectors, so a filtered probe pushes its predicate into the
+    * same pruned scan instead of a post-hoc join. */
   private def indexRows(corpus: DataFrame, centers: Seq[Seq[Double]],
-                        idCol: String, vecCol: String): DataFrame =
+                        idCol: String, vecCol: String,
+                        metaCols: Seq[String] = Nil): DataFrame =
     corpus
-      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol) +: metaCols.map(col) :+ asDouble(col(vecCol)).as("v"): _*)
       .withColumn("nrm", norm(col("v")))
       .withColumn("dists", array(centers.map(c => distToFold(col("v"), c)): _*))
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))).cast("int"))
@@ -154,8 +158,9 @@ object Similarity {
   /** Materialize the IVF index for a FIXED quantizer (no training job):
     * assign every vector its nearest cell, write partitioned by cell. */
   def writeIvfIndex(corpus: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    indexRows(corpus, centers, idCol, vecCol)
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    metaCols: Seq[String] = Nil): Unit =
+    indexRows(corpus, centers, idCol, vecCol, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
 
   /** Roll the index forward after an embedding batch is accepted — the
@@ -335,7 +340,28 @@ object Similarity {
   def ivfTopKIndexed(indexDir: String, centers: Seq[Seq[Double]],
                      queries: DataFrame, k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id", vecCol: String = "embedding")
-                    (implicit spark: SparkSession): DataFrame = {
+                    (implicit spark: SparkSession): DataFrame =
+    ivfTopKIndexedFiltered(indexDir, centers, queries, k, lit(true), nProbe,
+      idCol, vecCol)
+
+  /** Filtered ANN against a materialized IVF index: top-k among ONLY the
+    * neighbors satisfying `neighborFilter` (a predicate over the index's
+    * metadata columns — see `writeIvfIndex(metaCols = …)`).
+    *
+    * The filter is applied INSIDE candidate generation — before ranking —
+    * not to the top-k output. Post-filtering an unfiltered top-k is the
+    * classic filtered-search recall trap: a query whose true same-filter
+    * neighbors rank 6th..10th overall would return fewer than k rows (or
+    * none). Here the predicate lands on the pruned cell scan itself
+    * (PushedFilters alongside the cell PartitionFilters, asserted in
+    * SimilarityIndexSpec), so selective filters make the probe CHEAPER,
+    * which is the 100 TB behavior a metadata-filtered vector search
+    * needs. */
+  def ivfTopKIndexedFiltered(indexDir: String, centers: Seq[Seq[Double]],
+                             queries: DataFrame, k: Int, neighborFilter: Column,
+                             nProbe: Int = 4,
+                             idCol: String = "vec_id", vecCol: String = "embedding")
+                            (implicit spark: SparkSession): DataFrame = {
     val cells = centers.length
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
@@ -358,6 +384,7 @@ object Similarity {
       else indexed.withColumn("nrm", norm(col("v")))
     val corpus = withNrm
       .filter(col("cell").isin(probed: _*))
+      .filter(neighborFilter)
       .select(col("cell"), col(idCol).as("neighbor_id"),
         col("v").as("c_vec"), col("nrm").as("c_nrm"))
 

@@ -317,20 +317,20 @@ object Extensions {
     * q31 (build-once probe) and q99 (append-then-probe): cell assignment
     * is per-vector, so the incrementally-grown index holds exactly the
     * full-rebuild rows and ONE oracle form covers both. */
-  private def ivfProbeSql(queryPred: String): String = s"""
-    WITH c AS ($embSql),
+  private def ivfProbeSql(queryPred: String, neighborPred: String = "TRUE"): String = s"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     ctr AS (SELECT * FROM (VALUES ${centersValuesSql(ivfCenters)}) t(cell, cc)),
-    rk AS (SELECT vec_id, v, cell,
+    rk AS (SELECT vec_id, label, v, cell,
              row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
-           FROM (SELECT c.vec_id, c.v, ctr.cell,
+           FROM (SELECT c.vec_id, c.label, c.v, ctr.cell,
                    ${sqdistFoldSql("c.v", "ctr.cc")} AS dd
                  FROM c CROSS JOIN ctr)),
-    assign AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+    assign AS (SELECT vec_id, label, v, cell FROM rk WHERE rn = 1),
     q AS (SELECT vec_id AS query_id, v AS qv, cell FROM rk
           WHERE rn <= 4 AND ($queryPred)),
     cand AS (SELECT q.query_id, q.qv, a.vec_id AS neighbor_id, a.v
              FROM q JOIN assign a USING (cell)
-             WHERE a.vec_id <> q.query_id),
+             WHERE a.vec_id <> q.query_id AND ($neighborPred)),
     scored AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "v")} AS sim
                FROM cand)
     SELECT query_id, neighbor_id, sim, rn FROM (
@@ -341,6 +341,36 @@ object Extensions {
     WHERE rn <= 5"""
 
   val annIvfTopKSql: String = ivfProbeSql("vec_id < 10")
+
+  /** q104: metadata-FILTERED ANN — top-5 among only the neighbors whose
+    * label is even, the "vector search with an attribute filter" serving
+    * shape (RAG corpus scoping, per-tenant retrieval). Built on a labeled
+    * index (`writeIvfIndex(metaCols = label)`) so the predicate rides the
+    * SAME cell-pruned scan as the probe — a pre-filter, not a recall-losing
+    * top-k post-filter; SimilarityIndexSpec asserts both the cell
+    * PartitionFilters and the label PushedFilters, and pins a query where
+    * post-filtering would return fewer than k rows. */
+  private val filteredLabels: Seq[Int] = Seq(0, 2, 4, 6, 8)
+
+  private def ivfLabIndexDir(d: String): String =
+    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16lab")
+
+  def annIvfFilteredTopK(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    val dir = ivfLabIndexDir(d)
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Similarity.writeIvfIndex(emb, dir, ivfCenters, metaCols = Seq("label"))
+    }
+    Similarity.ivfTopKIndexedFiltered(dir, ivfCenters,
+      emb.filter(col("vec_id") < 10), k = 5,
+      neighborFilter = col("label").isin(filteredLabels.map(Integer.valueOf): _*),
+      nProbe = 4)
+  }
+
+  val annIvfFilteredTopKSql: String =
+    ivfProbeSql("vec_id < 10", s"a.label IN (${filteredLabels.mkString(", ")})")
 
   /** q53: sign-LSH ANN — 4 tables × 6 sign bits from 24 fixed ±1
     * hyperplanes (same deterministic mixer as the IVF centers, so the
@@ -993,6 +1023,7 @@ object Extensions {
     "q29_multimodal_meta"    -> QueryDef(multimodalMeta _, multimodalMetaSql),
     "q30_embedding_near_dups" -> QueryDef(embeddingNearDups _, embeddingNearDupsSql),
     "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
+    "q104_ann_filtered"      -> QueryDef(annIvfFilteredTopK _, annIvfFilteredTopKSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Exact.{dsum, dsumSql}
+import graft.operators.{EditJoin, Ranges, Skew}
+
+/** Join-shape operators whose whole point is the 100 TB plan: exact fuzzy
+  * matching without all-pairs (q105), hot-key joins without stragglers
+  * (q106), and range joins without a nested loop (q107). Each gate row
+  * pins the RESULT against a plain declarative oracle — the optimized
+  * physical shape must be invisible in the output. */
+object ScaleJoins {
+
+  // --- q105: entity resolution via edit-distance join ----------------------
+
+  /** 16-char document "title" key (documents are ≥ 47 chars, so the
+    * substring is always full-width — every key the same length keeps the
+    * q105 fixture deterministic; the OPERATOR handles mixed lengths). */
+  private def titled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), substring(col("text"), 1, 16).as("title"))
+
+  /** The "dirty registry": every third document's title takes a one-char
+    * corruption at a doc-dependent position — the deterministic stand-in
+    * for an upstream feed with typos. */
+  private def dirtied(docs: DataFrame): DataFrame = {
+    val p = (col("doc_id") % 16).cast("int")
+    titled(docs).select(col("doc_id").as("dirty_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("title").substr(lit(1), p), lit("~"),
+          col("title").substr(p + lit(2), lit(16))))
+        .otherwise(col("title")).as("dirty_title"))
+  }
+
+  /** q105: match clean titles to the dirty registry at levenshtein ≤ 1 —
+    * exact entity resolution. The EditJoin operator blocks on PassJoin
+    * segments over DISTINCT strings (never all-pairs, never id×id), then
+    * the verified string pairs fan back out to ids with two equi-joins. */
+  def fuzzyResolve(s: SparkSession, d: String): DataFrame = {
+    val clean = titled(Tables.documents(s, d))
+    val dirty = dirtied(Tables.documents(s, d))
+    val pairs = EditJoin.editDistanceJoin(clean, "title", dirty, "dirty_title", tau = 1)
+    clean.join(pairs, col("title") === col("s_key"))
+      .join(dirty, col("r_key") === col("dirty_title"))
+      .select(col("doc_id"), col("dirty_id"), col("title"),
+        col("dirty_title"), col("dist"))
+  }
+
+  /** The oracle states the SEMANTICS (all pairs within distance 1), not
+    * the blocking: DuckDB brute-forces levenshtein over the cross product
+    * of distinct titles, which is exactly what EditJoin must reproduce. */
+  val fuzzyResolveSql: String = """
+    WITH clean AS (SELECT doc_id, substr(text, 1, 16) AS title FROM documents),
+    dirty AS (
+      SELECT doc_id AS dirty_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               substr(substr(text, 1, 16), 1, CAST(doc_id % 16 AS INT)) || '~' ||
+               substr(substr(text, 1, 16), CAST(doc_id % 16 AS INT) + 2, 16)
+             ELSE substr(text, 1, 16) END AS dirty_title
+      FROM documents)
+    SELECT c.doc_id, y.dirty_id, c.title, y.dirty_title, p.dist
+    FROM (SELECT s_key, r_key, levenshtein(s_key, r_key) AS dist
+          FROM (SELECT DISTINCT title AS s_key FROM clean)
+          CROSS JOIN (SELECT DISTINCT dirty_title AS r_key FROM dirty)
+          WHERE levenshtein(s_key, r_key) <= 1) p
+    JOIN clean c ON c.title = p.s_key
+    JOIN dirty y ON y.dirty_title = p.r_key"""
+
+  // --- q106: salted skew join ----------------------------------------------
+
+  /** q106: lineitem ⋈ supplier revenue-by-nation through the SALTED join —
+    * the hot-key defense (salt the fact side, replicate the dim ×salts) —
+    * proving salting is invisible in the result: the oracle is the PLAIN
+    * join. Aggregates are exact decimal sums so the group totals are
+    * order-independent across the salt-split partials. */
+  def saltedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d).withColumnRenamed("s_suppkey", "l_suppkey")
+    Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+      .groupBy(col("s_nationkey").as("s_nationkey"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val saltedRevenueSql: String = s"""
+    SELECT s_nationkey,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey"""
+
+  // --- q107: binned interval join ------------------------------------------
+
+  private val windowMicros = 600L * 1000000L // 10-minute error windows
+
+  /** q107: for every error event, how many views landed in the 10 minutes
+    * after it — a point-in-interval join with NO shared entity key, the
+    * shape Spark would otherwise plan as a BroadcastNestedLoopJoin.
+    * Ranges.binnedPointJoin turns it into a bin equi-join (each window
+    * spans ≤ 2 bins at width = window length); the left join back to the
+    * full window set restores zero-view windows. */
+  def errorWindowViews(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + windowMicros).as("w_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), unix_micros(col("ts")).as("v_ts"))
+    val matched = Ranges.binnedPointJoin(windows, views,
+        "w_start", "w_end", "v_ts", width = windowMicros)
+      .groupBy("win_id").agg(count(lit(1)).as("n_views"))
+    windows.select(col("win_id"))
+      .join(matched, Seq("win_id"), "left_outer")
+      .select(col("win_id"), coalesce(col("n_views"), lit(0L)).as("n_views"))
+  }
+
+  val errorWindowViewsSql: String = """
+    SELECT e.event_id AS win_id, count(v.event_id) AS n_views
+    FROM events e
+    LEFT JOIN events v
+      ON v.event_type = 'view'
+     AND v.ts >= e.ts AND v.ts < e.ts + INTERVAL 600 SECOND
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "q105_fuzzy_resolve"    -> QueryDef(fuzzyResolve _, fuzzyResolveSql),
+    "q106_salted_revenue"   -> QueryDef(saltedRevenue _, saltedRevenueSql),
+    "q107_error_window_views" -> QueryDef(errorWindowViews _, errorWindowViewsSql))
+}

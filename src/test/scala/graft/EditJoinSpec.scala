@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EditJoin
+
+/** PassJoin-style edit-distance join (q105): exact equivalence to brute
+  * force, planted-edit recovery, short-string/empty edge cases, and the
+  * candidate-volume bound that keeps the blocking honest at scale. */
+class EditJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference Levenshtein (full DP, no banding — the spec's ground truth
+    * must not share shortcuts with the operator under test). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def run(left: Seq[String], right: Seq[String], tau: Int) =
+    EditJoin.editDistanceJoin(left.toDF("k"), "k", right.toDF("k"), "k", tau)
+      .as[(String, String, Int)].collect().toSet
+
+  private def brute(left: Seq[String], right: Seq[String], tau: Int) =
+    (for { a <- left.distinct; b <- right.distinct; d = lev(a, b) if d <= tau }
+      yield (a, b, d)).toSet
+
+  test("planted edits: substitution, insertion, deletion, exact — all at tau=1") {
+    val left = Seq("spark engine", "catalyst rule", "tungsten core")
+    val right = Seq(
+      "spark enginX",  // substitution of the last char
+      "sparkX engine", // insertion mid-string
+      "sprk engine",   // deletion
+      "catalyst rule", // exact
+      "tungsten gore", // substitution mid-string
+      "volcano model") // unrelated — must NOT match
+    val got = run(left, right, tau = 1)
+    assert(got === brute(left, right, tau = 1))
+    assert(got.map(_._2).intersect(Set("volcano model")).isEmpty)
+    assert(got.size === 5)
+  }
+
+  test("randomized ≡ brute force at tau=1 and tau=2, mixed lengths 4..11") {
+    val rnd = new scala.util.Random(42)
+    def randStr() = {
+      val n = 4 + rnd.nextInt(8)
+      (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val left = Seq.fill(120)(randStr())
+    val right = Seq.fill(120)(randStr())
+    for (tau <- Seq(1, 2))
+      assert(run(left, right, tau) === brute(left, right, tau),
+        s"diverged from brute force at tau=$tau")
+  }
+
+  test("short and empty strings: lengths 0..3 at tau=2 (segments go empty)") {
+    val rnd = new scala.util.Random(7)
+    def randStr() =
+      (1 to rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val left = Seq.fill(60)(randStr()) :+ ""
+    val right = Seq.fill(60)(randStr()) :+ ""
+    assert(run(left, right, tau = 2) === brute(left, right, tau = 2))
+  }
+
+  test("duplicate keys collapse before blocking: pairs are distinct-string level") {
+    val left = Seq("alpha", "alpha", "alpha", "beta")
+    val right = Seq("alphX", "alphX", "beta")
+    val got = run(left, right, tau = 1)
+    assert(got === Set(("alpha", "alphX", 1), ("beta", "beta", 0)))
+  }
+
+  test("candidate volume stays far below the cross product on diverse keys") {
+    val rnd = new scala.util.Random(13)
+    def randStr() =
+      (1 to 12).map(_ => ('a' + rnd.nextInt(16)).toChar).mkString
+    val left = Seq.fill(200)(randStr())
+    val right = Seq.fill(200)(randStr())
+    val cands = EditJoin.candidatePairs(
+      left.toDF("k"), "k", right.toDF("k"), "k", tau = 1).count()
+    // 200×200 = 40 000 cross pairs; diverse 12-char keys over a 16-letter
+    // alphabet should collide on a (r_len, seg_i, seg) key only rarely.
+    // A lost length- or position-discipline shows up here as a blow-up.
+    assert(cands < 2000, s"blocking lost its pruning power: $cands candidates")
+  }
+}

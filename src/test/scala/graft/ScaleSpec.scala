@@ -85,6 +85,56 @@ class ScaleSpec extends AnyFunSuite {
       "incrementally-grown index diverged from the full rebuild")
   }
 
+  test("filtered ANN: predicate rides the pruned scan; pre-filter beats post-filter") {
+    implicit val s = spark
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val centers = Similarity.fixedCenters(cells = 16, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt").toString + "/index"
+    Similarity.writeIvfIndex(emb, dir, centers, metaCols = Seq("label"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val evens = Seq(0, 2, 4, 6, 8).map(Integer.valueOf)
+    val filtered = Similarity.ivfTopKIndexedFiltered(dir, centers, queries,
+      k = 5, neighborFilter = col("label").isin(evens: _*), nProbe = 4)
+
+    // the label predicate must reach the SAME partition-pruned scan —
+    // a post-hoc join against a metadata table would show neither
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe lost its cell pruning:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate not pushed into the scan:\n$plan")
+
+    // semantics: top-5 among even-label neighbors only
+    val rows = filtered.collect()
+    assert(rows.length === 50, "every query should still fill k=5 from the filtered pool")
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(labels(r.getLong(1)) % 2 === 0,
+      s"odd-label neighbor leaked through: ${r.getLong(1)}"))
+
+    // the recall trap the operator exists to avoid: post-filtering the
+    // UNFILTERED top-5 must lose neighbors for at least one query
+    val unfiltered = Similarity.ivfTopKIndexed(dir, centers, queries, 5, nProbe = 4)
+    val postFiltered = unfiltered.collect()
+      .filter(r => labels(r.getLong(1)) % 2 == 0)
+      .groupBy(_.getLong(0)).map(_._2.length)
+    assert(postFiltered.exists(_ < 5),
+      "fixture too easy: post-filtering never starved a query, trap not exercised")
+  }
+
+  test("q105 fuzzy resolve and q106 salted revenue plan without nested loops") {
+    for ((name, df) <- Seq(
+        "q105" -> graft.queries.ScaleJoins.fuzzyResolve(spark, sf),
+        "q106" -> graft.queries.ScaleJoins.saltedRevenue(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested loop:\n$plan")
+    }
+  }
+
   test("as-of join plans linear: one window over a union, no pair blow-up") {
     val df = graft.queries.Extensions.asofPurchaseClick(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
