@@ -170,6 +170,45 @@ object Maintenance {
       .filter(col("cnt") > 0)
   }
 
+  /** Merkle-style per-bucket fingerprint summary of a snapshot:
+    * ≤ `buckets` rows of (bucket, n_rows, fp), fp = XOR of a
+    * caller-supplied deterministic row hash, bucket = keyHash mod buckets.
+    *
+    * The anti-entropy primitive: to learn WHETHER and WHERE two replicas /
+    * snapshots diverge, each side scans LOCALLY (one map-side-combinable
+    * aggregate — XOR and count are associative+commutative, so partials
+    * merge in any order with no overflow) and only the bucket summaries
+    * travel. Comparing summaries ([[fingerprintDiff]]) yields the repair
+    * set; a full-data join ([[snapshotDiff]]) then runs on the divergent
+    * buckets ONLY. At 100 TB that turns "are these tables equal?" from a
+    * table-sized shuffle into O(buckets) bytes moved per check — the
+    * standard replica-reconciliation design (Merkle trees flattened to one
+    * level; public literature, e.g. Dynamo-style anti-entropy). */
+  def bucketFingerprints(snap: DataFrame, keyHash: Column, rowHash: Column,
+                         buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    snap.select(pmod(keyHash, lit(buckets.toLong)).as("bucket"), rowHash.as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("fp"))
+  }
+
+  /** Buckets where two snapshots' summaries disagree — the repair set.
+    * Missing buckets count as empty (0 rows, NULL fp); comparison is
+    * null-safe so a one-sided bucket always surfaces. */
+  def fingerprintDiff(oldFp: DataFrame, newFp: DataFrame): DataFrame = {
+    val o = oldFp.select(col("bucket"),
+      col("n_rows").as("old_n"), col("fp").as("old_fp"))
+    val n = newFp.select(col("bucket"),
+      col("n_rows").as("new_n"), col("fp").as("new_fp"))
+    o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        col("old_fp"), col("new_fp"))
+      .filter(col("old_n") =!= col("new_n") ||
+        !(col("old_fp") <=> col("new_fp")))
+  }
+
   /** Point-in-time (temporal) lookup against an SCD2 history: for each
     * probe row (entity key + `probe_ts`), the history version whose
     * half-open validity interval [valid_from, valid_to) contains the

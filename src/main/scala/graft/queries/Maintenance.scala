@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.operators.{Maintenance => M}
@@ -324,8 +324,67 @@ object MaintenanceQueries {
            count(*)
     FROM events"""
 
+  // --- q108: anti-entropy bucket fingerprints -------------------------------
+
+  private val HashP = 1000000007L
+
+  /** Deterministic, cross-engine-exact row hash over every customer
+    * attribute: Horner-fold the field hashes mod 1e9+7 — key, 31-bit poly
+    * fingerprint of the strings, nationkey, and the balance as EXACT
+    * cents (round(×100) is integral in both engines, so the later
+    * double→long cast truncates and rounds to the same value). Max
+    * intermediate ≈ 31·1e9, far under BIGINT overflow in either engine. */
+  private def custRowHash: Column = {
+    import graft.functions.TextFunctions
+    Seq[Column](
+      pmod(col("c_custkey"), lit(HashP)),
+      TextFunctions.fingerprint(col("c_name")),
+      pmod(col("c_nationkey").cast("long"), lit(HashP)),
+      pmod(round(col("c_acctbal") * 100).cast("long"), lit(HashP)),
+      TextFunctions.fingerprint(col("c_mktsegment")))
+      .reduceLeft((acc, t) => pmod(acc * 31L + t, lit(HashP)))
+  }
+
+  private def custRowHashSql: String =
+    Seq(
+      s"(c_custkey % $HashP)",
+      Extensions.fingerprintExprSqlOn("c_name"),
+      s"(c_nationkey % $HashP)",
+      s"(((CAST(round(c_acctbal * 100) AS BIGINT) % $HashP) + $HashP) % $HashP)",
+      Extensions.fingerprintExprSqlOn("c_mktsegment"))
+      .reduceLeft((acc, t) => s"((($acc) * 31 + ($t)) % $HashP)")
+
+  /** q108: WHICH key buckets differ between the two snapshots — the
+    * Merkle/anti-entropy answer ([[graft.operators.Maintenance
+    * .bucketFingerprints]]). Each snapshot reduces to ≤1024 (bucket,
+    * count, xor-fingerprint) rows with one local aggregate; only those
+    * summaries are joined. The repair set then scopes a real
+    * [[snapshotDiff]] to the divergent buckets — at 100 TB the "did
+    * anything change, and where?" check moves KILOBYTES. */
+  def bucketRepairSet(s: SparkSession, d: String): DataFrame =
+    M.fingerprintDiff(
+      M.bucketFingerprints(oldSnap(s, d), col("c_custkey"), custRowHash, 1024),
+      M.bucketFingerprints(newSnap(s, d), col("c_custkey"), custRowHash, 1024))
+
+  val bucketRepairSetSql: String = s"""
+    WITH o AS ($oldSnapSql), n AS ($newSnapSql),
+    ofp AS (SELECT c_custkey % 1024 AS bucket, count(*) AS n_rows,
+                   bit_xor($custRowHashSql) AS fp
+            FROM o GROUP BY 1),
+    nfp AS (SELECT c_custkey % 1024 AS bucket, count(*) AS n_rows,
+                   bit_xor($custRowHashSql) AS fp
+            FROM n GROUP BY 1)
+    SELECT COALESCE(ofp.bucket, nfp.bucket) AS bucket,
+           COALESCE(ofp.n_rows, 0) AS old_n,
+           COALESCE(nfp.n_rows, 0) AS new_n,
+           ofp.fp AS old_fp, nfp.fp AS new_fp
+    FROM ofp FULL OUTER JOIN nfp ON ofp.bucket = nfp.bucket
+    WHERE COALESCE(ofp.n_rows, 0) != COALESCE(nfp.n_rows, 0)
+       OR ofp.fp IS DISTINCT FROM nfp.fp"""
+
   val defs: Map[String, QueryDef] = Map(
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
+    "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),
     "q98_data_quality"    -> QueryDef(dataQualityReport _, dataQualityReportSql),
     "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
     "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),

@@ -173,6 +173,51 @@ class MaintenanceSpec extends AnyFunSuite {
     rows.toDF("key", "status", "tsv", "tie")
       .withColumn("ts", timestamp_micros(col("tsv") * 1000000L)).drop("tsv")
 
+  test("bucket fingerprints: identical snapshots yield an empty repair set") {
+    val a = snap((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+    val h = xxhash64(col("id"), col("name"), col("bal"))
+    val fps = Maintenance.bucketFingerprints(a, col("id"), h, 8)
+    assert(Maintenance.fingerprintDiff(fps, fps).count() === 0)
+  }
+
+  test("bucket fingerprints: one perturbed row flags exactly its own bucket") {
+    val old = snap((1L to 64L).map(i => (i, Some(s"n$i"), i * 1.5)): _*)
+    val neu = snap((1L to 64L).map(i =>
+      (i, Some(s"n$i"), if (i == 37L) 999.0 else i * 1.5)): _*)
+    val h = xxhash64(col("id"), col("name"), col("bal"))
+    val diff = Maintenance.fingerprintDiff(
+        Maintenance.bucketFingerprints(old, col("id"), h, 16),
+        Maintenance.bucketFingerprints(neu, col("id"), h, 16))
+      .collect()
+    assert(diff.length === 1)
+    assert(diff.head.getLong(0) === 37L % 16)
+    // counts agree (it was an update) — ONLY the xor fingerprint caught it
+    assert(diff.head.getLong(1) === diff.head.getLong(2))
+  }
+
+  test("bucket fingerprints: one-sided buckets surface with n=0 and NULL fp") {
+    val old = snap((1L, Some("a"), 10.0))
+    val neu = snap((1L, Some("a"), 10.0), (12L, Some("l"), 90.0)) // bucket 4 new-only
+    val h = xxhash64(col("id"))
+    val diff = Maintenance.fingerprintDiff(
+        Maintenance.bucketFingerprints(old, col("id"), h, 8),
+        Maintenance.bucketFingerprints(neu, col("id"), h, 8))
+      .collect()
+    assert(diff.length === 1)
+    assert(diff.head.getLong(1) === 0L && diff.head.getLong(2) === 1L)
+    assert(diff.head.isNullAt(3) && !diff.head.isNullAt(4))
+  }
+
+  test("bucket fingerprints are partitioning- and order-invariant") {
+    val rows = (1L to 200L).map(i => (i, Some(s"n$i"), i * 0.25))
+    val h = xxhash64(col("id"), col("name"), col("bal"))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Maintenance.bucketFingerprints(df, col("id"), h, 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fp(snap(rows: _*).repartition(17)) ===
+      fp(snap(rows.reverse: _*).repartition(3)))
+  }
+
   test("scd2History collapses runs, versions revisits, marks current") {
     // key 1: A,A,B,A — three versions; key 2: single run
     val l = log((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
