@@ -382,9 +382,29 @@ object MaintenanceQueries {
     WHERE COALESCE(ofp.n_rows, 0) != COALESCE(nfp.n_rows, 0)
        OR ofp.fp IS DISTINCT FROM nfp.fp"""
 
+  /** q109: the fingerprint-SCOPED diff — the composition q108 exists for.
+    * Each snapshot is semi-joined down to the divergent buckets (the
+    * repair set broadcasts: ≤1024 rows by construction) and only that
+    * slice pays the full-outer diff join. Equals the GLOBAL q89 diff —
+    * the oracle IS q89's SQL — because every changed key lives in a
+    * bucket whose count or xor fingerprint moved (xor cancellation across
+    * multiple changes in one bucket is the standard anti-entropy residual
+    * risk: 2^-63-ish per bucket, and the gate pins this data exactly).
+    * At 100 TB: kilobytes of summaries decide, then the diff shuffles
+    * only the divergent slice instead of two full tables. */
+  def scopedDiff(s: SparkSession, d: String): DataFrame = {
+    val repair = broadcast(bucketRepairSet(s, d).select("bucket"))
+    def scoped(snap: DataFrame) = snap
+      .withColumn("bucket", pmod(col("c_custkey"), lit(1024L)))
+      .join(repair, Seq("bucket"), "left_semi")
+      .drop("bucket")
+    M.snapshotDiff(scoped(oldSnap(s, d)), scoped(newSnap(s, d)), Seq("c_custkey"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),
+    "q109_scoped_diff"    -> QueryDef(scopedDiff _, snapshotDiffSql),
     "q98_data_quality"    -> QueryDef(dataQualityReport _, dataQualityReportSql),
     "q89_snapshot_diff"   -> QueryDef(snapshotDiff _, snapshotDiffSql),
     "q90_merge_upsert"    -> QueryDef(mergeRoundTrip _, mergeRoundTripSql),

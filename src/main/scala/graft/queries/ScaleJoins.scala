@@ -126,8 +126,38 @@ object ScaleJoins {
     WHERE e.event_type = 'error'
     GROUP BY e.event_id"""
 
+  // --- q110: join-skew diagnosis -------------------------------------------
+
+  /** q110: the DIAGNOSIS half of the skew toolkit (q106 is the
+    * mitigation): for the events-by-user self-join, the 20 heaviest keys
+    * by output contribution deg² plus the exact total pair count — the
+    * numbers that decide between a plain shuffle join, AQE skew splits,
+    * or [[graft.operators.Skew.saltedJoin]] (and how many salts). One
+    * map-side-combinable aggregate, a broadcast 1-row total, and a
+    * TakeOrdered(20) — the diagnosis never costs more than a scan, so it
+    * can run ahead of every big join. All-integer output, exact in both
+    * engines. */
+  def hotJoinKeys(s: SparkSession, d: String): DataFrame = {
+    val deg = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("pairs", col("deg") * col("deg"))
+    val total = deg.agg(sum(col("pairs")).as("total_pairs"))
+    deg.crossJoin(broadcast(total))
+      .orderBy(col("pairs").desc, col("user_id"))
+      .limit(20)
+      .select(col("user_id"), col("deg"), col("pairs"), col("total_pairs"))
+  }
+
+  val hotJoinKeysSql: String = """
+    WITH deg AS (SELECT user_id, count(*) AS deg FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(deg * deg) AS BIGINT) AS total_pairs FROM deg)
+    SELECT user_id, deg, deg * deg AS pairs, total_pairs
+    FROM deg CROSS JOIN t
+    ORDER BY pairs DESC, user_id LIMIT 20"""
+
   val defs: Map[String, QueryDef] = Map(
     "q105_fuzzy_resolve"    -> QueryDef(fuzzyResolve _, fuzzyResolveSql),
     "q106_salted_revenue"   -> QueryDef(saltedRevenue _, saltedRevenueSql),
-    "q107_error_window_views" -> QueryDef(errorWindowViews _, errorWindowViewsSql))
+    "q107_error_window_views" -> QueryDef(errorWindowViews _, errorWindowViewsSql),
+    "q110_hot_join_keys"    -> QueryDef(hotJoinKeys _, hotJoinKeysSql))
 }

@@ -218,6 +218,20 @@ class MaintenanceSpec extends AnyFunSuite {
       fp(snap(rows.reverse: _*).repartition(3)))
   }
 
+  test("q109 law: fingerprint-scoped diff equals the global diff") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(graft.queries.MaintenanceQueries.scopedDiff(spark, sf)) ===
+      rows(graft.queries.MaintenanceQueries.snapshotDiff(spark, sf)))
+    // the repair-set semi-join must broadcast — the summaries are the
+    // small side by construction, the snapshots must not shuffle for it
+    val plan = graft.queries.MaintenanceQueries.scopedDiff(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"repair-set scoping is not a broadcast semi-join:\n$plan")
+  }
+
   test("scd2History collapses runs, versions revisits, marks current") {
     // key 1: A,A,B,A — three versions; key 2: single run
     val l = log((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),

@@ -124,6 +124,19 @@ class ScaleSpec extends AnyFunSuite {
       "fixture too easy: post-filtering never starved a query, trap not exercised")
   }
 
+  test("q110 hot-key diagnosis: TakeOrdered top-20, broadcast 1-row total") {
+    val df = graft.queries.ScaleJoins.hotJoinKeys(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    val got = df.collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    // contributions are deg² and the total is the sum over ALL keys
+    got.foreach(r => assert(r.getLong(2) === r.getLong(1) * r.getLong(1)))
+    assert(got.map(_.getLong(3)).distinct.length === 1)
+  }
+
   test("q105 fuzzy resolve and q106 salted revenue plan without nested loops") {
     for ((name, df) <- Seq(
         "q105" -> graft.queries.ScaleJoins.fuzzyResolve(spark, sf),
