@@ -21,10 +21,14 @@ import graft.expressions.{DotProduct, MinHashSignature, PolyFingerprint, ZOrderK
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in logical rewrite: range-only inner joins → binned equi-joins
+    // (fires only when spark.graft.rangeJoin.binWidth is set positive)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
