@@ -126,6 +126,49 @@ object ScaleJoins {
     WHERE e.event_type = 'error'
     GROUP BY e.event_id"""
 
+  // --- q111: typo-tolerant dedup clusters ----------------------------------
+
+  /** q111: fuzzy dedup — documents cluster when their title keys chain
+    * within edit distance 1 (transitively: a→a'→a'' collapses even though
+    * the endpoints differ by 2). The EditJoin self-join supplies the
+    * candidate-bounded pair set; [[graft.operators.Dedup
+    * .connectedComponents]] (pointer-doubling min-label, O(log diameter)
+    * rounds) folds chains; singleton docs keep their own id as cluster.
+    * The dedup family's q49 shape with edit-distance pairing swapped in
+    * for MinHash — typo-variant titles, OCR noise, trailing-char drift. */
+  def fuzzyClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = titled(Tables.documents(s, d))
+    val pairs = graft.operators.EditJoin
+      .editDistanceJoin(docs, "title", docs, "title", tau = 1)
+    val edges = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("title").as("s_key")), "s_key")
+      .join(docs.select(col("doc_id").as("id_b"), col("title").as("r_key")), "r_key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    docs.select("doc_id").join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Transitive closure by recursive CTE over the brute-force pair set —
+    * the same oracle discipline as q49, with levenshtein pairing. */
+  val fuzzyClustersSql: String = """
+    WITH RECURSIVE
+    clean AS (SELECT doc_id, substr(text, 1, 16) AS title FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM clean a JOIN clean b
+            ON a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 1),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (SELECT s AS id, d AS r FROM e
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+    comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.doc_id, COALESCE(comp.cluster_id, c.doc_id) AS cluster_id
+    FROM clean c LEFT JOIN comp ON c.doc_id = comp.id"""
+
   // --- q110: join-skew diagnosis -------------------------------------------
 
   /** q110: the DIAGNOSIS half of the skew toolkit (q106 is the
@@ -159,5 +202,6 @@ object ScaleJoins {
     "q105_fuzzy_resolve"    -> QueryDef(fuzzyResolve _, fuzzyResolveSql),
     "q106_salted_revenue"   -> QueryDef(saltedRevenue _, saltedRevenueSql),
     "q107_error_window_views" -> QueryDef(errorWindowViews _, errorWindowViewsSql),
-    "q110_hot_join_keys"    -> QueryDef(hotJoinKeys _, hotJoinKeysSql))
+    "q110_hot_join_keys"    -> QueryDef(hotJoinKeys _, hotJoinKeysSql),
+    "q111_fuzzy_clusters"   -> QueryDef(fuzzyClusters _, fuzzyClustersSql))
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.EditJoin
 
@@ -71,6 +72,25 @@ class EditJoinSpec extends AnyFunSuite {
     val right = Seq("alphX", "alphX", "beta")
     val got = run(left, right, tau = 1)
     assert(got === Set(("alpha", "alphX", 1), ("beta", "beta", 0)))
+  }
+
+  test("typo chains cluster transitively (q111 shape): a—a'—a'' one component") {
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abXdefgh"), (3L, "abXdefgY"), // chain: 1-2-3
+      (4L, "unrelated"), (5L, "unrelated"),                 // exact dup pair
+      (6L, "loner___"))
+      .toDF("doc_id", "title")
+    val pairs = EditJoin.editDistanceJoin(docs, "title", docs, "title", tau = 1)
+    val edges = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("title").as("s_key")), "s_key")
+      .join(docs.select(col("doc_id").as("id_b"), col("title").as("r_key")), "r_key")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ed(1,3)=2 — beyond tau — yet the chain through 2 merges them
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(4L) === 4L && comp(5L) === 4L)
+    assert(!comp.contains(6L), "loner has no edges; query coalesces it to itself")
   }
 
   test("candidate volume stays far below the cross product on diverse keys") {
