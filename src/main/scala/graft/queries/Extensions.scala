@@ -342,6 +342,35 @@ object Extensions {
 
   val annIvfTopKSql: String = ivfProbeSql("vec_id < 10")
 
+  /** q112: the IVF index's RECALL@5 as an oracle-checked quantity — per
+    * query, how many of the exact brute-force top-5 the approximate probe
+    * returned (integer 0..5, no float ratio — exact cross-engine). An
+    * approximate index without a measured recall is an unquantified
+    * liability; here the measurement itself is part of the verified
+    * surface, so a quantizer or probe regression shows up as a recall
+    * drop in the GATE, not in production. Both sides reuse the exact
+    * operators already under oracle (q24 brute, q31 probe); the overlap
+    * is a left-semi count — ids only, no vectors move. */
+  def annRecallAt5(s: SparkSession, d: String): DataFrame = {
+    val brute = annBruteTopK(s, d).select("query_id", "neighbor_id")
+    val ivf = annIvfTopK(s, d).select("query_id", "neighbor_id")
+      .withColumn("__hit", lit(1))
+    // left join + count(non-null): a query the probe fully missed still
+    // reports hits_at_5 = 0 instead of silently vanishing from the gate
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id").agg(count(col("__hit")).as("hits_at_5"))
+  }
+
+  /** DuckDB permits WITH inside a parenthesized subquery, so the two
+    * existing oracle texts compose verbatim — one definition of each
+    * pipeline, shared by its own gate row AND the recall row. */
+  val annRecallAt5Sql: String = s"""
+    SELECT b.query_id, count(i.neighbor_id) AS hits_at_5
+    FROM ($annBruteTopKSql) b
+    LEFT JOIN ($annIvfTopKSql) i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id"""
+
   /** q104: metadata-FILTERED ANN — top-5 among only the neighbors whose
     * label is even, the "vector search with an attribute filter" serving
     * shape (RAG corpus scoping, per-tenant retrieval). Built on a labeled
@@ -1024,6 +1053,7 @@ object Extensions {
     "q30_embedding_near_dups" -> QueryDef(embeddingNearDups _, embeddingNearDupsSql),
     "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
     "q104_ann_filtered"      -> QueryDef(annIvfFilteredTopK _, annIvfFilteredTopKSql),
+    "q112_ann_recall"        -> QueryDef(annRecallAt5 _, annRecallAt5Sql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
