@@ -169,6 +169,39 @@ object ScaleJoins {
     SELECT c.doc_id, COALESCE(comp.cluster_id, c.doc_id) AS cluster_id
     FROM clean c LEFT JOIN comp ON c.doc_id = comp.id"""
 
+  // --- q113: incremental entity resolution (segment-index roll-forward) ----
+
+  private val segBuildLock = new Object
+
+  /** q113: q105's fuzzy resolution served from a PERSISTED, incrementally
+    * grown segment index — the dirty registry lands in two batches (even
+    * dirty_ids day 1, odd day 2), day 2 is APPENDED without rewriting
+    * day 1, and the probe must equal the one-shot join over the full
+    * registry: the oracle is byte-identical to q105's. Completes the
+    * index roll-forward trilogy (q52 MinHash signatures, q99 IVF cells,
+    * segment index here) — every blocking structure the engine serves is
+    * append-maintainable, because a daily registry drop that costs a full
+    * rebuild is not a 100 TB design. */
+  def fuzzyResolveIndexed(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val clean = titled(Tables.documents(s, d))
+    val dirty = dirtied(Tables.documents(s, d))
+    val dir = Extensions.indexCacheDir("graft-seg-cache", d, "documents", "tau1")
+    segBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        EditJoin.writeSegmentIndex(
+          dirty.filter(col("dirty_id") % 2 === 0), "dirty_title", dir, tau = 1)
+        EditJoin.appendToSegmentIndex(
+          dirty.filter(col("dirty_id") % 2 === 1), "dirty_title", dir, tau = 1)
+      }
+    }
+    val pairs = EditJoin.probeSegmentIndex(clean, "title", dir, tau = 1)
+    clean.join(pairs, col("title") === col("s_key"))
+      .join(dirty, col("r_key") === col("dirty_title"))
+      .select(col("doc_id"), col("dirty_id"), col("title"),
+        col("dirty_title"), col("dist"))
+  }
+
   // --- q110: join-skew diagnosis -------------------------------------------
 
   /** q110: the DIAGNOSIS half of the skew toolkit (q106 is the
@@ -203,5 +236,6 @@ object ScaleJoins {
     "q106_salted_revenue"   -> QueryDef(saltedRevenue _, saltedRevenueSql),
     "q107_error_window_views" -> QueryDef(errorWindowViews _, errorWindowViewsSql),
     "q110_hot_join_keys"    -> QueryDef(hotJoinKeys _, hotJoinKeysSql),
-    "q111_fuzzy_clusters"   -> QueryDef(fuzzyClusters _, fuzzyClustersSql))
+    "q111_fuzzy_clusters"   -> QueryDef(fuzzyClusters _, fuzzyClustersSql),
+    "q113_fuzzy_indexed"    -> QueryDef(fuzzyResolveIndexed _, fuzzyResolveSql))
 }

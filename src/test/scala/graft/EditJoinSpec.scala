@@ -93,6 +93,40 @@ class EditJoinSpec extends AnyFunSuite {
     assert(!comp.contains(6L), "loner has no edges; query coalesces it to itself")
   }
 
+  test("segment index: append ≡ full rebuild, day-1 files untouched (q113 law)") {
+    implicit val s = spark
+    val rnd = new scala.util.Random(23)
+    def randStr() =
+      (1 to 10).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    val registry = Seq.fill(150)(randStr())
+    val qSeq = Seq.fill(80)(randStr())
+    val queries = qSeq.toDF("k")
+    val base = java.nio.file.Files.createTempDirectory("segidx").toString
+    val incrDir = s"$base/incr"; val fullDir = s"$base/full"
+
+    val (day1, day2) = registry.splitAt(75)
+    EditJoin.writeSegmentIndex(day1.toDF("k"), "k", incrDir, tau = 1)
+    def files(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val day1Files = files(incrDir)
+    EditJoin.appendToSegmentIndex(day2.toDF("k"), "k", incrDir, tau = 1)
+    val grown = files(incrDir)
+    day1Files.foreach { case (p, len) =>
+      assert(grown.get(p).contains(len), s"day-1 file rewritten: $p") }
+    assert(grown.size > day1Files.size, "append added no files")
+
+    EditJoin.writeSegmentIndex(registry.toDF("k"), "k", fullDir, tau = 1)
+    def probe(dir: String) = EditJoin.probeSegmentIndex(queries, "k", dir, tau = 1)
+      .as[(String, String, Int)].collect().toSet
+    val incr = probe(incrDir)
+    assert(incr === probe(fullDir), "grown index diverged from full rebuild")
+    assert(incr === run(qSeq, registry, 1), "indexed probe diverged from direct join")
+  }
+
   test("candidate volume stays far below the cross product on diverse keys") {
     val rnd = new scala.util.Random(13)
     def randStr() =
