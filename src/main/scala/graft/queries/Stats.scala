@@ -343,11 +343,69 @@ object Stats {
     FROM agg"""
   }
 
+  // --- q114/q115: oracle-exact Bloom filter + semi-join reduction -----------
+
+  /** q114: Bloom filter STATE per market segment over the customer keys —
+    * the membership sketch completing the oracle-exact trio (q93 HLL
+    * distinct counts, q94 CMS frequencies). Every (word, bits32) row is
+    * deterministic integer arithmetic ([[graft.operators.Bloom]]), so the
+    * oracle rebuilds the filter bit-for-bit — the cross-engine guarantee
+    * Spark's built-in `might_contain` runtime filter can never give. */
+  def bloomState(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bloom.state(
+      Tables.customer(s, d), col("c_custkey"), Seq("c_mktsegment"))
+
+  val bloomStateSql: String = {
+    import graft.operators.Bloom
+    s"""
+    WITH hashes AS (
+      SELECT c_mktsegment,
+             ${graft.operators.Hll.polySql("c_custkey", 2147483647L,
+               Seq(1299709L, 15485863L, 32452843L, 49979687L))} AS h1,
+             ((${graft.operators.Hll.polySql("c_custkey", 2147483629L,
+               Seq(67867967L, 86028121L, 104395301L, 122949823L))})
+               % ${Bloom.bits - 1} + 1) AS h2m
+      FROM customer WHERE c_custkey IS NOT NULL),
+    pos AS (
+      SELECT c_mktsegment, (h1 + i * h2m) % ${Bloom.bits} AS pos
+      FROM hashes CROSS JOIN range(${Bloom.k}) t(i))
+    SELECT c_mktsegment, pos // 32 AS word,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT)
+             AS bits32
+    FROM pos GROUP BY 1, 2"""
+  }
+
+  /** q115: explicit bloom semi-join reduction — the filter built from the
+    * selective dim side (one segment of customers) prunes the orders scan
+    * row-locally BEFORE the join shuffle, and the exact join removes the
+    * false positives, so the sketch is INVISIBLE in the result: the oracle
+    * is the plain join (the q106 salting law, applied to runtime
+    * filtering). At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~1/5 that can possibly match. */
+  def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val bf = graft.operators.Bloom.build(cust, col("c_custkey"))
+    Tables.orders(s, d)
+      .filter(graft.operators.Bloom.mightContain(col("o_custkey"), bf))
+      .join(cust.select("c_custkey"), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice"), 2).as("revenue"))
+  }
+
+  val bloomSemiJoinSql: String = s"""
+    SELECT o_orderpriority, count(*) AS n,
+           ${Exact.dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
     "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql),
     "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql),
     "q93_hll_sketch"      -> QueryDef(hllSketch _, hllSketchSql),
-    "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql))
+    "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql),
+    "q114_bloom_state"    -> QueryDef(bloomState _, bloomStateSql),
+    "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql))
 }
