@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in logical rewrite: range-only inner joins → binned equi-joins
     // (fires only when spark.graft.rangeJoin.binWidth is set positive)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan into the
+    // partition-local merge exec (no-op on every other node)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Whole-operator Catalyst extension — tier (c) of the build plan: a
+  * custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` for the backward
+  * AS-OF join, registered via `GraftExtensions`.
+  *
+  * The composed formulation ([[graft.operators.AsOf]]) is the union +
+  * running-window form: one shuffle of |L|+|R| rows, but every row is
+  * WIDENED to carry both sides' struct slots, the sort runs over the
+  * union, and the window operator maintains running state. The semantics
+  * are a plain ordered merge — exactly what a physical operator can say
+  * directly. [[AsOfJoinExec]] asks the planner for hash distribution on
+  * the key and per-partition (key, time) order on each side separately
+  * (so EnsureRequirements plans two narrow exchanges, reusing either
+  * side's existing partitioning when available, and NO union row
+  * widening), then streams a partition-local two-pointer merge: linear,
+  * constant state (ONE held carry row per key), no window machinery.
+  * Each left row picks up the latest right row with the same key and
+  * right-time ≤ left-time; equal-time ties break by the largest tie-break
+  * value (the right sort places it last); left rows with no prior right
+  * row keep null carries, like a left join.
+  *
+  * At 100 TB the plan is two hash exchanges + two sorts — the same
+  * shuffle bytes as a sort-merge join of the two sides, with the merge
+  * itself a single forward pass per partition.
+  *
+  * AsOfExecSpec pins exec ≡ composed on adversarial data (ties,
+  * missing-match lefts, null keys, duplicate timestamps) and asserts the
+  * plan shape: an `AsOfJoinExec` node, no window exec, no union.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression,
+    carry: Seq[Attribute],
+    carryOut: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ carryOut
+  override def producedAttributes: AttributeSet = AttributeSet(carryOut)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; a no-op on every other
+  * node, so injection is free for plans that never use the operator. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right), p.leftKey, p.rightKey,
+        p.leftTime, p.rightTime, p.rightTie, p.carry, p.carryOut) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression,
+    carry: Seq[Attribute],
+    carryOut: Seq[Attribute]) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carryOut
+  override def producedAttributes: AttributeSet = AttributeSet(carryOut)
+
+  /** Hash both sides on their key: EnsureRequirements co-partitions the
+    * children (reusing an existing compatible partitioning where one
+    * exists) exactly as it does for a sort-merge join. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  /** (key, time) per side; the right additionally by tie-break so the
+    * LAST right row the merge holds at equal times is the winner. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  /** The merge is 1:1 on left rows in place: partitioning and ordering
+    * survive, so a downstream per-key aggregate plans NO new exchange. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val carryB = carry.map(a =>
+      BindReferences.bindReference(a: Expression, right.output))
+    val outAttrs = output
+    val nCarry = carryOut.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val carryProj = UnsafeProjection.create(carryB)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullCarry = new GenericInternalRow(nCarry)
+      // the held candidate: latest right row visited for `heldKey`;
+      // sort-exec iterators reuse row buffers, so the carry is copied out
+      // BEFORE the pointer advances and nothing else is retained
+      var heldKey: Any = null
+      var heldCarry: InternalRow = nullCarry
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+
+      lIter.map { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTimeB.eval(lRow)
+        if (lk == null || lt == null) {
+          // left-join contract: unkeyed/untimed left rows pass through
+          resultProj(joined(lRow, nullCarry))
+        } else {
+          var scan = rRow != null
+          while (scan) {
+            val rk = rKeyB.eval(rRow)
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+              scan = rRow != null
+            } else if (cmp == 0 && timeOrd.compare(rTimeB.eval(rRow), lt) <= 0) {
+              heldKey = rk
+              heldCarry = carryProj(rRow).copy()
+              rRow = if (rIter.hasNext) rIter.next() else null
+              scan = rRow != null
+            } else scan = false
+          }
+          val hit = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+          resultProj(joined(lRow, if (hit) heldCarry else nullCarry))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public DataFrame API over the physical operator — the drop-in twin of
+  * [[graft.operators.AsOf.asOfBackward]] (same signature, same null
+  * semantics, same tie-break contract; AsOfExecSpec holds them equal). */
+object AsOfExec {
+
+  /** Idempotently make the strategy available on `spark` (also injected
+    * session-wide by `GraftExtensions`). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  def asOfBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   carry: Seq[String], tieBreak: String,
+                   prefix: String = "asof_"): DataFrame = {
+    ensureStrategy(left.sparkSession)
+    // same right-side null discipline as the composed form: null key/time
+    // can never be "at or before" anything; a null tie would make the
+    // equal-time winner sort-order-dependent
+    val rightOk = right.filter(
+      col(keyCol).isNotNull && col(rightTimeCol).isNotNull && col(tieBreak).isNotNull)
+    // fresh exprIds on the right via aliases: as-of joins are routinely
+    // self-joins (purchases vs clicks off one events scan), and distinct
+    // ids keep the two sides unambiguous without relying on analyzer
+    // deduplication of a node it doesn't know
+    val aliased = rightOk.select(
+      col(keyCol).as("__r_k") +: col(rightTimeCol).as("__r_t") +:
+        col(tieBreak).as("__r_tie") +:
+        carry.zipWithIndex.map { case (c, i) => col(c).as(s"__r_c$i") }: _*)
+
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = aliased.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val carryIn = carry.indices.map(i => attr(rPlan, s"__r_c$i"))
+    val carryOut = carry.zip(carryIn).map { case (c, a) =>
+      AttributeReference(prefix + c, a.dataType, nullable = true)()
+    }
+    GraftBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, keyCol), attr(rPlan, "__r_k"),
+        attr(lPlan, leftTimeCol), attr(rPlan, "__r_t"),
+        attr(rPlan, "__r_tie"), carryIn, carryOut))
+  }
+}

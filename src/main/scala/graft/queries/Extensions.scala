@@ -752,6 +752,25 @@ object Extensions {
       prefix = "click_")
   }
 
+  /** q116: the SAME as-of join planned through the custom physical
+    * operator (`graft.plans.AsOfJoinExec` — logical node + injected
+    * strategy + partition-local sorted merge, the build plan's tier (c)).
+    * Shares q47's oracle verbatim: the exec must be a drop-in for the
+    * composed union+window form, adjudicated by DuckDB, not just by the
+    * engine's own spec. */
+  def asofPurchaseClickExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOfExec.asOfBackward(
+      purchases, clicks, keyCol = "user_id",
+      leftTimeCol = "ts", rightTimeCol = "ts",
+      carry = Seq("event_id", "value"), tieBreak = "event_id",
+      prefix = "click_")
+  }
+
   /** Mirrors the union+running-window formulation exactly — ONE carry
     * struct per right row (never per-column stitching), same ordering key
     * incl. the -1 left sentinel; cross-checked against DuckDB's native
@@ -1057,6 +1076,7 @@ object Extensions {
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
+    "q116_asof_exec"         -> QueryDef(asofPurchaseClickExec _, asofPurchaseClickSql),
     "q48_subtoken_stats" -> QueryDef(subtokenStats _, subtokenStatsSql),
     "q49_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersSql),
     "q71_dedup_keep_best" -> QueryDef(dedupKeepBest _, dedupKeepBestSql),
