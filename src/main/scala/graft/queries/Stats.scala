@@ -399,6 +399,48 @@ object Stats {
     WHERE c_mktsegment = 'BUILDING'
     GROUP BY 1"""
 
+  // --- q117: CMS inner-product join-cardinality estimate --------------------
+
+  /** q117: |orders ⋈ customer| estimated from the two key sketches alone —
+    * the classic CMS inner-product estimator (min over depth rows of the
+    * bucket-wise count dot product), the statistic a planner consults
+    * before committing to a join strategy at 100 TB. Integers end to end,
+    * so the ESTIMATE is oracle-exact, and the true cardinality rides
+    * along as a second gate quantity pinning the one-sided guarantee
+    * est ≥ true (CmsSpec asserts the bound too). Sketch cost: one
+    * bounded-state pass per side — the estimate never touches the join. */
+  def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cms
+    val a = Cms.sketch(Tables.orders(s, d), col("o_custkey"))
+    val b = Cms.sketch(Tables.customer(s, d), col("c_custkey"))
+      .withColumnRenamed("cnt", "cnt_b")
+    val est = a.join(b, Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(min("dot").as("est_join_size"))
+    val truth = Tables.orders(s, d).join(Tables.customer(s, d),
+      col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("true_join_size"))
+    est.crossJoin(truth)
+  }
+
+  val joinSizeEstimateSql: String = {
+    import graft.operators.Cms
+    def cellRows(table: String, key: String) =
+      (0 until Cms.depth).map(i =>
+        s"SELECT $i AS rw, ${Cms.bucketSql(key, i)} AS bucket FROM $table WHERE $key IS NOT NULL")
+        .mkString(" UNION ALL ")
+    s"""
+    WITH a AS (SELECT rw, bucket, count(*) AS ca
+               FROM (${cellRows("orders", "o_custkey")}) GROUP BY 1, 2),
+    b AS (SELECT rw, bucket, count(*) AS cb
+          FROM (${cellRows("customer", "c_custkey")}) GROUP BY 1, 2),
+    d AS (SELECT a.rw, CAST(sum(ca * cb) AS BIGINT) AS dot
+          FROM a JOIN b USING (rw, bucket) GROUP BY 1)
+    SELECT (SELECT min(dot) FROM d) AS est_join_size,
+           (SELECT count(*) FROM orders JOIN customer
+            ON o_custkey = c_custkey) AS true_join_size"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
@@ -407,5 +449,6 @@ object Stats {
     "q93_hll_sketch"      -> QueryDef(hllSketch _, hllSketchSql),
     "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql),
     "q114_bloom_state"    -> QueryDef(bloomState _, bloomStateSql),
-    "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql))
+    "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql),
+    "q117_join_size_est"  -> QueryDef(joinSizeEstimate _, joinSizeEstimateSql))
 }

@@ -60,6 +60,25 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("join-size estimate: one-sided guarantee and error bound (q117)") {
+    // |A ⋈ B| from the two key sketches alone — min over depth rows of
+    // the bucket-wise dot product. One-sided: collisions only ADD.
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+    val a = Cms.sketch(orders, col("o_custkey"))
+    val b = Cms.sketch(cust, col("c_custkey")).withColumnRenamed("cnt", "cnt_b")
+    val est = a.join(b, Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(min("dot")).collect().head.getLong(0)
+    val truth = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(est >= truth, s"inner-product estimate $est below true size $truth")
+    // expected excess ≈ nA·nB/width per row; min over rows sits well
+    // under 3× that on real key distributions
+    val slack = 3.0 * orders.count() * cust.count() / Cms.width
+    assert(est <= truth + slack, s"est $est vs true $truth + slack $slack")
+  }
+
   test("plan: sketch builds in one exchange; lookup broadcasts the sketch") {
     val items = stream.toDF("key")
     val skPlan = Cms.sketch(items, col("key")).queryExecution.executedPlan.toString
