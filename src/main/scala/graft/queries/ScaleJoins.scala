@@ -188,11 +188,16 @@ object ScaleJoins {
     val dirty = dirtied(Tables.documents(s, d))
     val dir = Extensions.indexCacheDir("graft-seg-cache", d, "documents", "tau1")
     segBuildLock.synchronized {
-      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      // two-step build under one marker, written LAST (the q99 rule): a
+      // crash between overwrite and append leaves no marker, so the
+      // half-built index is rebuilt, never probed — _SUCCESS alone would
+      // look complete after step one.
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
         EditJoin.writeSegmentIndex(
           dirty.filter(col("dirty_id") % 2 === 0), "dirty_title", dir, tau = 1)
         EditJoin.appendToSegmentIndex(
           dirty.filter(col("dirty_id") % 2 === 1), "dirty_title", dir, tau = 1)
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
       }
     }
     val pairs = EditJoin.probeSegmentIndex(clean, "title", dir, tau = 1)

@@ -408,7 +408,11 @@ object Stats {
     * so the ESTIMATE is oracle-exact, and the true cardinality rides
     * along as a second gate quantity pinning the one-sided guarantee
     * est ≥ true (CmsSpec asserts the bound too). Sketch cost: one
-    * bounded-state pass per side — the estimate never touches the join. */
+    * bounded-state pass per side — the estimate never touches the join.
+    * Range note: the BIGINT dot product is exact up to ~10^12-row sides
+    * (cell counts ~n/width, products summed over width cells); past that,
+    * widen `dot` to DECIMAL — under ANSI mode an overflow fails loudly,
+    * never silently wraps. */
   def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Cms
     val a = Cms.sketch(Tables.orders(s, d), col("o_custkey"))

@@ -74,13 +74,14 @@ class BloomSpec extends AnyFunSuite {
     assert(passed <= (matches + (total * 0.02)).toLong,
       s"pruning too weak: $passed passed vs $matches matches of $total")
 
-    // and the filtered join result equals the plain join result
+    // and the filtered join result equals the plain join result (integer
+    // aggregates: a double sum would be order-dependent across the plans)
     val viaBloom = pre.join(cust.select("c_custkey"),
       col("o_custkey") === col("c_custkey"))
-      .agg(count(lit(1)), sum("o_totalprice")).collect().head
+      .agg(count(lit(1)), sum("o_orderkey")).collect().head
     val plain = orders.join(cust.select("c_custkey"),
       col("o_custkey") === col("c_custkey"))
-      .agg(count(lit(1)), sum("o_totalprice")).collect().head
+      .agg(count(lit(1)), sum("o_orderkey")).collect().head
     assert(viaBloom === plain, "bloom visible in the join result")
   }
 }
