@@ -35,6 +35,27 @@ class BloomSpec extends AnyFunSuite {
     assert(wordMap(merged) === wordMap(Bloom.state(cust, col("c_custkey"))))
   }
 
+  test("streaming build converges to the batch state (bit_or over micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val keys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).as[Long].collect().toList
+    val shuffled = new scala.util.Random(29).shuffle(keys)
+
+    val in = MemoryStream[Long]
+    val q = Bloom.state(in.toDF().withColumnRenamed("value", "k"), col("k"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(199).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = wordMap(spark.table("bloom_stream"))
+      val want = wordMap(Bloom.state(Tables.customer(spark, sf), col("c_custkey")))
+      assert(got === want, "streamed words must equal the batch state")
+    } finally q.stop()
+  }
+
   test("no false negatives: every inserted key passes mightContain") {
     val cust = Tables.customer(spark, sf)
     val bf = Bloom.build(cust, col("c_custkey"))
