@@ -445,6 +445,43 @@ object Stats {
             ON o_custkey = c_custkey) AS true_join_size"""
   }
 
+  // --- q118: incremental HLL maintenance over persisted state ---------------
+
+  private val hllMaintLock = new Object
+
+  /** q118: the q93 sketch served from PERSISTED, incrementally maintained
+    * register state — the sketch-family twin of the index roll-forward
+    * doctrine (q52 signatures, q99 IVF cells, q113 segments): day-1
+    * registers land as a parquet snapshot, day-2's delta registers
+    * max-MERGE into it (the same one-key-join shape as the q90 MERGE,
+    * except max-merge makes it a pure aggregate), and the finalized sketch
+    * must be byte-identical to computing q93 from scratch — the oracle IS
+    * q93's, verbatim. Register state is ≤ m rows per group forever, so
+    * the daily maintenance cost never grows with history — the property
+    * that makes a distinct-count dashboard over 100 TB of events
+    * incrementally cheap. */
+  def hllIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Hll
+    val ev = Tables.events(s, d)
+    val dir = Extensions.indexCacheDir("graft-hll-cache", d, "events", "p12")
+    hllMaintLock.synchronized {
+      // marker written LAST (the q99 rule): a crash mid-maintenance
+      // leaves no marker and the state is rebuilt, never probed
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
+        Hll.registers(ev.filter(col("event_id") % 2 === 0),
+            Seq("event_type"), col("user_id"))
+          .write.mode("overwrite").parquet(s"$dir/base")
+        val delta = Hll.registers(ev.filter(col("event_id") % 2 === 1),
+          Seq("event_type"), col("user_id"))
+        s.read.parquet(s"$dir/base").union(delta)
+          .groupBy("event_type", "bucket").agg(max("r").as("r"))
+          .write.mode("overwrite").parquet(s"$dir/merged")
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
+      }
+    }
+    Hll.sketch(s.read.parquet(s"$dir/merged"), Seq("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
@@ -454,5 +491,6 @@ object Stats {
     "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql),
     "q114_bloom_state"    -> QueryDef(bloomState _, bloomStateSql),
     "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql),
-    "q117_join_size_est"  -> QueryDef(joinSizeEstimate _, joinSizeEstimateSql))
+    "q117_join_size_est"  -> QueryDef(joinSizeEstimate _, joinSizeEstimateSql),
+    "q118_hll_incremental" -> QueryDef(hllIncremental _, hllSketchSql))
 }

@@ -60,6 +60,26 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming build converges to the batch sketch (sum over micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val shuffled = new scala.util.Random(31).shuffle(stream.toList)
+    val in = MemoryStream[Long]
+    val q = Cms.sketch(in.toDF().withColumnRenamed("value", "key"), col("key"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(499).foreach { b => in.addData(b); q.processAllAvailable() }
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = cells(spark.table("cms_stream"))
+      val want = cells(Cms.sketch(stream.toDF("key"), col("key")))
+      assert(got === want, "streamed cells must equal the batch sketch")
+    } finally q.stop()
+  }
+
   test("join-size estimate: one-sided guarantee and error bound (q117)") {
     // |A ⋈ B| from the two key sketches alone — min over depth rows of
     // the bucket-wise dot product. One-sided: collisions only ADD.
