@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.expressions.{DotProduct, MinHashSignature, PolyFingerprint, ZOrderKey}
+import graft.expressions.{BoundedLevenshtein, DotProduct, MinHashSignature, PolyFingerprint, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -92,6 +92,14 @@ object GraftExtensions {
         PolyFingerprint(
           Cast(es(0), StringType),
           if (es.size > 1) posIntConst(es(1), "prefixLen") else 64)
+      }),
+    ("graft_edit_bounded",
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_edit_bounded"),
+      (es: Seq[Expression]) => {
+        checkArity("graft_edit_bounded", es, 3, 3)
+        BoundedLevenshtein(
+          Cast(es(0), StringType), Cast(es(1), StringType),
+          posIntConst(es(2), "tau"))
       }),
     ("graft_zorder",
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),

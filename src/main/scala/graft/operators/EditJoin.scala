@@ -85,9 +85,17 @@ object EditJoin {
       .join(segments(right.select(col(rightKey).as("r_key")), tau),
         Seq("r_len", "seg_i", "seg"))
       .select(col("s_key"), col("r_key")).distinct()
-      .withColumn("dist", levenshtein(col("s_key"), col("r_key")))
+      .withColumn("dist", verifyDist(tau))
       .filter(col("dist") <= tau)
   }
+
+  /** The verify primitive: banded codegen edit distance
+    * ([[graft.expressions.BoundedLevenshtein]]) — exact for dist ≤ τ
+    * (all rows that survive the filter), sentinel τ+1 above, O(τ·n) per
+    * pair instead of the built-in's full O(n²) table. */
+  private def verifyDist(tau: Int): Column =
+    graft.expressions.BoundedLevenshtein.editBounded(
+      col("s_key"), col("r_key"), tau)
 
   /** Materialize the segment index of a registry — the EditJoin twin of
     * the signature index (Dedup, q52) and the IVF index (Similarity,
@@ -118,7 +126,7 @@ object EditJoin {
     probes(left.select(col(leftKey).as("s_key")), tau)
       .join(spark.read.parquet(indexDir), Seq("r_len", "seg_i", "seg"))
       .select(col("s_key"), col("r_key")).distinct()
-      .withColumn("dist", levenshtein(col("s_key"), col("r_key")))
+      .withColumn("dist", verifyDist(tau))
       .filter(col("dist") <= tau)
 
   /** Candidate string pairs BEFORE the levenshtein verify — exposed so
