@@ -87,6 +87,74 @@ object Graph {
     }
   }
 
+  /** Seed-personalized PageRank: teleport mass lands only on `seeds`
+    * (uniformly, 1/|S| each) instead of every node — "authority relative
+    * to a trusted set", the curation form of the algorithm (seed-based
+    * quality propagation over a link/co-occurrence graph; classic
+    * topic-sensitive PageRank). Same exact-float discipline as
+    * [[pageRank]]: per-edge contributions floor-quantized at 10^12 and
+    * decimal-summed, teleport as ONE multiply of identically-computed
+    * operands — so a q119-style oracle unrolling the same iterations is
+    * bit-exact. Kept as its own iteration body rather than folding
+    * [[pageRank]] into a shared teleport-vector path: the uniform form
+    * computes `0.15/n` in one division, and rewriting it as
+    * `0.15 · (1.0/n)` would change the rounding and silently break q96's
+    * pinned oracle.
+    *
+    * Seeds must be graph nodes (have out-edges): a seed outside the graph
+    * would take teleport mass and leak it — validated with one anti-join,
+    * same policy as the dangling guard. Hygiene matches [[pageRank]]:
+    * persist, guard, materialize, unpersist. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           broadcastScores: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = cached.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dangling = cached.select(col("dst").as("node")).distinct()
+        .join(deg.select("node"), Seq("node"), "left_anti").count()
+      require(dangling == 0L,
+        s"personalizedPageRank requires out-edges for every node " +
+          s"($dangling dangling node(s) found)")
+      val sd = seeds.select(col("node")).distinct()
+      val outside = sd.join(deg.select("node"), Seq("node"), "left_anti").count()
+      require(outside == 0L,
+        s"$outside seed(s) are not graph nodes: their teleport mass would leak")
+
+      val ns = sd.agg(count(lit(1)).as("ns"))
+      val bc: DataFrame => DataFrame =
+        if (broadcastScores) broadcast(_) else identity
+      val teleport = deg.select("node")
+        .join(sd.select(col("node"), lit(1).as("is_seed")), Seq("node"), "left_outer")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+            .otherwise(lit(0.0)).as("tw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pr0 = teleport.select(col("node"), col("tw").as("pr"))
+        (1 to iterations).foldLeft(pr0) { (pr, _) =>
+          val msgs = cached
+            .join(bc(pr.withColumnRenamed("node", "src")), "src")
+            .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
+            .select(col("dst").as("node"),
+              floor(col("pr") / col("sdeg") * lit(1e12))
+                .cast(DecimalType(27, 0)).as("q"))
+            .groupBy("node").agg(sum("q").as("sq"))
+          teleport
+            .join(msgs, Seq("node"), "left_outer")
+            .select(col("node"),
+              (lit(0.15) * col("tw") + lit(0.85) *
+                (coalesce(col("sq"), lit(0)).cast("double") / lit(1e12))).as("pr"))
+        }.localCheckpoint(true)
+      } finally teleport.unpersist(false)
+    } finally {
+      cached.unpersist(false)
+      deg.unpersist(false)
+    }
+  }
+
   /** The iteration blocks over already-persisted edges/degrees — same
     * arithmetic as [[pageRankPlan]], reusing the caller's cached frames. */
   private def pageRankIterate(edges: DataFrame, deg: DataFrame,

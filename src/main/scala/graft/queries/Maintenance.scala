@@ -272,6 +272,63 @@ object MaintenanceQueries {
     SELECT node, pr FROM it$prIterations ORDER BY pr DESC, node LIMIT 50"""
   }
 
+  // --- q119: brand-seeded personalized PageRank -----------------------------
+
+  /** q119: topic-sensitive authority — the q96 ranking with teleport mass
+    * restricted to one brand's parts ("parts most associated with
+    * Brand#13 baskets"), the seed-propagation form a curation pipeline
+    * uses to spread trust from a vetted set over a co-occurrence graph.
+    * Same cached offline graph, same quantized-exact iteration discipline
+    * ([[graft.operators.Graph.personalizedPageRank]]); the oracle unrolls
+    * the same three iterations with the seed teleport vector as a CTE.
+    * Seeds are intersected with the node set up front — the operator
+    * REQUIRES seeds to be graph nodes (a seed without out-edges would
+    * leak its teleport mass; never-co-purchased parts simply aren't
+    * seeds), and the oracle applies the same intersection. */
+  def brandSeededRank(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d)
+    val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey").as("node"))
+      .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+    graft.operators.Graph.personalizedPageRank(edges, seeds, prIterations,
+        broadcastScores = true)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(50)
+  }
+
+  val brandSeededRankSql: String = {
+    def iterCte(prev: String, k: Int): String = s"""it$k AS (
+      SELECT t.node,
+             CAST(0.15 AS DOUBLE) * t.tw + CAST(0.85 AS DOUBLE) *
+               (CAST(COALESCE(m.sq, 0) AS DOUBLE) / 1e12) AS pr
+      FROM tp t
+      LEFT JOIN (
+        SELECT p.dst AS node,
+               SUM(CAST(floor(pp.pr / pd.deg * 1e12) AS DECIMAL(27,0))) AS sq
+        FROM pairs p JOIN $prev pp ON pp.node = p.src
+                     JOIN deg pd ON pd.node = p.src
+        GROUP BY 1) m ON m.node = t.node)"""
+    val ctes = (1 to prIterations)
+      .map(k => iterCte(if (k == 1) "pr0" else s"it${k - 1}", k)).mkString(",\n")
+    s"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM e a JOIN e b USING (l_orderkey)
+              WHERE a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY 1),
+    seeds AS (SELECT DISTINCT p.p_partkey AS node
+              FROM part p JOIN deg d ON d.node = p.p_partkey
+              WHERE p.p_brand = 'Brand#13'),
+    ns AS (SELECT count(*) AS ns FROM seeds),
+    tp AS (SELECT d.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns
+                  ELSE CAST(0.0 AS DOUBLE) END AS tw
+           FROM deg d CROSS JOIN ns LEFT JOIN seeds s ON s.node = d.node),
+    pr0 AS (SELECT node, tw AS pr FROM tp),
+    $ctes
+    SELECT node, pr FROM it$prIterations ORDER BY pr DESC, node LIMIT 50"""
+  }
+
   // --- q98: data-quality constraint report ----------------------------------
 
   /** Pre-publication audit of the star schema: key uniqueness,
@@ -403,6 +460,7 @@ object MaintenanceQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
+    "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),
     "q109_scoped_diff"    -> QueryDef(scopedDiff _, snapshotDiffSql),
     "q98_data_quality"    -> QueryDef(dataQualityReport _, dataQualityReportSql),

@@ -80,6 +80,37 @@ class GraphSpec extends AnyFunSuite {
         "the checkpointed result)")
   }
 
+  test("personalized: teleport mass stays near the seeds; uniform seeds ≡ pageRank shape") {
+    // path graph 1—2—3—4—5, seed {1}. Per-node order oscillates on a
+    // bipartite graph (mass ping-pongs between odd/even distances each
+    // power iteration), so the robust claim is REGIONAL: the seed half
+    // holds the bulk of the mass, the far end almost none
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pr = Graph.personalizedPageRank(path, Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) + pr(2L) > 3 * (pr(4L) + pr(5L)),
+      s"mass should concentrate near the seed: $pr")
+    val mass = pr.values.sum
+    assert(mass > 0.99 && mass <= 1.0 + 1e-9, s"mass $mass") // quantization floors only shave
+    // seeding EVERY node uniformly reproduces the global ranking's ORDER
+    val all = Graph.personalizedPageRank(path, path.select(col("src").as("node")), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val global = Graph.pageRank(path, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all.toSeq.sortBy(-_._2).map(_._1) === global.toSeq.sortBy(-_._2).map(_._1))
+  }
+
+  test("personalized: seeds outside the graph fail loudly; no cache left behind") {
+    val g = sym((1L, 2L), (2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(g, Seq(99L).toDF("node"), 2)
+    }
+    assert(ex.getMessage.contains("seed"), ex.getMessage)
+    Graph.personalizedPageRank(g, Seq(1L).toDF("node"), 2).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "personalizedPageRank left cache entries behind")
+  }
+
   test("directed edge list with dangling nodes fails loudly, not wrongly") {
     // node 3 has in-edges only: its mass would silently vanish (deg is
     // built from src). The guard must reject instead of mis-ranking.
