@@ -132,7 +132,10 @@ case class AsOfJoinExec(
               rRow = if (rIter.hasNext) rIter.next() else null
               scan = rRow != null
             } else if (cmp == 0 && timeOrd.compare(rTimeB.eval(rRow), lt) <= 0) {
-              heldKey = rk
+              // copy BOTH the key and the carry out of the sort iterator's
+              // reused row buffer: a UTF8String key held by reference would
+              // silently mutate on the next advance
+              heldKey = InternalRow.copyValue(rk)
               heldCarry = carryProj(rRow).copy()
               rRow = if (rIter.hasNext) rIter.next() else null
               scan = rRow != null

@@ -75,6 +75,23 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(l1.toString.contains("r-high"), s"tie winner wrong: $l1")
   }
 
+  test("exec ≡ composed with STRING keys (held key must be copied off the sort buffer)") {
+    // enough rows per partition that the sort iterator's row-buffer reuse
+    // would corrupt a held-by-reference UTF8String key
+    val rnd = new scala.util.Random(59)
+    val left = Seq.tabulate(3000) { i =>
+      (s"user_${rnd.nextInt(40)}", (rnd.nextInt(1000) * 2 + 1).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = Seq.tabulate(3000) { i =>
+      (s"user_${rnd.nextInt(40)}", (rnd.nextInt(1000) * 2).toLong, i.toLong, rnd.nextDouble())
+    }.toDF("k", "t", "rid", "payload")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, String, Seq[String], String, String) =>
+        org.apache.spark.sql.DataFrame) =
+      rows(f(left, right, "k", "t", "t", Seq("rid", "payload"), "rid", "m_"))
+    assert(run(AsOfExec.asOfBackward) === run(AsOf.asOfBackward))
+  }
+
   test("exec ≡ composed under repartitioned, shuffled inputs") {
     val (purchases, clicks) = purchasesClicks()
     val a = rows(AsOfExec.asOfBackward(purchases, clicks, "user_id", "ts", "ts",
