@@ -210,3 +210,40 @@ object AsOfStreamProperties extends Properties("AsOfStream.advance") {
       }
     }
 }
+
+/** The banded edit-distance verify ([[graft.expressions.BoundedLevenshtein]])
+  * against a textbook full-table reference: exact wherever the true
+  * distance is ≤ τ, the sentinel τ+1 wherever it is not — over arbitrary
+  * unicode strings (code-point semantics) and every τ the join family
+  * uses. */
+object BoundedLevenshteinProperties extends Properties("BoundedLevenshtein") {
+  import graft.expressions.BoundedLevenshtein
+
+  private def reference(a: String, b: String): Int = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    val dp = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      dp(i)(j) = math.min(
+        math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    dp(x.length)(y.length)
+  }
+
+  // small alphabet + bounded length keeps many pairs inside τ; a few
+  // astral-plane code points exercise surrogate handling
+  private val strGen: Gen[String] = for {
+    n <- Gen.choose(0, 10)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.oneOf("ab".toList.map(_.toString)),
+      1 -> Gen.oneOf("xyz".toList.map(_.toString)),
+      1 -> Gen.const(new String(Character.toChars(0x1F600)))))
+  } yield cs.mkString
+
+  property("≡ min(reference, τ+1) for τ in 0..3") =
+    forAll(strGen, strGen, Gen.choose(0, 3)) { (a, b, tau) =>
+      BoundedLevenshtein.compute(a, b, tau) == math.min(reference(a, b), tau + 1)
+    }
+}
