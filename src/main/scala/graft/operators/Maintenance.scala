@@ -84,6 +84,26 @@ object Maintenance {
     merged.unionByName(inserts)
   }
 
+  /** Schema-evolving MERGE: when the changefeed carries `new_<col>`
+    * columns the target lacks — the "today's feed added a column" moment
+    * every long-lived table hits — widen the target first (the new column
+    * is NULL for all existing rows: history is never fabricated), then
+    * apply as usual. Rows the feed doesn't touch keep NULL in the new
+    * column; updated/inserted rows get the feed's value. One projection
+    * on top of [[applyChanges]] — no extra shuffle, no table rewrite
+    * beyond the MERGE itself. */
+  def applyChangesEvolving(target: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val added = changes.columns.collect {
+      case c if c.startsWith("new_") &&
+        !target.columns.contains(c.stripPrefix("new_")) => c.stripPrefix("new_")
+    }
+    val widened = added.foldLeft(target) { (t, a) =>
+      t.withColumn(a, lit(null).cast(changes.schema(s"new_$a").dataType))
+    }
+    applyChanges(widened, changes, keys)
+  }
+
   /** Continuously applies a streaming changefeed to a parquet target:
     * each micro-batch MERGEs via [[applyChanges]] and swaps the target
     * directory through a crash-safe rename sequence. The batch operator

@@ -71,6 +71,31 @@ object MaintenanceQueries {
 
   val mergeRoundTripSql: String = newSnapSql
 
+  /** q120: schema-evolving MERGE — the q89 changefeed arrives carrying a
+    * column the target never had (`c_tier`, stamped per change type), and
+    * [[graft.operators.Maintenance.applyChangesEvolving]] widens the
+    * target before applying: updated rows read 'gold', inserted rows
+    * 'new', and every row the feed didn't touch keeps NULL — history is
+    * never fabricated. The oracle derives the same tier from the two
+    * snapshot definitions directly: 'new' for keys absent from the old
+    * snapshot, 'gold' for keys the generator actually changed (the
+    * %7 = 2 acctbal bump), NULL otherwise. */
+  def evolveMerge(s: SparkSession, d: String): DataFrame = {
+    val feed = M.snapshotDiff(oldSnap(s, d), newSnap(s, d), Seq("c_custkey"))
+      .withColumn("new_c_tier",
+        when(col("change") === "U", lit("gold"))
+          .when(col("change") === "I", lit("new")))
+    M.applyChangesEvolving(oldSnap(s, d), feed, Seq("c_custkey"))
+  }
+
+  val evolveMergeSql: String = s"""
+    WITH o AS ($oldSnapSql), n AS ($newSnapSql)
+    SELECT n.*,
+           CASE WHEN o.c_custkey IS NULL THEN 'new'
+                WHEN n.c_custkey % 7 = 2 THEN 'gold'
+                ELSE NULL END AS c_tier
+    FROM n LEFT JOIN o ON n.c_custkey = o.c_custkey"""
+
   /** q91: SCD2 order-status history per customer — consecutive equal
     * statuses (by order date, ties by order key) collapse into versioned
     * validity intervals; the open row is current. Windows partition on
@@ -461,6 +486,7 @@ object MaintenanceQueries {
   val defs: Map[String, QueryDef] = Map(
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
     "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
+    "q120_evolve_merge" -> QueryDef(evolveMerge _, evolveMergeSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),
     "q109_scoped_diff"    -> QueryDef(scopedDiff _, snapshotDiffSql),
     "q98_data_quality"    -> QueryDef(dataQualityReport _, dataQualityReportSql),

@@ -59,6 +59,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(merged.columns.toSeq === neu.columns.toSeq)
   }
 
+  test("evolving apply: new column lands NULL on untouched history, typed on touched rows") {
+    val old = snap((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+    // feed: update 2's bal and stamp a column the target never had;
+    // insert 4 with it; 1 and 3 untouched
+    val feed = Seq(
+      (2L, "U", Some("b"), Some(25.0), Some("vip")),
+      (4L, "I", Some("d"), Some(40.0), Some("fresh")))
+      .toDF("id", "change", "new_name", "new_bal", "new_tier")
+    val out = Maintenance.applyChangesEvolving(old, feed, Seq("id"))
+    assert(out.columns.toSeq === Seq("id", "name", "bal", "tier"))
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getDouble(2), Option(r.getString(3)))).toMap
+    assert(byId(1L) === ((10.0, None)), "untouched history must stay NULL")
+    assert(byId(3L) === ((30.0, None)))
+    assert(byId(2L) === ((25.0, Some("vip"))))
+    assert(byId(4L) === ((40.0, Some("fresh"))))
+    // with no new columns it degrades to plain applyChanges
+    val plainFeed = feed.drop("new_tier")
+    val plain = Maintenance.applyChangesEvolving(old, plainFeed, Seq("id"))
+    assert(plain.columns.toSeq === old.columns.toSeq)
+  }
+
   test("snapshotDiff plan: one key join, no cartesian / nested loop") {
     val old = snap((1L, Some("a"), 1.0)); val neu = snap((1L, Some("a"), 2.0))
     val plan = Maintenance.snapshotDiff(old, neu, Seq("id"))
