@@ -428,6 +428,24 @@ object Relational {
         s""" AS "$p"""").mkString(", ")}
     FROM orders GROUP BY o_orderstatus"""
 
+  /** q121: unpivot — the melt half pivot (q55) was missing: the wide
+    * per-priority revenue matrix folds back to long (status, priority,
+    * revenue) rows via the native `unpivot` operator (an Expand, one pass,
+    * no shuffle beyond q55's aggregate), and the ROUND-TRIP LAW is the
+    * oracle: pivot ∘ unpivot ≡ the direct two-key aggregate, with the
+    * pivot's NULL cells (combinations with no orders) dropped where the
+    * direct aggregate never had a row. */
+  def unpivotRevenue(s: SparkSession, d: String): DataFrame =
+    pivotRevenue(s, d)
+      .unpivot(Array(col("o_orderstatus")), orderPriorities.map(col).toArray,
+        "o_orderpriority", "revenue")
+      .filter(col("revenue").isNotNull)
+
+  val unpivotRevenueSql: String = s"""
+    SELECT o_orderstatus, o_orderpriority,
+           ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders GROUP BY 1, 2"""
+
   /** Discrete (order-statistic) median: the element at rank ⌈n/2⌉ of
     * (price, orderkey) per status. A PICKED element, not an interpolated
     * value — engines disagree on percentile interpolation arithmetic, but
@@ -601,5 +619,6 @@ object Relational {
     "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql),
     "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql),
     "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql),
+    "q121_unpivot_revenue"    -> QueryDef(unpivotRevenue _, unpivotRevenueSql),
     "q56_median_order_price"  -> QueryDef(medianOrderPrice _, medianOrderPriceSql))
 }
