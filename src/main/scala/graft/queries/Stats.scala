@@ -482,6 +482,44 @@ object Stats {
     Hll.sketch(s.read.parquet(s"$dir/merged"), Seq("event_type"))
   }
 
+  // --- q122: incremental CMS maintenance over persisted state ---------------
+
+  private val cmsMaintLock = new Object
+
+  /** q122: the CMS twin of q118 — frequency-sketch state rolled forward
+    * at delta cost, exercising the OTHER merge law (cell-wise SUM, where
+    * HLL merges by max): day-1 cells persist, day-2's delta cells
+    * sum-merge in, and the result must be cell-for-cell identical to
+    * sketching the full stream — the oracle recomputes it directly. With
+    * q118 this closes the pair: both sketch merge disciplines are gated
+    * through a persisted roll-forward, not just spec-proven in memory. */
+  def cmsIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cms
+    val ev = Tables.events(s, d)
+    val dir = Extensions.indexCacheDir("graft-cms-cache", d, "events", "d4w2048")
+    cmsMaintLock.synchronized {
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
+        Cms.sketch(ev.filter(col("event_id") % 2 === 0), col("user_id"))
+          .write.mode("overwrite").parquet(s"$dir/base")
+        s.read.parquet(s"$dir/base")
+          .union(Cms.sketch(ev.filter(col("event_id") % 2 === 1), col("user_id")))
+          .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+          .write.mode("overwrite").parquet(s"$dir/merged")
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
+      }
+    }
+    s.read.parquet(s"$dir/merged")
+  }
+
+  val cmsIncrementalSql: String = {
+    import graft.operators.Cms
+    val cellRows = (0 until Cms.depth).map(i =>
+      s"""SELECT $i AS rw, ${Cms.bucketSql("user_id", i)} AS bucket
+          FROM events WHERE user_id IS NOT NULL""").mkString(" UNION ALL ")
+    s"""SELECT rw AS "row", bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ($cellRows) GROUP BY 1, 2"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
@@ -492,5 +530,6 @@ object Stats {
     "q114_bloom_state"    -> QueryDef(bloomState _, bloomStateSql),
     "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql),
     "q117_join_size_est"  -> QueryDef(joinSizeEstimate _, joinSizeEstimateSql),
-    "q118_hll_incremental" -> QueryDef(hllIncremental _, hllSketchSql))
+    "q118_hll_incremental" -> QueryDef(hllIncremental _, hllSketchSql),
+    "q122_cms_incremental" -> QueryDef(cmsIncremental _, cmsIncrementalSql))
 }
