@@ -82,10 +82,14 @@ class BloomSpec extends AnyFunSuite {
     val orders = Tables.orders(spark, sf)
     val pre = orders.filter(Bloom.mightContain(col("o_custkey"), bf))
 
-    // the prefilter is a row-local scan predicate: no shuffle, no join
+    // the prefilter is a row-local scan predicate: no shuffle, no join,
+    // and the predicate compiles into whole-stage codegen (the starred
+    // Filter), not an interpreted fallback
     val plan = pre.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"prefilter stage should be scan+filter only:\n$plan")
+    assert(plan.contains("*(1) Filter"),
+      s"mightContain should run inside WholeStageCodegen:\n$plan")
 
     val total = orders.count()
     val passed = pre.count()
