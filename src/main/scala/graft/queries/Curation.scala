@@ -306,6 +306,34 @@ object Curation {
     GROUP BY c.doc_id, p.probe_id
     HAVING count(*) >= $decontMinShared"""
 
+  // --- q123: bloom-accelerated decontamination ------------------------------
+
+  /** q123: q69's decontamination with a Bloom prefilter on the gram
+    * stream — the production shape of the benchmark-membership check. The
+    * probe (benchmark) gram set is tiny and fixed; its fingerprints build
+    * an 8 KB filter, and every corpus gram is screened ROW-LOCALLY
+    * (codegen predicate on the exploded stream) before the inverted-index
+    * join, so at 100 TB the join's shuffle carries only grams that might
+    * be benchmark grams instead of the whole corpus. False positives die
+    * in the exact gram join, so the sketch is invisible: the oracle is
+    * q69's, verbatim (the q115 reduction law applied to decontamination). */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bloom
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3))).as("g"))
+    val probes = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_id"), col("g"))
+    val bf = Bloom.build(probes, TextFunctions.fingerprint(col("g")))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .filter(Bloom.mightContain(TextFunctions.fingerprint(col("g")), bf))
+      .join(probes, "g")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= decontMinShared)
+  }
+
   // --- q72: context-window sequence packing --------------------------------
 
   /** Concat-and-chunk sequence packing — the layout pass a pretraining
@@ -1007,6 +1035,7 @@ object Curation {
     "q67_source_cap"        -> QueryDef(sourceCap _, sourceCapSql),
     "q68_repetition_stats"  -> QueryDef(repetitionStats _, repetitionStatsSql),
     "q69_decontaminate"     -> QueryDef(decontaminate _, decontaminateSql),
+    "q123_decontaminate_bloom" -> QueryDef(decontaminateBloom _, decontaminateSql),
     "q101_corpus_drift"     -> QueryDef(corpusDrift _, corpusDriftSql),
     "q72_pack_sequences"    -> QueryDef(packSequences _, packSequencesSql),
     "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
