@@ -316,7 +316,11 @@ object Curation {
     * join, so at 100 TB the join's shuffle carries only grams that might
     * be benchmark grams instead of the whole corpus. False positives die
     * in the exact gram join, so the sketch is invisible: the oracle is
-    * q69's, verbatim (the q115 reduction law applied to decontamination). */
+    * q69's, verbatim (the q115 reduction law applied to decontamination).
+    * Honest scale note: at the gate SFs the screen's per-gram hashing
+    * costs more than the tiny join it saves (q123 benches ~3 s vs q69's
+    * ~0.7 s at sf0.1) — the trade only pays when the corpus-side shuffle
+    * dominates, which is exactly the 100 TB regime it exists for. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Bloom
     val grams = Tables.documents(s, d)
