@@ -331,7 +331,11 @@ object Curation {
       .select(col("doc_id").as("probe_id"), col("g"))
     val bf = Bloom.build(probes, TextFunctions.fingerprint(col("g")))
     grams.filter(col("doc_id") % 97 =!= 0)
-      .filter(Bloom.mightContain(TextFunctions.fingerprint(col("g")), bf))
+      // fingerprint lands in its own projection so the per-gram string
+      // walk runs ONCE; the k positions then hash the resulting BIGINT
+      .withColumn("__fp", TextFunctions.fingerprint(col("g")))
+      .filter(Bloom.mightContain(col("__fp"), bf))
+      .drop("__fp")
       .join(probes, "g")
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("n_shared"))
