@@ -121,6 +121,11 @@ object Graph {
       val outside = sd.join(deg.select("node"), Seq("node"), "left_anti").count()
       require(outside == 0L,
         s"$outside seed(s) are not graph nodes: their teleport mass would leak")
+      // Both anti-join guards pass vacuously on zero seeds, and the
+      // teleport weight would then be 0 everywhere — an all-zero "ranking"
+      // emitted silently. Fail loudly instead (same policy as dangling).
+      require(sd.count() > 0L,
+        "personalizedPageRank requires at least one seed that is a graph node")
 
       val ns = sd.agg(count(lit(1)).as("ns"))
       val bc: DataFrame => DataFrame =

@@ -143,10 +143,19 @@ object Maintenance {
         val tmp = new Path(targetDir + ".next")
         val old = new Path(targetDir + ".old")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(old, true) // stale from a crash after a completed swap
-        fs.rename(target, old)
-        fs.rename(tmp, target)
-        fs.delete(old, true)
+        // Hadoop FileSystem reports most rename/delete failures (dest
+        // exists, src missing, object-store quirks) by returning false,
+        // not throwing — a swallowed false here would let the epoch
+        // commit while the merged data in .next is silently discarded.
+        // Throw so the batch fails and the checkpoint replays the epoch.
+        def mustRename(src: Path, dst: Path): Unit =
+          require(fs.rename(src, dst), s"rename $src -> $dst failed")
+        def mustDelete(p: Path): Unit =
+          require(!fs.exists(p) || fs.delete(p, true), s"delete $p failed")
+        mustDelete(old) // stale from a crash after a completed swap
+        mustRename(target, old)
+        mustRename(tmp, target)
+        mustDelete(old)
         ()
       }
       .start()
@@ -158,7 +167,7 @@ object Maintenance {
       target: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
     if (!fs.exists(target) && fs.exists(old)) {
-      fs.rename(old, target)
+      require(fs.rename(old, target), s"recovery rename $old -> $target failed")
       ()
     }
   }

@@ -36,23 +36,36 @@ object Ranges {
     * `w`, so the integral SQL `div` is the exact floor for negatives too.
     * Staged through a named temp column because the public Column API has
     * no integral divide. */
-  private def withBin(df: DataFrame, c: Column, w: Long, out: String): DataFrame =
-    df.withColumn("__mult", c - pmod(c, lit(w)))
-      .withColumn(out, expr(s"__mult div $w"))
-      .drop("__mult")
+  private def withBin(df: DataFrame, c: Column, w: Long, mult: String,
+                      out: String): DataFrame =
+    df.withColumn(mult, c - pmod(c, lit(w)))
+      .withColumn(out, expr(s"`$mult` div $w"))
+      .drop(mult)
+
+  /** Per-call unique temp-column namespace: fixed names like `__bin`
+    * would collide with (or capture) a caller column of the same name and
+    * produce ambiguous or silently wrong output. A process-wide counter
+    * keeps every invocation's scratch names distinct. */
+  private val callSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def binnedPointJoin(intervals: DataFrame, points: DataFrame,
                       startCol: String, endCol: String, ptCol: String,
                       width: Long): DataFrame = {
     require(width > 0, s"bin width must be positive, got $width")
+    val shared = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(shared.isEmpty,
+      s"interval and point frames must have disjoint column names; " +
+        s"shared: ${shared.toSeq.sorted.mkString(", ")} — alias one side first")
+    val ns = s"__graft_rj${callSeq.incrementAndGet()}"
+    val (mult, bin, lo, hi) = (s"${ns}_mult", s"${ns}_bin", s"${ns}_lo", s"${ns}_hi")
     val binned = withBin(withBin(
         intervals.filter(col(endCol) > col(startCol)),
-        col(startCol), width, "__bin_lo"), col(endCol) - 1, width, "__bin_hi")
-      .withColumn("__bin", explode(sequence(col("__bin_lo"), col("__bin_hi"))))
-      .drop("__bin_lo", "__bin_hi")
-    val pts = withBin(points, col(ptCol), width, "__bin")
-    binned.join(pts, Seq("__bin"))
+        col(startCol), width, mult, lo), col(endCol) - 1, width, mult, hi)
+      .withColumn(bin, explode(sequence(col(lo), col(hi))))
+      .drop(lo, hi)
+    val pts = withBin(points, col(ptCol), width, mult, bin)
+    binned.join(pts, Seq(bin))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
-      .drop("__bin")
+      .drop(bin)
   }
 }

@@ -172,11 +172,26 @@ object Similarity {
     * unchanged — the cell-partitioned layout absorbs the new files, and
     * because assignment is per-vector deterministic, append ≡ full
     * rebuild for every query (the q99 gate row and SimilarityIndexSpec
-    * pin that law). */
+    * pin that law).
+    *
+    * `metaCols` must name the SAME meta columns the index was built with
+    * ([[writeIvfIndex]]): appending meta-less rows to a labeled index
+    * would leave the appended vectors with null meta, and a later
+    * [[ivfTopKIndexedFiltered]] probe would silently drop them. The
+    * schema of the appended batch is validated against the existing
+    * index files so a mismatch fails loudly instead. */
   def appendToIvfIndex(newVectors: DataFrame, indexDir: String, centers: Seq[Seq[Double]],
-                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    indexRows(newVectors, centers, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(indexDir)
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       metaCols: Seq[String] = Nil): Unit = {
+    val rows = indexRows(newVectors, centers, idCol, vecCol, metaCols)
+    val existing = newVectors.sparkSession.read.parquet(indexDir)
+    val want = existing.drop("cell").schema.fieldNames.toSeq
+    val have = rows.drop("cell").schema.fieldNames.toSeq
+    require(want == have,
+      s"appendToIvfIndex schema mismatch: index has ${want.mkString(",")}, " +
+        s"batch produces ${have.mkString(",")} — pass the metaCols the index was built with")
+    rows.write.mode("append").partitionBy("cell").parquet(indexDir)
+  }
 
   /** Per-table sign-LSH bucket codes for a vector: table t's code packs
     * `bits` sign bits, bit b = [v · hyperplane(t·bits+b) > 0]. Shared by

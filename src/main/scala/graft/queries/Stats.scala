@@ -296,8 +296,11 @@ object Stats {
 
     binned.join(ranks, Seq("bin", "score"))
       .select(col("doc_id"), col("score"),
-        (col("rank_below").cast("double") /
-          (col("n") - 1L).cast("double")).as("pct_rank"))
+        // n = 1 would divide 0/0 = NaN where SQL percent_rank defines the
+        // single-row case as 0 — guard the degenerate input explicitly.
+        when(col("n") > 1L,
+          col("rank_below").cast("double") / (col("n") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as("pct_rank"))
   }
 
   val lengthPctRankSql: String = s"""

@@ -117,6 +117,17 @@ class GraphSpec extends AnyFunSuite {
         "(expected at most the checkpointed result)")
   }
 
+  test("personalized: an EMPTY seed set fails loudly, not with all-zero scores") {
+    // both anti-join guards pass vacuously on zero seeds; without the
+    // count guard the teleport weight is 0 everywhere and the "ranking"
+    // is silently all zeros (the degenerate q119 brand-matches-nothing case)
+    val g = sym((1L, 2L), (2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(g, spark.emptyDataset[Long].toDF("node"), 2)
+    }
+    assert(ex.getMessage.contains("at least one seed"), ex.getMessage)
+  }
+
   test("directed edge list with dangling nodes fails loudly, not wrongly") {
     // node 3 has in-edges only: its mass would silently vanish (deg is
     // built from src). The guard must reject instead of mis-ranking.

@@ -46,6 +46,28 @@ class RangesSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L), (1L, 2L), (2L, 4L), (2L, 5L)))
   }
 
+  test("shared column names between the two sides fail loudly, not ambiguously") {
+    val ex = intercept[IllegalArgumentException] {
+      Ranges.binnedPointJoin(
+        Seq((1L, 0L, 10L)).toDF("id", "s", "e"),
+        Seq((2L, 5L)).toDF("id", "p"),
+        "s", "e", "p", width = 4L)
+    }
+    assert(ex.getMessage.contains("disjoint column names"), ex.getMessage)
+  }
+
+  test("caller columns named like the old fixed temp names are not captured") {
+    // pre-namespacing, a caller column literally called __bin or __mult
+    // would collide with the operator's scratch columns
+    val got = Ranges.binnedPointJoin(
+        Seq((1L, 0L, 10L, "keep")).toDF("iid", "s", "e", "__bin"),
+        Seq((2L, 5L, "pt")).toDF("pid", "p", "__mult"),
+        "s", "e", "p", width = 4L)
+      .select("iid", "pid", "__bin", "__mult")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, 2L, "keep", "pt")))
+  }
+
   test("q107 plan: bin equi-join, no nested loop anywhere") {
     val plan = graft.queries.ScaleJoins
       .errorWindowViews(spark, "/root/testdata/sf0.001")

@@ -124,6 +124,38 @@ class ScaleSpec extends AnyFunSuite {
       "fixture too easy: post-filtering never starved a query, trap not exercised")
   }
 
+  test("labeled IVF append: metaCols ride along; a meta-less append fails loudly") {
+    implicit val s = spark
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val centers = Similarity.fixedCenters(cells = 16, dim = 64)
+    val base = java.nio.file.Files.createTempDirectory("ivflabelapp").toString
+    val incrDir = s"$base/incr"; val fullDir = s"$base/full"
+    val meta = Seq("label")
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), incrDir, centers,
+      metaCols = meta)
+
+    // forgetting the metaCols the index was built with must be an error,
+    // not null labels that a filtered probe silently drops
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), incrDir, centers)
+    }
+    assert(ex.getMessage.contains("schema mismatch"), ex.getMessage)
+
+    // with metaCols the append ≡ rebuild law holds for FILTERED probes too
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), incrDir, centers,
+      metaCols = meta)
+    Similarity.writeIvfIndex(emb, fullDir, centers, metaCols = meta)
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val evens = Seq(0, 2, 4, 6, 8).map(Integer.valueOf)
+    def probe(dir: String) = Similarity
+      .ivfTopKIndexedFiltered(dir, centers, queries, k = 5,
+        neighborFilter = col("label").isin(evens: _*), nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(incrDir) === probe(fullDir),
+      "labeled append diverged from the labeled full rebuild under a filtered probe")
+  }
+
   test("q110 hot-key diagnosis: TakeOrdered top-20, broadcast 1-row total") {
     val df = graft.queries.ScaleJoins.hotJoinKeys(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
