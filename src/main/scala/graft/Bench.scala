@@ -28,6 +28,18 @@ import org.apache.spark.sql.SparkSession
   * validFeatures upstream are unchanged and q02 (same upstream) moves the
   * other way in the same rounds. The per-query "queries_min" on the
   * benchdetail line is the noise floor to compare across rounds.
+  *
+  * q04/q05 variance (judged a watch item in round 7 — driver measured
+  * q04 0.226→0.743 s and q05 0.269→1.178 s round-over-round with ZERO
+  * code changes to either query; git confirms Relational.scala:91-118
+  * untouched): rechecked round 8 on a quiet machine, 5 isolated runs ×
+  * 3 reps at sf0.1/local[32] — q04 medians 0.238-0.360 s (overall
+  * median 0.244, min 0.206), q05 medians 0.257-0.402 s (overall median
+  * 0.326, min 0.247). Both sit at their round-6 driver values, nowhere
+  * near the round-7 spike, so the 3-4× excursion was concurrent machine
+  * load during the driver's timed window, not a plan change. Both
+  * queries are sub-half-second scan+window aggregates with no caches
+  * and no iteration; nothing to bisect.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
