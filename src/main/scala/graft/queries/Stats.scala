@@ -514,6 +514,41 @@ object Stats {
     s.read.parquet(s"$dir/merged")
   }
 
+  // --- q124: incremental Bloom maintenance over persisted state -------------
+
+  private val bloomMaintLock = new Object
+
+  /** q124: the Bloom member of the roll-forward trio — the q114 filter
+    * served from persisted, incrementally maintained word state,
+    * exercising the THIRD sketch merge law (word-wise bit OR, where HLL
+    * merges by max and CMS by sum): day-1's per-segment words persist as
+    * a snapshot, day-2's delta words `bit_or`-merge in under the
+    * marker-written-last crash rule, and the merged filter must be
+    * bit-for-bit the one built from the full table — the oracle IS
+    * q114's, verbatim. Set-union-by-OR is what makes Bloom state
+    * append-maintainable at all: membership bits only ever turn on, so a
+    * day's delta merges in one ≤ m-row-per-group aggregate and the daily
+    * cost never grows with corpus history. */
+  def bloomIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bloom
+    val cust = Tables.customer(s, d)
+    val dir = Extensions.indexCacheDir("graft-bloom-cache", d, "customer", "seg")
+    bloomMaintLock.synchronized {
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
+        Bloom.state(cust.filter(col("c_custkey") % 2 === 0),
+            col("c_custkey"), Seq("c_mktsegment"))
+          .write.mode("overwrite").parquet(s"$dir/base")
+        val delta = Bloom.state(cust.filter(col("c_custkey") % 2 === 1),
+          col("c_custkey"), Seq("c_mktsegment"))
+        s.read.parquet(s"$dir/base").union(delta)
+          .groupBy("c_mktsegment", "word").agg(bit_or(col("bits32")).as("bits32"))
+          .write.mode("overwrite").parquet(s"$dir/merged")
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
+      }
+    }
+    s.read.parquet(s"$dir/merged")
+  }
+
   val cmsIncrementalSql: String = {
     import graft.operators.Cms
     val cellRows = (0 until Cms.depth).map(i =>
@@ -534,5 +569,6 @@ object Stats {
     "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql),
     "q117_join_size_est"  -> QueryDef(joinSizeEstimate _, joinSizeEstimateSql),
     "q118_hll_incremental" -> QueryDef(hllIncremental _, hllSketchSql),
-    "q122_cms_incremental" -> QueryDef(cmsIncremental _, cmsIncrementalSql))
+    "q122_cms_incremental" -> QueryDef(cmsIncremental _, cmsIncrementalSql),
+    "q124_bloom_incremental" -> QueryDef(bloomIncremental _, bloomStateSql))
 }
