@@ -236,8 +236,76 @@ object ScaleJoins {
     FROM deg CROSS JOIN t
     ORDER BY pairs DESC, user_id LIMIT 20"""
 
+  // --- q125/q126: auto-strategy join planning ------------------------------
+
+  /** q125: the SALTED leg of the auto-planner ([[graft.operators
+    * .AutoJoin]]) — a deterministically manufactured hot key (three
+    * quarters of lineitem collapses onto supplier 1) joined against a
+    * supplier dim held over the broadcast budget, so the planner must
+    * diagnose the skew (q110 evidence) and choose the salted path on its
+    * own. The decision is require()d in-query — a planner drift to plain
+    * or broadcast fails the gate loudly — and the OUTPUT is gated against
+    * the plain declarative join (the q106 invisibility law: strategy
+    * choice may never change a result). */
+  def autoSkewedRevenue(s: SparkSession, d: String): DataFrame = {
+    // key domain fixed at 10 (not SF-scaled) so the skew ratio — hot share
+    // x key count, about 7.75 here — is identical at every gate SF; the
+    // explicit thresholds hold the fixture on the salted path at sf0.001
+    // (supplier = 10 rows) through sf0.1 (1000 rows)
+    val li = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 4 < 3, lit(1L))
+        .otherwise((col("l_suppkey") - 1) % 10 + 1).as("jk"),
+      col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("jk"), col("s_nationkey"))
+    val (joined, dec) = graft.operators.AutoJoin.autoJoin(
+      li, sup, "jk", broadcastMaxRows = 5, skewFactor = 4.0)
+    require(dec.strategy == "salted",
+      s"hot-key fixture must plan salted, got $dec")
+    joined.groupBy(col("s_nationkey"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val autoSkewedRevenueSql: String = s"""
+    SELECT s_nationkey,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+           count(*) AS n_lines
+    FROM (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 1
+                      ELSE (l_suppkey - 1) % 10 + 1 END AS jk,
+                 l_extendedprice, l_discount
+          FROM lineitem) l
+    JOIN supplier ON jk = s_suppkey
+    GROUP BY s_nationkey"""
+
+  /** q126: the BROADCAST leg — customer fits the default budget, so the
+    * planner must skip the shuffle entirely (a hot fact key is harmless
+    * under broadcast: nothing partitions by it). Same double gate:
+    * decision require()d in-query, output against the plain join. */
+  def autoBroadcastSegments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("jk"), col("o_totalprice"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("jk"), col("c_mktsegment"))
+    val (joined, dec) = graft.operators.AutoJoin.autoJoin(o, c, "jk")
+    require(dec.strategy == "broadcast",
+      s"small-dim fixture must plan broadcast, got $dec")
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+  }
+
+  val autoBroadcastSegmentsSql: String = s"""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
   val defs: Map[String, QueryDef] = Map(
     "q105_fuzzy_resolve"    -> QueryDef(fuzzyResolve _, fuzzyResolveSql),
+    "q125_auto_join_skewed" -> QueryDef(autoSkewedRevenue _, autoSkewedRevenueSql),
+    "q126_auto_join_broadcast" -> QueryDef(autoBroadcastSegments _, autoBroadcastSegmentsSql),
     "q106_salted_revenue"   -> QueryDef(saltedRevenue _, saltedRevenueSql),
     "q107_error_window_views" -> QueryDef(errorWindowViews _, errorWindowViewsSql),
     "q110_hot_join_keys"    -> QueryDef(hotJoinKeys _, hotJoinKeysSql),
