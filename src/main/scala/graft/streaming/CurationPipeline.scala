@@ -31,11 +31,20 @@ object CurationPipeline {
   /** Apply the full curation cascade to a document frame with columns
     * (doc_id, text, lang, source, `eventTimeCol`). Works on a streaming OR
     * batch frame — the batch plan simply ignores the watermark, which is
-    * what makes the replay-equivalence test possible. */
+    * what makes the replay-equivalence test possible.
+    *
+    * `benchmark` switches on the decontamination stage
+    * ([[Decontamination.decontaminate]]): documents sharing grams with a
+    * loaded benchmark state are dropped right after quality routing —
+    * before sampling, so contaminated docs can't consume stratum budget.
+    * The stage is row-local (filter + map as plan literals), so it adds
+    * no streaming state: the pipeline keeps exactly one stateful
+    * operator, the dedup. */
   def curate(docs: DataFrame, eventTimeCol: String,
              watermarkDelay: String = "10 minutes",
              rates: Map[String, Int] = Curation.strataRates,
-             defaultPct: Int = Curation.strataDefault): DataFrame = {
+             defaultPct: Int = Curation.strataDefault,
+             benchmark: Option[Decontamination.Benchmark] = None): DataFrame = {
     val routed = docs
       .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
@@ -46,7 +55,9 @@ object CurationPipeline {
           .otherwise(lit("keep")))
       .filter(col("verdict") === "keep")
       .drop("verdict")
-    val sampled = Sampling.stratifiedSample(routed, "lang", "text", rates, defaultPct)
+    val cleared = benchmark.fold(routed)(b =>
+      Decontamination.decontaminate(routed, "text", b))
+    val sampled = Sampling.stratifiedSample(cleared, "lang", "text", rates, defaultPct)
     val deduped =
       if (sampled.isStreaming)
         Dedup.exactDedupStream(sampled, "text", eventTimeCol, watermarkDelay)
