@@ -25,6 +25,21 @@ final case class InvoiceResult(
     lineCount: Int,
     customerId: String)
 
+/** A routed line event carrying its EVENT time — the input of the
+  * event-time sessionizer ([[Sessionizer.sessionizeEventTime]]). */
+final case class TimedLineEvent(
+    invoiceNo: String,
+    eventTime: java.sql.Timestamp,
+    purchase: Option[Purchase],
+    errorReason: Option[String])
+
+/** Event-time session state: [[SessionState]] plus the session's max event
+  * time — the quantity the watermark clock closes on. */
+final case class EventSessionState(
+    lines: List[Purchase],
+    errorReason: Option[String],
+    maxEventMs: Long)
+
 /** ST4/ST5/ST6/ST7: keyed sessionization with inactivity expiry, rebuilt on
   * `flatMapGroupsWithState` + ProcessingTimeTimeout.
   *
@@ -199,6 +214,74 @@ object Sessionizer {
       numberItems = items.toDouble,
       lineCount = n,
       customerId = first.customerID)
+  }
+
+  // --- Event-time variant (ST11 extension) ---------------------------------
+
+  val DefaultGapMs: Long = 40000L
+
+  /** The event-time update function: identical state machine to
+    * [[updateSession]] — Q3 batch semantics, same classification at emit —
+    * with ONE change: the expiry clock. A session closes when the
+    * WATERMARK passes its max event time + gap, not when 40 s of
+    * wall-clock silence elapse. The timeout timestamp is clamped above
+    * the current watermark (Spark rejects a timestamp at or below it —
+    * reachable when a session's events arrive already older than the
+    * watermark minus the gap). */
+  def updateSessionEventTime(gapMs: Long)(
+      invoiceNo: String,
+      events: Iterator[TimedLineEvent],
+      state: GroupState[EventSessionState]): Iterator[InvoiceResult] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      val out = classify(invoiceNo, SessionState(st.lines, st.errorReason))
+      state.remove()
+      Iterator.single(out)
+    } else {
+      val evs = events.toSeq
+      val prev = state.getOption.getOrElse(EventSessionState(Nil, None, Long.MinValue))
+      val maxMs = (prev.maxEventMs +: evs.map(_.eventTime.getTime)).max
+      val next = evs.collectFirst { case TimedLineEvent(_, _, _, Some(reason)) => reason } match {
+        // Q3 unchanged: an error event wins the batch; its good lines drop
+        case Some(reason) => prev.copy(errorReason = Some(reason), maxEventMs = maxMs)
+        case None => prev.copy(lines = prev.lines ++ evs.flatMap(_.purchase),
+          maxEventMs = maxMs)
+      }
+      state.update(next)
+      state.setTimeoutTimestamp(math.max(maxMs + gapMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** The WATERMARKED event-time twin of [[sessionize]] — the semantic the
+    * reference glosses over by sessionizing on arrival time alone.
+    *
+    * The reference pipeline (and [[sessionize]], its faithful twin)
+    * expires a session after 40 s of WALL-CLOCK silence, so its output
+    * depends on arrival timing: a stalled feed splits an invoice into
+    * duplicate sessions, and a faster-than-real-time replay merges
+    * everything — replaying yesterday's log does NOT reproduce
+    * yesterday's sessions. This variant expires on 40 s of EVENT-TIME
+    * silence judged against the watermark: replay speed is irrelevant,
+    * lines up to `watermarkDelay` late still join their session, and only
+    * a line later than that re-opens a duplicate (the deterministic ST11
+    * analogue — EventTimeSessionSpec pins each behavior against the
+    * processing-time twin). Line ORDER within a session remains arrival
+    * order, exactly as in [[sessionize]] — only the expiry clock changes.
+    *
+    * Scale shape is unchanged: state keyed by invoiceNo, one row per live
+    * session, point updates, timeouts fired by the watermark — no ticks,
+    * no state scans. */
+  def sessionizeEventTime(events: Dataset[TimedLineEvent],
+                          gapMs: Long = DefaultGapMs,
+                          watermarkDelay: String = "30 seconds")
+                         (implicit spark: SparkSession): Dataset[InvoiceResult] = {
+    import spark.implicits._
+    events
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.invoiceNo)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateSessionEventTime(gapMs))
   }
 
   /** Parse + route + sessionize raw CSV lines end-to-end (ST3 → ST4).
