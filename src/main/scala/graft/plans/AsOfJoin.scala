@@ -34,6 +34,21 @@ import org.apache.spark.sql.functions.col
   * shuffle bytes as a sort-merge join of the two sides, with the merge
   * itself a single forward pass per partition.
   *
+  * Measured honestly at sf0.1 (~20k purchases / 20k clicks, round 8):
+  * the exec is SLOWER than the composed union+window form on
+  * single-node seconds — driver bench q116 0.288 s vs q47 0.158 s;
+  * BenchOne cold-JVM medians 2.73 s vs 2.31 s (3 reps, local[32]).
+  * At this size both fit one partition's memory and the union+window's
+  * extra width costs less than the exec's second sort pipeline. The
+  * exec's payoff is the PLAN, not sf0.1 latency: no union row widening
+  * (the composed form shuffles left+right rows padded to the union
+  * schema — ~2× the bytes), ≤ 2 narrow exchanges, and output
+  * partitioning a downstream per-key aggregate reuses without a new
+  * exchange (ScaleSpec asserts this at sf0.1 under AQE with a
+  * pre-partitioned left). Those are shuffle-volume properties that pay
+  * at cluster scale, where the exchange bytes — not the per-partition
+  * merge — dominate.
+  *
   * AsOfExecSpec pins exec ≡ composed on adversarial data (ties,
   * missing-match lefts, null keys, duplicate timestamps) and asserts the
   * plan shape: an `AsOfJoinExec` node, no window exec, no union.

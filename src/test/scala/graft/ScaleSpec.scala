@@ -156,6 +156,41 @@ class ScaleSpec extends AnyFunSuite {
       "labeled append diverged from the labeled full rebuild under a filtered probe")
   }
 
+  test("AsOfJoinExec at sf0.1 under AQE: pre-partitioned left feeds the agg " +
+    "with no new exchange") {
+    // the AsOfExecSpec plan-shape claims, re-asserted at a realistic size
+    // (~20k purchases / ~20k clicks from the 100k-row sf0.1 events table)
+    // with AQE active and the left side pre-partitioned on the join key —
+    // the deployment shape where the as-of's output partitioning must be
+    // REUSED by the downstream per-key aggregate instead of re-shuffling
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .repartition(col("user_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val asof = graft.plans.AsOfExec.asOfBackward(purchases, clicks,
+      "user_id", "ts", "ts", Seq("value"), "event_id", "click_")
+    val agged = asof.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), count(col("click_value")).as("n_matched"))
+
+    // run both to let AQE finalize, then compare FINAL plans: the
+    // downstream aggregate must add zero exchanges over the bare as-of
+    val nUsers = agged.count()
+    asof.collect()
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val (exAsof, exAgged) = (exchanges(asof), exchanges(agged))
+    assert(exAgged <= exAsof,
+      s"downstream agg added exchanges: asof=$exAsof agged=$exAgged\n" +
+        agged.queryExecution.executedPlan.toString)
+    // sanity at size: every purchasing user aggregates, matches are real
+    val users = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(nUsers === users)
+    assert(agged.agg(sum("n_matched")).head().getLong(0) > 0L)
+  }
+
   test("q110 hot-key diagnosis: TakeOrdered top-20, broadcast 1-row total") {
     val df = graft.queries.ScaleJoins.hotJoinKeys(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
