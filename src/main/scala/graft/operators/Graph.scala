@@ -118,16 +118,20 @@ object Graph {
         s"personalizedPageRank requires out-edges for every node " +
           s"($dangling dangling node(s) found)")
       val sd = seeds.select(col("node")).distinct()
+      // Emptiness first: the anti-join guard passes vacuously on zero
+      // seeds and the teleport weight would be 0 everywhere — an
+      // all-zero "ranking" emitted silently. One count serves both the
+      // guard and the teleport denominator (the ns aggregate the plan
+      // previously recomputed), so the success path pays one seed job
+      // fewer and the failure path fails before the anti-join runs.
+      val seedCount = sd.count()
+      require(seedCount > 0L,
+        "personalizedPageRank requires at least one seed that is a graph node")
       val outside = sd.join(deg.select("node"), Seq("node"), "left_anti").count()
       require(outside == 0L,
         s"$outside seed(s) are not graph nodes: their teleport mass would leak")
-      // Both anti-join guards pass vacuously on zero seeds, and the
-      // teleport weight would then be 0 everywhere — an all-zero "ranking"
-      // emitted silently. Fail loudly instead (same policy as dangling).
-      require(sd.count() > 0L,
-        "personalizedPageRank requires at least one seed that is a graph node")
 
-      val ns = sd.agg(count(lit(1)).as("ns"))
+      val ns = sd.sparkSession.range(1).select(lit(seedCount).as("ns"))
       val bc: DataFrame => DataFrame =
         if (broadcastScores) broadcast(_) else identity
       val teleport = deg.select("node")

@@ -185,11 +185,19 @@ object Similarity {
                        metaCols: Seq[String] = Nil): Unit = {
     val rows = indexRows(newVectors, centers, idCol, vecCol, metaCols)
     val existing = newVectors.sparkSession.read.parquet(indexDir)
-    val want = existing.drop("cell").schema.fieldNames.toSeq
-    val have = rows.drop("cell").schema.fieldNames.toSeq
+    // names AND types: a same-named meta column of a different type would
+    // pass a name-only check and leave the index with conflicting parquet
+    // schemas — the silent corruption this guard exists to prevent
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = shape(existing.drop("cell").schema)
+    val have = shape(rows.drop("cell").schema)
     require(want == have,
-      s"appendToIvfIndex schema mismatch: index has ${want.mkString(",")}, " +
-        s"batch produces ${have.mkString(",")} — pass the metaCols the index was built with")
+      s"appendToIvfIndex schema mismatch: index has " +
+        s"${want.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}, " +
+        s"batch produces " +
+        s"${have.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")} — " +
+        "pass the metaCols (same names and types) the index was built with")
     rows.write.mode("append").partitionBy("cell").parquet(indexDir)
   }
 

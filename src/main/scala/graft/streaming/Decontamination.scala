@@ -61,15 +61,24 @@ object Decontamination {
   /** Idempotent per-batch benchmark maintenance: batch `batchId`'s gram
     * rows and Bloom word delta each overwrite their own batch directory,
     * so a checkpoint replay rewrites identical bytes instead of
-    * duplicating state. */
+    * duplicating state.
+    *
+    * Write order is the FAIL-SAFE one: words first, probes second (and
+    * [[loadBenchmark]] reads probes first, words second). A crash
+    * between the two writes — or a batch committing between a loader's
+    * two reads — can then only leave filter bits with no matching map
+    * entry, which is a harmless lookup miss. The reverse order would
+    * leave map entries whose bits are ABSENT from the filter: the
+    * screen would reject those grams — a real false negative — and
+    * contaminated documents would pass silently. */
   def applyBenchmarkBatch(batch: DataFrame, idCol: String, textCol: String,
                           stateDir: String, batchId: Long): Unit = {
     val grams = batch
       .select(col(idCol).cast("long").as("probe_id"),
         explode(gramsOf(col(textCol))).as("g"))
-    grams.write.mode("overwrite").parquet(s"$stateDir/probes/batch=$batchId")
     Bloom.state(grams, TextFunctions.fingerprint(col("g")))
       .write.mode("overwrite").parquet(s"$stateDir/words/batch=$batchId")
+    grams.write.mode("overwrite").parquet(s"$stateDir/probes/batch=$batchId")
   }
 
   /** Maintains benchmark state from a streaming changefeed of
@@ -85,52 +94,77 @@ object Decontamination {
       .start()
 
   /** Loads the persisted state into serving form: one ≤ 2048-row
-    * `bit_or` collapse for the filter, one distinct scan for the map. */
+    * `bit_or` collapse for the filter, one distinct scan for the map —
+    * probes FIRST, words second (see [[applyBenchmarkBatch]]: with the
+    * write order words-then-probes, any interleaving leaves at worst
+    * extra filter bits, never map entries the filter would reject). */
   def loadBenchmark(spark: SparkSession, stateDir: String,
                     minShared: Int = Curation.decontMinShared): Benchmark = {
+    val probes = spark.read.parquet(s"$stateDir/probes")
+      .select("g", "probe_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2).toSeq.sorted }
     val arr = new Array[Long](Bloom.words)
     spark.read.parquet(s"$stateDir/words")
       .groupBy("word").agg(expr("bit_or(bits32)").as("bits32"))
       .collect().foreach(r =>
         arr(r.getAs[Long]("word").toInt) = r.getAs[Long]("bits32"))
-    val probes = spark.read.parquet(s"$stateDir/probes")
-      .select("g", "probe_id").distinct()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2).toSeq.sorted }
     Benchmark(arr, probes, minShared)
   }
 
+  /** Per-call unique scratch-column namespace — the [[graft.operators
+    * .Ranges]] discipline: a fixed name like `__pids` would silently
+    * capture and then drop a caller column of the same name. */
+  private val callSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-row probe-id multiset: every Bloom-screened gram looks up its
     * probe ids; a probe appearing `n` times shares `n` distinct grams
-    * with this document. */
+    * with this document. The per-gram string fingerprint is computed
+    * ONCE into a struct field before the screen — inlining it into
+    * [[Bloom.mightContain]] would embed the string walk in all k
+    * position expressions (the q123 lesson, `Curation.scala`). NULL
+    * text propagates a null grams array; coalesce makes that the empty
+    * multiset, so null-text documents are uncontaminated, matching the
+    * join form (explode of nothing emits no pairs). */
   private def probeHits(text: Column, b: Benchmark): Column = {
     val probeMap = typedlit(b.probes)
-    flatten(transform(
-      filter(gramsOf(text),
-        g => Bloom.mightContain(TextFunctions.fingerprint(g), b.filter)),
-      g => coalesce(element_at(probeMap, g), typedlit(Seq.empty[Long]))))
+    coalesce(
+      flatten(transform(
+        filter(
+          transform(gramsOf(text),
+            g => struct(g.as("g"), TextFunctions.fingerprint(g).as("fp"))),
+          s => Bloom.mightContain(s.getField("fp"), b.filter)),
+        s => coalesce(element_at(probeMap, s.getField("g")),
+          typedlit(Seq.empty[Long])))),
+      typedlit(Seq.empty[Long]))
   }
 
   /** Exact (doc, probe, n_shared ≥ minShared) contamination pairs —
     * q123's output, computed statelessly row by row. */
   def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
-                         b: Benchmark): DataFrame =
-    docs.select(col(idCol), probeHits(col(textCol), b).as("__pids"))
+                         b: Benchmark): DataFrame = {
+    val ns = s"__graft_dc${callSeq.incrementAndGet()}"
+    val (pids, pair) = (s"${ns}_pids", s"${ns}_pair")
+    docs.select(col(idCol), probeHits(col(textCol), b).as(pids))
       .select(col(idCol),
         explode(filter(
-          transform(array_distinct(col("__pids")),
+          transform(array_distinct(col(pids)),
             p => struct(p.as("probe_id"),
-              size(filter(col("__pids"), x => x === p)).cast("long").as("n_shared"))),
-          s => s.getField("n_shared") >= b.minShared)).as("__pair"))
-      .select(col(idCol), col("__pair.probe_id").as("probe_id"),
-        col("__pair.n_shared").as("n_shared"))
+              size(filter(col(pids), x => x === p)).cast("long").as("n_shared"))),
+          s => s.getField("n_shared") >= b.minShared)).as(pair))
+      .select(col(idCol), col(s"$pair.probe_id").as("probe_id"),
+        col(s"$pair.n_shared").as("n_shared"))
+  }
 
   /** The curation stage: drops documents sharing ≥ minShared distinct
-    * grams with ANY benchmark probe; all other columns pass through.
-    * Stateless, so it runs unchanged on batch and streaming frames. */
-  def decontaminate(docs: DataFrame, textCol: String, b: Benchmark): DataFrame =
-    docs.withColumn("__pids", probeHits(col(textCol), b))
-      .filter(!exists(array_distinct(col("__pids")),
-        p => size(filter(col("__pids"), x => x === p)) >= b.minShared))
-      .drop("__pids")
+    * grams with ANY benchmark probe; all other columns pass through
+    * (null-text documents share no grams and pass). Stateless, so it
+    * runs unchanged on batch and streaming frames. */
+  def decontaminate(docs: DataFrame, textCol: String, b: Benchmark): DataFrame = {
+    val pids = s"__graft_dc${callSeq.incrementAndGet()}_pids"
+    docs.withColumn(pids, probeHits(col(textCol), b))
+      .filter(!exists(array_distinct(col(pids)),
+        p => size(filter(col(pids), x => x === p)) >= b.minShared))
+      .drop(pids)
+  }
 }

@@ -99,6 +99,27 @@ class DecontaminationSpec extends AnyFunSuite {
       "streamed row-local contamination diverged from the batch q123 join")
   }
 
+  test("null-text docs pass through uncontaminated; caller scratch-like columns survive") {
+    import spark.implicits._
+    val dir = freshStateDir()
+    buildState(dir)
+    val b = Decontamination.loadBenchmark(spark, dir)
+    // a null text shares no grams: the join form emits no pairs, so the
+    // row-local stage must KEEP the doc (a bare !exists(NULL,...) would
+    // silently drop it); a column named like the old fixed scratch name
+    // must ride through untouched
+    val docs = Seq(
+      (900001L, null.asInstanceOf[String], "keep-me"),
+      (900002L, "zz qq ww ee rr tt yy uu", "also-keep"))
+      .toDF("doc_id", "text", "__pids")
+    val pairs = Decontamination.contaminationPairs(docs, "doc_id", "text", b)
+    assert(pairs.count() === 0L)
+    val out = Decontamination.decontaminate(docs, "text", b)
+      .select("doc_id", "__pids").as[(Long, String)].collect().toMap
+    assert(out === Map(900001L -> "keep-me", 900002L -> "also-keep"),
+      "stage must pass null-text docs and caller columns through unchanged")
+  }
+
   test("curate drops exactly the contaminated docs, batch and stream alike") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

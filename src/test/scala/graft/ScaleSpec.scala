@@ -142,6 +142,15 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("schema mismatch"), ex.getMessage)
 
+    // same NAME but different TYPE must also fail — a name-only check
+    // would append conflicting parquet schemas for `label`
+    val retyped = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("label", col("label").cast("string"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(retyped, incrDir, centers, metaCols = meta)
+    }
+    assert(ex2.getMessage.contains("schema mismatch"), ex2.getMessage)
+
     // with metaCols the append ≡ rebuild law holds for FILTERED probes too
     Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), incrDir, centers,
       metaCols = meta)
