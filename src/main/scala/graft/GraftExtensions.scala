@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.expressions.{BoundedLevenshtein, DotProduct, MinHashSignature, PolyFingerprint, ZOrderKey}
+import graft.expressions.{BoundedLevenshtein, DotProduct, MinHashSignature, PolyFingerprint, TopKRows, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -108,6 +108,16 @@ object GraftExtensions {
         ZOrderKey(
           Cast(es(0), LongType), Cast(es(1), LongType),
           if (es.size > 2) posIntConst(es(2), "bits", max = 31) else 21)
+      }),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned by a
+    // registry builder in its AggregateExpression, same as the built-ins
+    ("graft_topk",
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_topk"),
+      (es: Seq[Expression]) => {
+        checkArity("graft_topk", es, 3, 3)
+        TopKRows(
+          Cast(es(0), DoubleType), Cast(es(1), LongType),
+          posIntConst(es(2), "k", max = TopKRows.maxK))
       }))
 
   /** Register on an already-built session (temp functions). */

@@ -558,8 +558,45 @@ object Stats {
         FROM ($cellRows) GROUP BY 1, 2"""
   }
 
+  // --- q127: native grouped top-k aggregate ---------------------------------
+
+  /** q127: top-3 customers per nation by account balance via the engine's
+    * native [[graft.expressions.TopKRows]] aggregate (SQL:
+    * `graft_topk(key, payload, k)`). The window form this replaces —
+    * `row_number() OVER (PARTITION BY nation ORDER BY bal DESC, key)` —
+    * shuffles and sorts EVERY customer row; the aggregate runs in
+    * ObjectHashAggregate with a partial/final split, so each map task
+    * forwards at most k pairs per nation and the exchange carries k-row
+    * buffers, not the table (TopKSpec pins the partial/final plan shape
+    * and the single exchange). Ties break on custkey ascending — the same
+    * total order the oracle's window states, so the kept set is unique
+    * and merge-order-independent. Balances surface as exact cents
+    * (`round(bal*100)`: 2-decimal values in a double are within ulps of
+    * an integer multiple, so both engines round identically). */
+  def topCustomersPerNation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(graft.expressions.TopKRows.topK(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("c_nationkey"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.payload").as("c_custkey"),
+        round(col("e.key") * 100).cast("long").as("acctbal_cents"))
+
+  /** The oracle states the SEMANTICS in the declarative window form the
+    * aggregate optimizes away. */
+  val topCustomersPerNationSql: String = """
+    SELECT c_nationkey, rank, c_custkey, acctbal_cents FROM (
+      SELECT c_nationkey, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rank
+      FROM customer) t
+    WHERE rank <= 3"""
+
   val defs: Map[String, QueryDef] = Map(
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
+    "q127_topk_per_group" -> QueryDef(topCustomersPerNation _, topCustomersPerNationSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
     "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql),
     "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql),

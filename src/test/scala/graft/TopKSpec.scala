@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.TopKRows
+
+/** The native grouped top-k aggregate: exact agreement with the window
+  * form it optimizes away, the ObjectHashAggregate partial/final plan
+  * shape that makes it a k-rows-per-group exchange at scale, SQL-callable
+  * registration, and the null/tie/degenerate edge semantics. */
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 40 groups × 250 rows with deliberate key ties inside every group
+    * (key = i % 50 collides five ways per group). */
+  private def fixture = (1L to 10000L)
+    .map(i => (i % 40, (i % 50).toDouble, i))
+    .toDF("g", "key", "id")
+
+  private def windowTopK(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    fixture.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("key").desc, col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("rn").cast("long").as("rank"),
+        col("id").as("payload"), col("key"))
+  }
+
+  private def aggTopK(df: org.apache.spark.sql.DataFrame, k: Int) = df
+    .groupBy("g")
+    .agg(TopKRows.topK(col("key"), col("id"), k).as("top"))
+    .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+    .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+      col("e.payload").as("payload"), col("e.key").as("key"))
+
+  test("agrees with the window form exactly, ties broken by payload") {
+    val got = aggTopK(fixture, 7).collect().toSet
+    val want = windowTopK(7).collect().toSet
+    assert(got === want)
+    assert(got.size === 40 * 7)
+  }
+
+  test("merge-order independent: pre-shuffled input yields the same set") {
+    val got = aggTopK(fixture.repartition(13), 5).collect().toSet
+    assert(got === windowTopK(5).collect().toSet)
+  }
+
+  test("plan shape: partial/final ObjectHashAggregate, one exchange") {
+    val plan = fixture.groupBy("g")
+      .agg(TopKRows.topK(col("key"), col("id"), 3).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size === 2,
+      s"expected a partial/final split:\n$plan")
+    assert(plan.contains("partial_graft_topk"),
+      s"no map-side partial aggregation — the whole point at scale:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"expected exactly one exchange (of k-row buffers):\n$plan")
+  }
+
+  test("SQL registration: graft_topk callable after GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    fixture.createOrReplaceTempView("topk_fixture")
+    val sql = spark.sql(
+      """SELECT g, e.payload AS payload, e.key AS key
+        |FROM (SELECT g, graft_topk(key, id, 4) AS top
+        |      FROM topk_fixture GROUP BY g)
+        |LATERAL VIEW explode(top) AS e""".stripMargin)
+      .collect().toSet
+    val api = aggTopK(fixture, 4).select("g", "payload", "key").collect().toSet
+    assert(sql === api)
+  }
+
+  test("null keys and null payloads are skipped; all-null group vanishes") {
+    val df = Seq[(Long, Option[Double], Option[Long])](
+      (1L, Some(5.0), Some(10L)), (1L, None, Some(11L)),
+      (1L, Some(7.0), None), (1L, Some(3.0), Some(12L)),
+      (2L, None, Some(20L)), (2L, Some(1.0), None))
+      .toDF("g", "key", "id")
+    val got = aggTopK(df, 3).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // group 1 keeps only its two fully-non-null rows; group 2 has none
+    assert(got === Set((1L, 1L, 10L, 5.0), (1L, 2L, 12L, 3.0)))
+  }
+
+  test("k past the group size keeps everything, still best-first") {
+    val df = Seq((1L, 2.0, 7L), (1L, 9.0, 8L)).toDF("g", "key", "id")
+    val rows = aggTopK(df, 100).orderBy("rank")
+      .select("payload").as[Long].collect().toSeq
+    assert(rows === Seq(8L, 7L))
+  }
+
+  test("wrong argument types fail analysis, not runtime") {
+    GraftExtensions.register(spark)
+    fixture.createOrReplaceTempView("topk_fixture")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_topk(key, id, 0) FROM topk_fixture GROUP BY g")
+    }
+    assert(ex.getMessage.contains("k must be in"), ex.getMessage)
+  }
+}
