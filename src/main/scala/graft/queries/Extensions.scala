@@ -736,6 +736,66 @@ object Extensions {
     FROM (SELECT doc_id, $fingerprintExprSql % 100 AS bucket
           FROM documents)"""
 
+  /** q128: LEAKAGE-SAFE train/val/test split. q59 assigns each document
+    * independently by its own content hash, so two NEAR-duplicates
+    * (different bytes, same content) can straddle train and val — the
+    * classic eval-leakage bug in training pipelines. This variant keys
+    * the assignment on the near-dup CLUSTER representative (q49's
+    * connected components over the q25 pair set): every member of a
+    * cluster adopts the bucket of the cluster's minimum-id document, and
+    * singletons fall back to their own fingerprint (≡ q59 for them). By
+    * construction no near-dup pair straddles splits — same rep, same
+    * bucket (ExtensionsSpec pins that, and pins that q59 DOES leak on
+    * the same fixture).
+    *
+    * Scale shape: the cluster table is a strict subset of the corpus
+    * (only docs with a near-dup appear), so the left join is
+    * fact ⋈ small-side; every doc's bucket is computed once row-locally
+    * and the rep adoption is one equi-join on the high-cardinality
+    * rep_id. No window, no global sort — the same shuffle bound as q49
+    * plus two hash joins. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val rep = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+    val buckets = docs.select(col("doc_id").as("rep_id"),
+      (TextFunctions.fingerprint(col("text")) % 100).as("bucket"))
+    rep.join(buckets, "rep_id")
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+  }
+
+  /** Oracle: q49's recursive-closure clusters + q59's bucket arithmetic,
+    * composed exactly as the operator states them. */
+  val leakageSafeSplitSql: String = s"""
+    WITH RECURSIVE $nearDupPairsSqlCtes,
+    p AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.2),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (SELECT s AS id, d AS r FROM e
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+    clusters AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+                 FROM reach GROUP BY id),
+    rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+    b AS (SELECT doc_id AS rep_id, $fingerprintExprSql % 100 AS bucket
+          FROM documents)
+    SELECT r.doc_id, r.rep_id, b.bucket,
+      CASE WHEN b.bucket < 80 THEN 'train'
+           WHEN b.bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM rep r JOIN b ON r.rep_id = b.rep_id"""
+
   /** As-of join over the events stream: each purchase picks up the latest
     * click (inclusive) by the same user — the "attach the freshest snapshot
     * at or before each event" primitive. */
@@ -1087,6 +1147,7 @@ object Extensions {
     "q57_top_term_per_doc"   -> QueryDef(topTermPerDoc _, topTermPerDocSql),
     "q58_multimodal_resize"  -> QueryDef(multimodalResize _, multimodalResizeSql),
     "q59_train_val_split"    -> QueryDef(trainValSplit _, trainValSplitSql),
+    "q128_leakage_safe_split" -> QueryDef(leakageSafeSplit _, leakageSafeSplitSql),
     "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql),
     "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql),
     "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql),

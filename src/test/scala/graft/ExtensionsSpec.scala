@@ -494,6 +494,36 @@ class ExtensionsSpec extends AnyFunSuite {
     cents.unpersist()
   }
 
+  test("q128: leakage-safe split co-locates every near-dup pair; q59 provably leaks") {
+    val split = graft.queries.Extensions.leakageSafeSplit(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    try {
+      // total function: one row per document, no dup/drop through the joins
+      assert(split.count() === docs.count())
+
+      val pairs = graft.queries.Extensions.nearDupMinhash(spark, sf)
+        .select("id_a", "id_b").cache()
+      def straddles(assign: org.apache.spark.sql.DataFrame): Long = pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb")).count()
+
+      // the law: no near-dup pair straddles splits under the safe split …
+      assert(straddles(split) === 0L)
+      // … and the member-blind q59 split DOES leak on the same fixture
+      // (28 pairs, 1 straddling at sf0.001) — the operator earns its keep
+      val naive = graft.queries.Extensions.trainValSplit(spark, sf)
+      assert(straddles(naive) > 0L,
+        "fixture no longer exhibits the leak q128 exists to prevent")
+
+      // singletons (rep_id = own id) keep their q59 assignment verbatim
+      val disagree = split.filter(col("rep_id") === col("doc_id"))
+        .join(naive.select(col("doc_id"), col("split").as("naive_split")), "doc_id")
+        .filter(col("split") =!= col("naive_split")).count()
+      assert(disagree === 0L)
+    } finally { split.unpersist() }
+  }
+
   test("fingerprint is stable and collision-free on distinct prefixes at sf0.001") {
     val fp = graft.queries.Extensions.fingerprint(spark, sf).cache()
     val docs = fp.count()
