@@ -213,15 +213,25 @@ object Relational {
       count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
-  /** T-coverage: top order per customer (deterministic row_number). */
-  def topOrderPerCustomer(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  /** T-coverage: top order per customer. Planned through the native
+    * [[graft.expressions.TopKRows]] aggregate (k=1) rather than the
+    * `row_number` window the oracle states: the window must shuffle and
+    * sort EVERY order row per customer before discarding all but one,
+    * while the aggregate runs in ObjectHashAggregate with a partial/final
+    * split — each map task forwards one (price, orderkey) pair per
+    * customer and the exchange carries 20-byte buffers, not the table.
+    * Same total order ("price desc, orderkey asc"), so the kept row is
+    * identical; the surfaced price is the unchanged input double, so the
+    * hash compare is unaffected. o_totalprice is non-null, so k=1 always
+    * fills and the explode drops nothing. */
+  def topOrderPerCustomer(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-  }
+      .groupBy(col("o_custkey"))
+      .agg(graft.expressions.TopKRows.topK(
+        col("o_totalprice"), col("o_orderkey"), 1).as("top"))
+      .select(col("o_custkey"),
+        col("top").getItem(0).getField("payload").as("o_orderkey"),
+        col("top").getItem(0).getField("key").as("o_totalprice"))
 
   val topOrderPerCustomerSql: String = """
     SELECT o_custkey, o_orderkey, o_totalprice FROM (
