@@ -91,6 +91,39 @@ class TopKSpec extends AnyFunSuite {
     assert(rows === Seq(8L, 7L))
   }
 
+  test("streaming twin: incremental top-k state equals the batch aggregate") {
+    // TypedImperativeAggregate buffers serialize into streaming aggregation
+    // state, so the same expression runs incrementally: arrival-order- and
+    // batch-boundary-independent because the kept set is (merge proves it)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = fixture.as[(Long, Double, Long)].collect().toList
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+
+    val in = MemoryStream[(Long, Double, Long)]
+    val q = in.toDF().toDF("g", "key", "id")
+      .groupBy("g")
+      .agg(TopKRows.topK(col("key"), col("id"), 5).as("top"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(777).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("topk_stream")
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("g"), col("pos"), col("e.key"), col("e.payload"))
+        .collect().toSet
+      val want = fixture.groupBy("g")
+        .agg(TopKRows.topK(col("key"), col("id"), 5).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("g"), col("pos"), col("e.key"), col("e.payload"))
+        .collect().toSet
+      assert(got === want)
+      assert(got.size === 40 * 5)
+    } finally q.stop()
+  }
+
   test("wrong argument types fail analysis, not runtime") {
     GraftExtensions.register(spark)
     fixture.createOrReplaceTempView("topk_fixture")
