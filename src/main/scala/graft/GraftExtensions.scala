@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.expressions.{BoundedLevenshtein, DotProduct, MinHashSignature, PolyFingerprint, TopKRows, ZOrderKey}
+import graft.expressions.{BoundedLevenshtein, DotProduct, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -117,6 +117,14 @@ object GraftExtensions {
         checkArity("graft_topk", es, 3, 3)
         TopKRows(
           Cast(es(0), DoubleType), Cast(es(1), LongType),
+          posIntConst(es(2), "k", max = TopKRows.maxK))
+      }),
+    ("graft_topk_str",
+      new ExpressionInfo(classOf[TopKStrRows].getName, "graft_topk_str"),
+      (es: Seq[Expression]) => {
+        checkArity("graft_topk_str", es, 3, 3)
+        TopKStrRows(
+          Cast(es(0), DoubleType), Cast(es(1), StringType),
           posIntConst(es(2), "k", max = TopKRows.maxK))
       }))
 

@@ -687,18 +687,25 @@ object Extensions {
   /** Term frequency: each document's most frequent token with its count
     * (ties → lexicographically smallest token). The explode → count →
     * rank-1 shape is the per-doc half of TF-IDF and the usual "dominant
-    * token / boilerplate detector" pass; all shuffles key on
-    * (doc_id, token) then doc_id — linear, skew bounded by doc length. */
+    * token / boilerplate detector" pass; shuffles key on (doc_id, token)
+    * then doc_id — linear, skew bounded by doc length. The rank-1 step is
+    * planned through [[graft.expressions.TopKStrRows]] (k=1) instead of
+    * the `row_number` window the oracle states: partial/final
+    * ObjectHashAggregate forwards one (count, token) pair per document,
+    * no per-partition sort. UTF8String's byte-wise tie order equals
+    * DuckDB's binary `ORDER BY token`, and counts are exact in a double
+    * far beyond any document length, so the cast round-trips. */
   def topTermPerDoc(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      .orderBy(col("n").desc, col("token"))
+    import graft.expressions.TopKStrRows
     Tables.documents(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("token").as("top_token"), col("n").as("n_occurrences"))
+      .groupBy(col("doc_id"))
+      .agg(TopKStrRows.topK(col("n").cast("double"), col("token"), 1).as("top"))
+      .select(col("doc_id"),
+        col("top").getItem(0).getField("payload").as("top_token"),
+        col("top").getItem(0).getField("key").cast("long").as("n_occurrences"))
   }
 
   val topTermPerDocSql: String = s"""

@@ -124,6 +124,64 @@ class TopKSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("string payload: graft_topk_str agrees with the window form on real docs") {
+    import graft.expressions.TopKStrRows
+    import graft.functions.TextFunctions
+    val counts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n")).cache()
+    try {
+      val got = counts.groupBy(col("doc_id"))
+        .agg(TopKStrRows.topK(col("n").cast("double"), col("token"), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("doc_id"), (col("pos") + 1).as("rank"),
+          col("e.payload").as("token"), col("e.key").cast("long").as("n"))
+        .collect().toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("token"))
+      val want = counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("n"))
+        .collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally counts.unpersist()
+  }
+
+  test("string payload: unicode ties break on byte order, matching binary collation") {
+    import graft.expressions.TopKStrRows
+    // same key everywhere: the kept pair is decided purely by the payload
+    // tie order, which must be UTF-8 byte order ("Z" < "a" < "ä" < "涛")
+    val df = Seq(("a", 1.0), ("ä", 1.0), ("Z", 1.0), ("涛", 1.0))
+      .toDF("t", "k")
+    val kept = df.groupBy(lit(1).as("g"))
+      .agg(TopKStrRows.topK(col("k"), col("t"), 2).as("top"))
+      .select(explode(col("top.payload")).as("t"))
+      .as[String].collect().toSeq
+    assert(kept === Seq("Z", "a"))
+  }
+
+  test("graft_topk_str callable from SQL and buffers survive serialization") {
+    GraftExtensions.register(spark)
+    (1L to 4000L).map(i => (i % 20, s"tok_${i % 97}", (i % 13).toDouble))
+      .toDF("g", "t", "sc").createOrReplaceTempView("topk_str_fixture")
+    // repartition forces partial buffers through serialize/deserialize
+    val sql = spark.sql(
+      """SELECT g, e.key AS key, e.payload AS payload
+        |FROM (SELECT g, graft_topk_str(sc, t, 5) AS top
+        |      FROM topk_str_fixture GROUP BY g)
+        |LATERAL VIEW posexplode(top) AS pos, e""".stripMargin)
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("sc").desc, col("t"))
+    val want = spark.table("topk_str_fixture")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("g"), col("sc").as("key"), col("t").as("payload"))
+      .collect().toSet
+    assert(sql === want)
+  }
+
   test("wrong argument types fail analysis, not runtime") {
     GraftExtensions.register(spark)
     fixture.createOrReplaceTempView("topk_fixture")
