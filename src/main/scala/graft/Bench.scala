@@ -50,6 +50,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,7 +70,12 @@ object Bench {
         "q52_incremental_dedup", "q96_copurchase_rank",
         "q99_ann_ivf_append").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        // warmup failures must be LOUD: a failed index-materializing warmup
+        // leaves the timed reps paying (or erroring on) the build with no
+        // signal in the bench output otherwise
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILED $w: ${e.getMessage}")
+        }
       }
     }
     // tiny MLlib fit warms BLAS/treeAggregate paths so the first timed
@@ -79,7 +85,9 @@ object Bench {
       val tiny = (1 to 64).map(i => (i.toDouble, i % 7d, i % 5d, 0d, i % 3d))
         .toDF(graft.ml.Anomaly.featureCols: _*)
       graft.ml.Anomaly.trainKMeans(tiny, k = 2, maxIter = 2)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARMUP FAILED mllib: ${e.getMessage}")
+    }
 
     def jsonEscape(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -145,8 +153,15 @@ object Bench {
     // spark.stop() — nothing in this JVM writes to stdout afterwards — and
     // rely on build.sbt's StdoutOutput + showSuccess=false to keep sbt from
     // decorating or appending to it.
+    // environment stamp so a driver-side testdata change (e.g. the round-8
+    // parquet writer switch that retyped events.ts) is diagnosable from the
+    // BENCH_rN.json line alone: spark version + physical type of events.ts
+    val tsType =
+      try Tables.events(spark, sfDir).schema("ts").dataType.simpleString
+      catch { case e: Throwable => s"err:${e.getClass.getSimpleName}" }
+    val env = s"spark=${spark.version};events.ts=$tsType"
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

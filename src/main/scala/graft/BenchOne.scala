@@ -18,11 +18,16 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (doExplain) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"BENCHONE $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    (1 to reps).foreach { i =>
+      // re-invoke the query fn each rep so per-rep time includes plan
+      // construction (what Bench measures), not just re-execution
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"BENCHONE $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
     spark.stop()
   }
 }

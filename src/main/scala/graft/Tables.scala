@@ -20,14 +20,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to its microsecond TimestampType. Read nanos as long and truncate to
-    * micros (never crosses a second boundary, so hour/window/second-diff
-    * semantics match DuckDB's native ns handling). */
+  /** Schema-adaptive loader for `events.ts`: the testdata generator has
+    * written this column as TIMESTAMP(NANOS), as timestamp[us] with a UTC
+    * annotation, and as naive timestamp[us] across regenerations. Normalize
+    * every physical layout to the engine-facing TimestampType:
+    *  - NANOS (surfaces as LongType under `nanosAsLong`): truncate to
+    *    micros — never crosses a second boundary, so hour/window/second-diff
+    *    semantics match DuckDB's native ns handling;
+    *  - naive timestamp[us] (surfaces as TimestampNTZType, which
+    *    `unix_micros`/`session_window` reject): cast to TimestampType —
+    *    with the UTC session timezone every main/test pins, the epoch is
+    *    byte-identical to DuckDB's naive-as-UTC `epoch_us`;
+    *  - UTC-annotated timestamp[us] (TimestampType): pass through.
+    * TestdataSchemaSpec is the canary that fails FIRST, by name, if a
+    * future regeneration invents a fourth layout. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1158,5 +1158,57 @@ object Extensions {
     "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql),
     "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql),
     "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql),
-    "q87_event_sessions"     -> QueryDef(eventSessions _, eventSessionsSql))
+    "q87_event_sessions"     -> QueryDef(eventSessions _, eventSessionsSql),
+    "q129_session_window_native" -> QueryDef(SessionWindowGate.sessionWindowNative _,
+      SessionWindowGate.sessionWindowNativeSql))
+}
+
+/** q129's definitions live in their own object so the SQL val is fully
+  * initialized before [[Extensions.defs]] (declared textually earlier in
+  * `Extensions`) captures it — referencing a later-declared val from an
+  * earlier one yields null at object init (the Verify NPE class). */
+private[queries] object SessionWindowGate {
+
+  /** q129: the NATIVE `session_window` gap sessionization over the event
+    * log — the batch-twin gate for the event-time streaming sessionizer
+    * (ST11, [[graft.streaming.Sessionizer.sessionizeEventTime]]): expiry
+    * on EVENT-TIME silence, exactly the watermark-folded semantics the
+    * streaming operator implements (EventTimeSessionSpec pins the state
+    * machine; SessionWindowSpec pins the ≤-gap boundary alignment this
+    * query relies on).
+    *
+    * Deliberately a different PLAN from q87's hand-rolled lag → flag →
+    * running-sum form: Spark's built-in session-window merging aggregate
+    * (one shuffle on user_id, sessions merged inside the aggregate — no
+    * sort-window pass), checked against the independent lag+cumsum
+    * formulation in DuckDB. 12 h gap → ~3.3 k sessions at sf0.01, a real
+    * merge distribution rather than one-session-per-event.
+    *
+    * Scale shape: single hash shuffle on high-cardinality user_id; state
+    * during merge is bounded by LIVE sessions per user, so a 1000-executor
+    * run partitions users and never materializes a per-user event list. */
+  val sessionWindowGapUs: Long = 43200L * 1000000L // 12 h
+
+  def sessionWindowNative(s: SparkSession, d: String): DataFrame =
+    graft.streaming.SessionWindows.userSessions(Tables.events(s, d), sessionWindowGapUs)
+
+  val sessionWindowNativeSql: String = s"""
+    SELECT user_id, count(*) AS n_events,
+           min(ts_us) AS start_us,
+           max(ts_us) - min(ts_us) AS span_us
+    FROM (
+      SELECT user_id, ts_us,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) IS NULL
+                      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) > $sessionWindowGapUs
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)))
+    GROUP BY user_id, session_seq"""
 }
