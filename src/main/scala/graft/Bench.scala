@@ -115,6 +115,15 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+    // Per-query System.gc() was TESTED round 9 as a fix for the cross-query
+    // JVM-state variance (q06 et al. running 2-3× their isolated time in
+    // bench context) and REJECTED: it does flatten the early outliers
+    // (q06 4.31 → 1.81 s, its isolated value) but the full collections
+    // unload generated/JITed classes, so later queries repay compilation
+    // every time (q16 1.76 → 7.19 s, q19 1.79 → 6.75 s) — total 83.1 →
+    // 104.9 s, a 26% net loss. The variance is the price of a shared warm
+    // JVM; per-query medians+mins on the benchdetail line remain the
+    // cross-round comparison instrument.
     val results = ordered.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -170,8 +170,58 @@ object MlQueries {
     rows.toDF("k", "cost", "selected")
   }
 
+  // --- q130/q131: model-based document quality filter ----------------------
+
+  /** q130: corpus scoring against the committed logistic coefficients
+    * ([[graft.ml.QualityLr.pinnedWeights]]) — the model-based quality-filter
+    * analogue of q51: the fit held fixed, the feature extraction + linear
+    * margin + decision DuckDB-oracle-exact. Emits the raw margin z (pure
+    * multiply-add, bit-identical cross-engine in the same association
+    * order), not the sigmoid — sign(z) is the same decision and exp() libm
+    * rounding is engine-specific. */
+  def qualityLrPinned(s: SparkSession, d: String): DataFrame =
+    graft.ml.QualityLr.scorePinned(graft.Tables.documents(s, d))
+
+  /** q131: the live seed-pinned fit (memoized per sfDir like the q17/q19
+    * fits) + in-plan scoring — rows-only, DuckDB cannot run L-BFGS;
+    * GateHygieneSpec links it back to q130's pinned constants. */
+  def qualityLrLive(s: SparkSession, d: String): DataFrame = {
+    val fit = cachedFit[(Seq[Double], Double)](s"qlr:iter=50:reg=0:$d") {
+      val feats = graft.ml.QualityLr.canonicalLayout(
+        graft.ml.QualityLr.features(graft.Tables.documents(s, d))).cache()
+      try graft.ml.QualityLr.train(feats) finally feats.unpersist()
+    }
+    graft.ml.QualityLr.fitAndScore(graft.Tables.documents(s, d), fit)
+  }
+
+  val qualityLrPinnedSql: String = {
+    val w = graft.ml.QualityLr.pinnedWeights
+    val b = graft.ml.QualityLr.pinnedIntercept
+    s"""
+    SELECT doc_id, z, CAST(CASE WHEN z > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM (
+      SELECT doc_id,
+             CAST('$b' AS DOUBLE)
+               + CAST('${w(0)}' AS DOUBLE) * n_toks
+               + CAST('${w(1)}' AS DOUBLE) * stop_ratio
+               + CAST('${w(2)}' AS DOUBLE) * punct_ratio
+               + CAST('${w(3)}' AS DOUBLE) * digit_ratio AS z
+      FROM (
+        SELECT doc_id,
+          CAST(len(toks) AS DOUBLE) AS n_toks,
+          COALESCE(CAST(len(list_filter(toks, t -> t IN (${Extensions.enStops}))) AS DOUBLE)
+            / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 0.0) AS stop_ratio,
+          COALESCE(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 0.0) AS punct_ratio,
+          COALESCE(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 0.0) AS digit_ratio
+        FROM (SELECT doc_id, text, ${Extensions.toksSql} AS toks FROM documents)))"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q16_anomalies_fixed"     -> QueryDef(anomaliesFixed _, anomaliesFixedSql),
+    "q130_quality_lr_pinned"  -> QueryDef(qualityLrPinned _, qualityLrPinnedSql),
+    "q131_quality_lr_live"    -> QueryDef(qualityLrLive _, None),
     "q17_kmeans_anomalies"    -> QueryDef(kmeansAnomalies _, None),
     "q18_kmeans_elbow"        -> QueryDef(kmeansElbow _, None),
     "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, None),

@@ -36,7 +36,7 @@ class GateHygieneSpec extends AnyFunSuite {
     // the oracle-backed set in round 7: its output is the within-bound
     // CONTRACT of the engine-private estimate, not the estimate itself
     assert(rowsOnly === Set("q17_kmeans_anomalies", "q18_kmeans_elbow",
-      "q19_bisecting_anomalies"),
+      "q19_bisecting_anomalies", "q131_quality_lr_live"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -112,6 +112,23 @@ class GateHygieneSpec extends AnyFunSuite {
       assert(gotB === graft.queries.MlQueries.pinnedBisectingCenters,
         "re-fit bisecting centers drifted from pinnedBisectingCenters — " +
           "regenerate with runMain graft.ml.PinCentersMain <sf> 3 5 bisecting")
+    } finally feats.unpersist()
+  }
+
+  test("seed-pinned logistic fit still reproduces the q130 pinned coefficients exactly") {
+    // q130's oracle scores against literal coefficients; this is the link
+    // back to the live fit (the q51 discipline) — if MLlib's L-BFGS, the
+    // feature pipeline, or the teacher thresholds change, this fails here,
+    // not silently in the gate
+    val feats = graft.ml.QualityLr.canonicalLayout(
+      graft.ml.QualityLr.features(
+        Tables.documents(spark, "/root/testdata/sf0.01"))).cache()
+    try {
+      val (w, b) = graft.ml.QualityLr.train(feats)
+      assert(w === graft.ml.QualityLr.pinnedWeights &&
+        b === graft.ml.QualityLr.pinnedIntercept,
+        "re-fit LR drifted from QualityLr.pinned* — regenerate with " +
+          "runMain graft.ml.PinLrMain and update the constants")
     } finally feats.unpersist()
   }
 

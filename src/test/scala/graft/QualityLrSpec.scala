@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.QualityLr
+
+/** The model-based quality filter (q130/q131): feature determinism, the
+  * live-fit ↔ pinned-scoring link, and that the distilled linear model is
+  * actually predictive of the q65 teacher rule it was trained on. */
+class QualityLrSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfFit = "/root/testdata/sf0.01" // the SF the constants were pinned at
+
+  test("features are layout-independent and null-safe") {
+    val docs = Tables.documents(spark, sfFit)
+    val a = QualityLr.features(docs).collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val b = QualityLr.features(docs.repartition(13).orderBy(desc("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(a.nonEmpty && a === b)
+    // empty/whitespace text must produce zeroed ratios, not nulls or NaN
+    import spark.implicits._
+    val edge = QualityLr.features(
+      Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(edge(1L) === ((0.0, 0.0)) && edge(2L) === ((0.0, 0.0)))
+    assert(edge(3L)._1 === 3.0)
+  }
+
+  test("q131 live scoring at the pin SF equals q130 pinned scoring row-for-row") {
+    // same data, same canonical layout, same seed path → the memoized live
+    // fit IS the pinned fit; any divergence means the fit is not
+    // reproducible (the q51 failure class)
+    val live = graft.queries.MlQueries.qualityLrLive(spark, sfFit)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val pinned = graft.queries.MlQueries.qualityLrPinned(spark, sfFit)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(live === pinned)
+  }
+
+  test("the distilled model is predictive of the teacher rule (pinned accuracy)") {
+    val scored = QualityLr.features(Tables.documents(spark, sfFit))
+      .withColumn("z", QualityLr.margin(QualityLr.pinnedWeights, QualityLr.pinnedIntercept))
+      .withColumn("pred", when(col("z") > 0.0, 1.0).otherwise(0.0))
+    val agg = scored.agg(
+      sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("hits"),
+      count(lit(1)).as("n")).head()
+    val acc = agg.getLong(0).toDouble / agg.getLong(1)
+    // deterministic fit on deterministic data: exact bound, not a tolerance.
+    // A linear model cannot represent the teacher's two-sided token-count
+    // box exactly, so 100% is not expected; below 85% means the fit or the
+    // features broke.
+    assert(acc >= 0.85, s"distilled accuracy $acc below pinned floor")
+  }
+}
