@@ -1167,7 +1167,7 @@ object Extensions {
   * initialized before [[Extensions.defs]] (declared textually earlier in
   * `Extensions`) captures it — referencing a later-declared val from an
   * earlier one yields null at object init (the Verify NPE class). */
-private[queries] object SessionWindowGate {
+private[graft] object SessionWindowGate {
 
   /** q129: the NATIVE `session_window` gap sessionization over the event
     * log — the batch-twin gate for the event-time streaming sessionizer

@@ -37,6 +37,21 @@ class QualityLrSpec extends AnyFunSuite {
     assert(live === pinned)
   }
 
+  test("q130 plan: row-local projection over the scan, zero shuffles, no UDFs") {
+    // the corpus-scoring promise at 100 TB is exactly this plan shape: a
+    // pruned parquet scan (doc_id, text only) feeding one Project — no
+    // exchange, no UDF. (The higher-order token lambdas keep the Project
+    // itself out of whole-stage codegen — the known TextFunctions
+    // trade-off — but it remains a single row-local operator.)
+    val plan = graft.queries.MlQueries.qualityLrPinned(spark, sfFit)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q130 must not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q130 scan must prune to (doc_id, text):\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"q130 must stay UDF-free:\n$plan")
+  }
+
   test("the distilled model is predictive of the teacher rule (pinned accuracy)") {
     val scored = QualityLr.features(Tables.documents(spark, sfFit))
       .withColumn("z", QualityLr.margin(QualityLr.pinnedWeights, QualityLr.pinnedIntercept))

@@ -26,6 +26,18 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(native.nonEmpty && native === batch)
   }
 
+  test("q129 plan: one hash exchange on user_id, no sort-window pass") {
+    // the scale contract vs q87's lag→cumsum form: the merging session
+    // aggregate needs the user_id shuffle and NOTHING else — no Window
+    // operator, no extra exchange. (Spark plans the merge as partial +
+    // final aggregate around the single exchange.)
+    val plan = graft.queries.SessionWindowGate
+      .sessionWindowNative(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"q129 must shuffle exactly once:\n$plan")
+    assert(!plan.contains("Window"), s"q129 must not use a window operator:\n$plan")
+  }
+
   test("boundary: events exactly G apart share a session in BOTH forms") {
     val g = Extensions.sessionGapUs
     def ev(id: Long, us: Long) =
