@@ -218,10 +218,48 @@ object MlQueries {
         FROM (SELECT doc_id, text, ${Extensions.toksSql} AS toks FROM documents)))"""
   }
 
+  // --- q132/q133: PCA embedding projection ----------------------------------
+
+  /** q132: project the embedding corpus onto the committed PCA components
+    * ([[graft.ml.EmbedPca.pinnedComponents]]) — dimensionality reduction as
+    * an oracle-exact row-local operator. Both this and the live fit project
+    * via the engine's codegen left-fold dot product (NOT MLlib's gemv,
+    * whose summation order is implementation-defined); the DuckDB twin
+    * folds in the identical ascending order. */
+  def pcaProjectPinned(s: SparkSession, d: String): DataFrame =
+    graft.ml.EmbedPca.projectPinned(graft.Tables.embeddings(s, d))
+
+  /** q133: live deterministic PCA fit (covariance eigendecomposition, no
+    * RNG; memoized per sfDir) + exact projection — rows-only, DuckDB has
+    * no eigensolver; GateHygieneSpec links it to q132's constants. */
+  def pcaProjectLive(s: SparkSession, d: String): DataFrame = {
+    val comps = cachedFit[Seq[Seq[Double]]](s"pca:k=${graft.ml.EmbedPca.k}:$d") {
+      val emb = graft.ml.EmbedPca.canonicalLayout(graft.Tables.embeddings(s, d)).cache()
+      try graft.ml.EmbedPca.fit(emb) finally emb.unpersist()
+    }
+    graft.ml.EmbedPca.project(graft.Tables.embeddings(s, d), comps)
+  }
+
+  val pcaProjectPinnedSql: String = {
+    def litList(c: Seq[Double]): String =
+      c.map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+    val projCols = graft.ml.EmbedPca.pinnedComponents.zipWithIndex.map { case (c, j) =>
+      s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           list_transform(range(len(v)), i -> v[i+1] * ${litList(c)}[i+1])),
+           (a, b) -> a + b) AS p${j + 1}"""
+    }.mkString(",\n           ")
+    s"""
+    SELECT vec_id,
+           $projCols
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q16_anomalies_fixed"     -> QueryDef(anomaliesFixed _, anomaliesFixedSql),
     "q130_quality_lr_pinned"  -> QueryDef(qualityLrPinned _, qualityLrPinnedSql),
     "q131_quality_lr_live"    -> QueryDef(qualityLrLive _, None),
+    "q132_pca_project_pinned" -> QueryDef(pcaProjectPinned _, pcaProjectPinnedSql),
+    "q133_pca_project_live"   -> QueryDef(pcaProjectLive _, None),
     "q17_kmeans_anomalies"    -> QueryDef(kmeansAnomalies _, None),
     "q18_kmeans_elbow"        -> QueryDef(kmeansElbow _, None),
     "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, None),

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.EmbedPca
+
+/** The PCA embedding projection (q132/q133): component sanity, the
+  * live-fit ↔ pinned link, projection exactness properties, and the
+  * row-local plan shape. */
+class EmbedPcaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfFit = "/root/testdata/sf0.01" // the SF the components were pinned at
+
+  test("pinned components are orthonormal (eigensolver sanity)") {
+    val c = EmbedPca.pinnedComponents
+    assert(c.size === EmbedPca.k && c.forall(_.size === 64))
+    for (i <- c.indices; j <- i until c.size) {
+      val dot = c(i).zip(c(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-10,
+        s"components $i . $j dot $dot, expected $expect")
+    }
+  }
+
+  test("q133 live projection at the pin SF equals q132 pinned projection row-for-row") {
+    val live = graft.queries.MlQueries.pcaProjectLive(spark, sfFit)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val pinned = graft.queries.MlQueries.pcaProjectPinned(spark, sfFit)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(live.nonEmpty && live === pinned)
+  }
+
+  test("projection is layout-independent (row-local, order-free)") {
+    val emb = Tables.embeddings(spark, sfFit)
+    val a = EmbedPca.projectPinned(emb)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val b = EmbedPca.projectPinned(emb.repartition(13).orderBy(desc("vec_id")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(a === b)
+  }
+
+  test("projection preserves most variance (the point of the operator)") {
+    // deterministic data + deterministic projection → exact pin-style
+    // floor: the k=8 subspace must carry a nontrivial share of total
+    // squared norm. (Components are orthonormal, so projected energy ≤
+    // total energy always — Bessel; the floor catches a broken fit.)
+    val emb = Tables.embeddings(spark, sfFit)
+    val vecD = transform(col("embedding"), x => x.cast("double"))
+    val total = EmbedPca.projectPinned(emb)
+      .join(emb.select(col("vec_id"),
+        graft.operators.Similarity.dot(vecD, vecD).as("e")), "vec_id")
+      .agg(
+        sum((1 to EmbedPca.k).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)).as("proj"),
+        sum(col("e")).as("tot")).head()
+    val ratio = total.getDouble(0) / total.getDouble(1)
+    assert(ratio > 0.15 && ratio <= 1.0 + 1e-12,
+      s"k=8/64 projected energy ratio $ratio outside (0.15, 1]")
+  }
+
+  test("q132 plan: row-local projection over the scan, zero shuffles, no UDFs") {
+    val plan = graft.queries.MlQueries.pcaProjectPinned(spark, sfFit)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q132 must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"q132 must stay UDF-free:\n$plan")
+  }
+}

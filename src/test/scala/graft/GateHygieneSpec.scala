@@ -36,7 +36,8 @@ class GateHygieneSpec extends AnyFunSuite {
     // the oracle-backed set in round 7: its output is the within-bound
     // CONTRACT of the engine-private estimate, not the estimate itself
     assert(rowsOnly === Set("q17_kmeans_anomalies", "q18_kmeans_elbow",
-      "q19_bisecting_anomalies", "q131_quality_lr_live"),
+      "q19_bisecting_anomalies", "q131_quality_lr_live",
+      "q133_pca_project_live"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -130,6 +131,21 @@ class GateHygieneSpec extends AnyFunSuite {
         "re-fit LR drifted from QualityLr.pinned* — regenerate with " +
           "runMain graft.ml.PinLrMain and update the constants")
     } finally feats.unpersist()
+  }
+
+  test("deterministic PCA fit still reproduces the q132 pinned components exactly") {
+    // q132's oracle projects against literal components; the
+    // eigendecomposition has no RNG, so a fresh fit on the canonical
+    // layout must reproduce them bit-for-bit — drift means MLlib's
+    // eigensolver or the layout changed
+    val emb = graft.ml.EmbedPca.canonicalLayout(
+      Tables.embeddings(spark, "/root/testdata/sf0.01")).cache()
+    try {
+      val got = graft.ml.EmbedPca.fit(emb)
+      assert(got === graft.ml.EmbedPca.pinnedComponents,
+        "re-fit PCA drifted from PinnedPcaComponents — regenerate with " +
+          "runMain graft.ml.PinPcaMain")
+    } finally emb.unpersist()
   }
 
   test("q49 label propagation converges in a pinned round count on the fixture") {
