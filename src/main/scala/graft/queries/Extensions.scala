@@ -371,6 +371,80 @@ object Extensions {
       ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
     GROUP BY b.query_id"""
 
+  /** q134: the PCA projection's retrieval FIDELITY as an oracle-checked
+    * quantity — recall@5 of brute-force cosine in the 8-dim projected
+    * space (q132's components) against brute-force cosine in the full
+    * 64-dim space (q24's truth), per query. The q112 discipline applied
+    * to q132: the dimensionality reduction's quality is a GATE ROW, not a
+    * claim. Every arithmetic step is bit-exact cross-engine (projection =
+    * q132's proven left-fold dots; 8-dim cosine = the q24 machinery on
+    * the projected arrays), so the rankings — and therefore the recall
+    * counts — match exactly. Left join keeps fully-missed queries at 0.
+    *
+    * On THIS testdata the measured recall is low (0-1 of 5 per query at
+    * sf0.01): the synthetic embeddings are near-isotropic, so the top-8
+    * eigenvalues carry only ~the 8/64 isotropic share (EmbedPcaSpec's
+    * energy floor sits just above 12.5%) and neighborhoods scramble under
+    * projection. That is a true property of isotropic data, not an
+    * operator defect — on real embeddings (which are strongly low-rank)
+    * the same row reports the fidelity a pipeline would actually get, and
+    * the gate's job is exactly to MEASURE it rather than assume it.
+    *
+    * Scale shape: the projected corpus is 8 doubles per row — the
+    * broadcast-queries brute pass costs 8× less per pair than full-dim,
+    * which is the point of projecting before searching. */
+  def pcaAnnRecallAt5(s: SparkSession, d: String): DataFrame = {
+    val k = graft.ml.EmbedPca.k
+    val proj = graft.ml.EmbedPca.projectPinned(Tables.embeddings(s, d))
+      .select(col("vec_id"), array((1 to k).map(j => col(s"p$j")): _*).as("pvec"))
+    val pcaTop = Similarity.bruteForceTopK(
+        proj, proj.filter(col("vec_id") < 10), k = 5, vecCol = "pvec")
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    annBruteTopK(s, d).select("query_id", "neighbor_id")
+      .join(pcaTop, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id").agg(count(col("__hit")).as("hits_at_5"))
+  }
+
+  /** Builds the projected-space SQL locally from the pinned components
+    * (NOT by referencing MlQueries' SQL val — a cross-object init cycle
+    * would silently interpolate "null", the Verify NPE class). */
+  val pcaAnnRecallAt5Sql: String = {
+    def litList(c: Seq[Double]): String =
+      c.map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+    val projCols = graft.ml.EmbedPca.pinnedComponents.zipWithIndex.map { case (c, j) =>
+      s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           list_transform(range(len(ev)), i -> ev[i+1] * ${litList(c)}[i+1])),
+           (a, b) -> a + b) AS p${j + 1}"""
+    }.mkString(",\n           ")
+    val pArr = (1 to graft.ml.EmbedPca.k).map(j => s"p$j").mkString("[", ", ", "]")
+    s"""
+    SELECT b.query_id, count(i.neighbor_id) AS hits_at_5
+    FROM ($annBruteTopKSql) b
+    LEFT JOIN (
+      WITH proj AS (
+        SELECT vec_id, $projCols
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)),
+      p AS (SELECT vec_id, $pArr AS v FROM proj),
+      q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 10),
+      pairs AS (
+        SELECT q.qid AS query_id, p.vec_id AS neighbor_id,
+          CASE WHEN sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")}) = 0.0
+               THEN NULL
+               ELSE ${dotSql("qv", "v")}
+                    / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")}))
+          END AS sim
+        FROM p CROSS JOIN q
+        WHERE p.vec_id <> q.qid)
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM pairs)
+      WHERE rn <= 5) i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id"""
+  }
+
   /** q104: metadata-FILTERED ANN — top-5 among only the neighbors whose
     * label is even, the "vector search with an attribute filter" serving
     * shape (RAG corpus scoping, per-tenant retrieval). Built on a labeled
@@ -1140,6 +1214,7 @@ object Extensions {
     "q31_ann_ivf_topk"       -> QueryDef(annIvfTopK _, annIvfTopKSql),
     "q104_ann_filtered"      -> QueryDef(annIvfFilteredTopK _, annIvfFilteredTopKSql),
     "q112_ann_recall"        -> QueryDef(annRecallAt5 _, annRecallAt5Sql),
+    "q134_pca_ann_recall"    -> QueryDef(pcaAnnRecallAt5 _, pcaAnnRecallAt5Sql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),

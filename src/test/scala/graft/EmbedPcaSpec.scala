@@ -57,6 +57,30 @@ class EmbedPcaSpec extends AnyFunSuite {
       s"k=8/64 projected energy ratio $ratio outside (0.15, 1]")
   }
 
+  test("pinned projection runs unchanged on a stream and equals the batch result") {
+    // stateless row-local projection → the same operator is the streaming
+    // embedding-ingest path with no code changes
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.embeddings(spark, sfFit).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toList
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = EmbedPca.projectPinned(in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("pca_stream").outputMode("append")
+      .start()
+    try {
+      new scala.util.Random(11).shuffle(rows).grouped(200).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("pca_stream")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val want = graft.queries.MlQueries.pcaProjectPinned(spark, sfFit)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got === want, "streamed projections must equal batch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("q132 plan: row-local projection over the scan, zero shuffles, no UDFs") {
     val plan = graft.queries.MlQueries.pcaProjectPinned(spark, sfFit)
       .queryExecution.executedPlan.toString

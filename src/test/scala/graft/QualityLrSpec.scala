@@ -37,6 +37,31 @@ class QualityLrSpec extends AnyFunSuite {
     assert(live === pinned)
   }
 
+  test("pinned scoring runs unchanged on a stream and equals the batch result") {
+    // the corpus scorer is a stateless projection, so the SAME operator
+    // must run under Structured Streaming with no code changes — the
+    // deploy-to-the-live-feed path of the quality filter
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfFit).select("doc_id", "text")
+      .as[(Long, String)].collect().toList
+    val in = MemoryStream[(Long, String)]
+    val q = QualityLr.scorePinned(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qlr_stream").outputMode("append")
+      .start()
+    try {
+      new scala.util.Random(7).shuffle(docs).grouped(200).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("qlr_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = graft.queries.MlQueries.qualityLrPinned(spark, sfFit)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got === want, "streamed scores must equal batch scores bit-for-bit")
+    } finally q.stop()
+  }
+
   test("q130 plan: row-local projection over the scan, zero shuffles, no UDFs") {
     // the corpus-scoring promise at 100 TB is exactly this plan shape: a
     // pruned parquet scan (doc_id, text only) feeding one Project — no
