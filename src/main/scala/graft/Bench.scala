@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   *    regression. "queries_min" carries the per-query minimum (the
   *    machine-noise floor) for diagnosis;
   *  - a failing query contributes its elapsed time AND an entry in the
-  *    "errors" object — regressions can't hide inside a green total.
+  *    "errors" object — regressions can't hide inside a green total;
+  *  - the machine line carries a "worst" object (top-10 medians as
+  *    [median,min] pairs) and the FULL per-query detail lands in
+  *    BENCHDETAIL.json, so outliers are adjudicable from the round
+  *    artifacts alone (median≈min = real; median≫min = noise).
   *
   * Local iteration: SPARK_GRAFT_ONLY=<substring[,substring…]> restricts the
   * run to matching query names (warmup unchanged).
@@ -157,8 +161,28 @@ object Bench {
     val detail = results.map { case (k, med, mn, _) =>
       s"\"" + k + "\":[" + r3(med) + "," + r3(mn) + "]" }.mkString("{", ",", "}")
     println(s"benchdetail [median,min] $detail")
-    val qs = results.map { case (k, v, _, _) => "\"" + shortKey(k) + "\":" + r3(v) }
+    // The benchdetail line above is itself truncated out of the driver's
+    // ~2000-byte tail window (BENCH_r09 preserved pairs for q94-q99 only —
+    // exactly the instrument needed to adjudicate outliers from artifacts
+    // alone). Two mitigations: the full detail goes to BENCHDETAIL.json in
+    // the cwd, and the worst-by-median pairs ride INSIDE the final machine
+    // line (see below).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHDETAIL.json"),
+      s"""{"reps":$reps,"sf":"$sfDir","detail_median_min":$detail}\n""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCHDETAIL.json write failed: ${e.getMessage}")
+    }
+    // 2-decimal per-query values (10 ms resolution — ample for a seconds-
+    // scale bench) buy the byte budget for the "worst" object.
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _) => "\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
+    // Top worst queries by median as [median,min] pairs: median≫min says
+    // machine noise, median≈min≫record says a real regression — the
+    // adjudication the round-9 verdict had to re-measure locally.
+    val worstPairs = results.sortBy { case (_, med, _, _) => -med }.take(10)
+      .map { case (k, med, mn, _) =>
+        "\"" + shortKey(k) + "\":[" + r2(med) + "," + r2(mn) + "]" }
     // cap the error object: a systematic failure (all 60+ queries erroring)
     // must not push the JSON line back out of the driver's tail window —
     // first 3 messages + a count tell the story
@@ -183,7 +207,19 @@ object Bench {
       catch { case e: Throwable => s"err:${e.getClass.getSimpleName}" }
     val env = s"spark=${spark.version};events.ts=$tsType"
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Length guard: the driver parses the JSON line out of its ~2000-byte
+    // tail keep; a line that outgrows the window records "parsed": null and
+    // the round loses its bench. Shed worst-pairs (the diagnostic extra)
+    // one at a time before that can happen — the core queries/errors
+    // objects always ship intact.
+    def line(pairs: Seq[String]): String = {
+      val worst = pairs.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","worst":$worst,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val budget = 1900
+    val fitted = Iterator.iterate(worstPairs)(_.dropRight(1))
+      .find(p => p.isEmpty || line(p).length <= budget).get
+    println(line(fitted))
     System.out.flush()
   }
 }

@@ -79,8 +79,11 @@ object Graph {
         s"pageRank requires out-edges for every node ($dangling dangling " +
           "node(s) found): feed an undirected graph both ways, or " +
           "redistribute dangling mass upstream")
-      pageRankIterate(cached, deg, iterations, broadcastScores)
-        .localCheckpoint(true)
+      val n = deg.agg(count(lit(1)).as("nn"))
+      val pr0 = deg.crossJoin(broadcast(n))
+        .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
+      iterateMaterialized(pr0, iterations,
+        prStep(cached, deg, n, broadcastScores))
     } finally {
       cached.unpersist(false)
       deg.unpersist(false)
@@ -143,7 +146,7 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val pr0 = teleport.select(col("node"), col("tw").as("pr"))
-        (1 to iterations).foldLeft(pr0) { (pr, _) =>
+        iterateMaterialized(pr0, iterations, { pr =>
           val msgs = cached
             .join(bc(pr.withColumnRenamed("node", "src")), "src")
             .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
@@ -156,7 +159,7 @@ object Graph {
             .select(col("node"),
               (lit(0.15) * col("tw") + lit(0.85) *
                 (coalesce(col("sq"), lit(0)).cast("double") / lit(1e12))).as("pr"))
-        }.localCheckpoint(true)
+        })
       } finally teleport.unpersist(false)
     } finally {
       cached.unpersist(false)
@@ -165,27 +168,72 @@ object Graph {
   }
 
   /** The iteration blocks over already-persisted edges/degrees — same
-    * arithmetic as [[pageRankPlan]], reusing the caller's cached frames. */
+    * arithmetic as [[pageRankPlan]], reusing the caller's cached frames.
+    * LAZY (the full K-block lineage), for plan inspection only: each
+    * score-vector broadcast re-executes every prior iteration, which is
+    * quadratic recomputation in K — the round-9 q96 regression. Eager
+    * callers go through [[iterateMaterialized]] instead. */
   private def pageRankIterate(edges: DataFrame, deg: DataFrame,
                               iterations: Int, broadcastScores: Boolean): DataFrame = {
-    val bc: DataFrame => DataFrame =
-      if (broadcastScores) broadcast(_) else identity
     val n = deg.agg(count(lit(1)).as("nn"))
     val pr0 = deg.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
-    (1 to iterations).foldLeft(pr0) { (pr, _) =>
-      val msgs = edges
-        .join(bc(pr.withColumnRenamed("node", "src")), "src")
-        .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
-        .select(col("dst").as("node"),
-          floor(col("pr") / col("sdeg") * lit(1e12))
-            .cast(DecimalType(27, 0)).as("q"))
-        .groupBy("node").agg(sum("q").as("sq"))
-      deg.crossJoin(broadcast(n))
-        .join(msgs, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(0.15) / col("nn") + lit(0.85) *
-            (coalesce(col("sq"), lit(0)).cast("double") / lit(1e12))).as("pr"))
+    (1 to iterations).foldLeft(pr0)((pr, _) =>
+      prStep(edges, deg, n, broadcastScores)(pr))
+  }
+
+  /** One power-iteration block: edges ⋈ scores on src (broadcast or
+    * co-partitioned per `broadcastScores`), quantized contribution sum on
+    * dst, teleport re-add. Pure plan construction — identical arithmetic
+    * wherever it is driven from, so the lazy inspection path and the
+    * eager materialized path cannot drift. */
+  private def prStep(edges: DataFrame, deg: DataFrame, n: DataFrame,
+                     broadcastScores: Boolean)(pr: DataFrame): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastScores) broadcast(_) else identity
+    val msgs = edges
+      .join(bc(pr.withColumnRenamed("node", "src")), "src")
+      .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
+      .select(col("dst").as("node"),
+        floor(col("pr") / col("sdeg") * lit(1e12))
+          .cast(DecimalType(27, 0)).as("q"))
+      .groupBy("node").agg(sum("q").as("sq"))
+    deg.crossJoin(broadcast(n))
+      .join(msgs, Seq("node"), "left_outer")
+      .select(col("node"),
+        (lit(0.15) / col("nn") + lit(0.85) *
+          (coalesce(col("sq"), lit(0)).cast("double") / lit(1e12))).as("pr"))
+  }
+
+  /** Drive K iterations with each round's score vector MATERIALIZED
+    * before the next consumes it, so iteration k is one bounded job over
+    * the cached previous scores instead of a re-execution of iterations
+    * 1..k-1's lineage (the round-9 defect: `broadcast(pr)` of an
+    * unmaterialized plan made the K-block quadratic, and WORSE at higher
+    * parallelism because every replayed stage pays the full task-launch
+    * fan-out — local[32] ran 7× slower than local[8]). Intermediates are
+    * persisted (node-count-sized — trivial next to the edges), rolled
+    * over with at most two alive at once, and all unpersisted before
+    * returning; the final scores are `localCheckpoint`ed so the returned
+    * frame owns no lineage into the caller's soon-unpersisted caches.
+    * Values are bit-identical to the lazy plan — materialization changes
+    * scheduling, never arithmetic. */
+  private def iterateMaterialized(pr0: DataFrame, iterations: Int,
+                                  step: DataFrame => DataFrame): DataFrame = {
+    var prev: Option[DataFrame] = None
+    val last = (1 to iterations).foldLeft(pr0) { (pr, i) =>
+      val next = step(pr)
+      if (i == iterations) next
+      else {
+        val m = next.persist(StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        prev.foreach(_.unpersist(false))
+        prev = Some(m)
+        m
+      }
     }
+    val out = last.localCheckpoint(true)
+    prev.foreach(_.unpersist(false))
+    out
   }
 }

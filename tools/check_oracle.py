@@ -47,11 +47,17 @@ def main():
         res_dir = out_dir / name
         if not res_dir.exists():
             # A filtered dump (SPARK_GRAFT_ONLY=...) writes a _filtered
-            # marker; only then is a missing dir a quiet skip. In a full
-            # dump a missing dir means the query crashed — a hard FAIL.
-            if (out_dir / "_filtered").exists():
-                print(f"SKIP {name}: not in this (filtered) dump")
-                continue
+            # marker holding the filter substrings; a missing dir is a
+            # quiet skip ONLY for names the filter excluded. A name that
+            # MATCHES the filter but has no dir crashed during the dump —
+            # that stays a hard FAIL (else filtered iteration masks the
+            # exact failure class the marker exists to distinguish).
+            marker = out_dir / "_filtered"
+            if marker.exists():
+                subs = [s for s in marker.read_text().split(",") if s]
+                if not any(s in name for s in subs):
+                    print(f"SKIP {name}: not in this (filtered) dump")
+                    continue
             print(f"FAIL {name}: no spark output dir")
             n_fail += 1
             continue
