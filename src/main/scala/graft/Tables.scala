@@ -36,6 +36,11 @@ object Tables {
     * future regeneration invents a fourth layout. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The TimestampNTZ→Timestamp cast below is oracle-correct ONLY under a
+    // UTC session timezone (DuckDB reads naive micros as UTC epochs). Every
+    // entry point pins it already; pin it here too so a future main that
+    // forgets the conf cannot silently shift every ts epoch.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

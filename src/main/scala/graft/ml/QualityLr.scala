@@ -51,7 +51,15 @@ object QualityLr {
 
   /** Per-document feature row: doc_id, the four features, the teacher
     * label. Tokenizer evaluated per feature column exactly as in q65 —
-    * row-local, codegen'd, no UDFs. */
+    * row-local, codegen'd, no UDFs.
+    *
+    * Cross-engine caveat (pinned here once for the whole q130/q131/q132
+    * family): `TextFunctions.tokens` splits on Java `\s+` while its DuckDB
+    * twin uses RE2 `\s+`; Java's class includes vertical tab (U+000B), RE2's
+    * does not (see `TextFunctions.subtokenPattern`). Oracle parity of the
+    * n_toks/stop_ratio features — and therefore of the pinned LR
+    * coefficients — holds for corpora without VT characters (true of the
+    * synthetic testdata); real text containing VT would diverge by design. */
   def features(docs: DataFrame): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     docs.select(

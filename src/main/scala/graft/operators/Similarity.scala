@@ -69,13 +69,13 @@ object Similarity {
   /** Fold-order squared distance of an array<double> column to a constant
     * center — shared by every quantizer path so Spark and the DuckDB oracle
     * always sum in the same order. */
-  private[operators] def distToFold(vec: Column, ctr: Seq[Double]): Column =
+  private[graft] def distToFold(vec: Column, ctr: Seq[Double]): Column =
     aggregate(zip_with(vec, typedLit(ctr), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, v) => acc + v)
 
   /** The `nProbe` nearest cell ids (1-based) for a vector, ties to the lower
     * cell id — matches a rank-by-(distance, cell) over the centers table. */
-  private[operators] def probeCellsExpr(vec: Column, centers: Seq[Seq[Double]],
+  private[graft] def probeCellsExpr(vec: Column, centers: Seq[Seq[Double]],
                                         nProbe: Int): Column = {
     val dists = array(centers.map(c => distToFold(vec, c)): _*)
     slice(transform(

@@ -272,11 +272,17 @@ object Extensions {
     s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0.0 THEN NULL " +
       s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
 
-  /** q31 quantizer: 16 fixed constant-norm centers (offline-trained stand-in,
-    * see Similarity.fixedCenters). The index is materialized ONCE per sf dir
-    * into a cell-partitioned parquet layout and probes are partition-pruned
+  /** q31 quantizer: 16 TRAINED centers — a seed-pinned k-means fit on the
+    * sf0.01 embeddings (graft.ml.PinIvfMain; GateHygieneSpec asserts
+    * refit ≡ pinned), committed as plan literals exactly like the q51
+    * cluster centers, so the DuckDB oracle still reproduces the whole
+    * approximate pipeline. Data-adapted Voronoi cells replaced the ±1
+    * hypercube quantizer in round 10: mean recall@5 at nProbe=4 rose
+    * 0.44→0.70 (sf0.01) and 0.50→0.66 (sf0.1) with an identical plan
+    * shape. The index is materialized ONCE per sf dir into a
+    * cell-partitioned parquet layout and probes are partition-pruned
     * scans — the 100 TB serving path, not per-query index training. */
-  private val ivfCenters = Similarity.fixedCenters(cells = 16, dim = 64)
+  private val ivfCenters: Seq[Seq[Double]] = graft.ml.PinnedIvfCenters.values
 
   /** Fingerprinted cache directory for a materialized index: the key binds
     * the source parquet's identity (mtime ^ size — a regenerated fixture
@@ -293,7 +299,7 @@ object Extensions {
   }
 
   private def ivfIndexDir(d: String): String =
-    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16")
+    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16t99")
 
   private val ivfBuildLock = new Object
 
@@ -456,7 +462,7 @@ object Extensions {
   private val filteredLabels: Seq[Int] = Seq(0, 2, 4, 6, 8)
 
   private def ivfLabIndexDir(d: String): String =
-    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16lab")
+    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16t99lab")
 
   def annIvfFilteredTopK(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
@@ -988,7 +994,7 @@ object Extensions {
     * as q31 under a different query set — checks append ≡ rebuild
     * end-to-end, hash-exact. */
   private def ivfIncrDir(d: String): String =
-    indexCacheDir("graft-ivf-incr-cache", d, "embeddings", "c16incr")
+    indexCacheDir("graft-ivf-incr-cache", d, "embeddings", "c16t99incr")
 
   private val ivfIncrLock = new Object
 

@@ -128,9 +128,40 @@ class GateHygieneSpec extends AnyFunSuite {
       val (w, b) = graft.ml.QualityLr.train(feats)
       assert(w === graft.ml.QualityLr.pinnedWeights &&
         b === graft.ml.QualityLr.pinnedIntercept,
-        "re-fit LR drifted from QualityLr.pinned* — regenerate with " +
-          "runMain graft.ml.PinLrMain and update the constants")
+        "re-fit LR drifted from QualityLr.pinned* — an ENVIRONMENT change " +
+          "(JVM or BLAS swap, e.g. netlib native) is an expected cause with " +
+          "no code change; remedy: runMain graft.ml.PinLrMain, update the " +
+          "constants, re-run the oracle gate")
     } finally feats.unpersist()
+  }
+
+  test("seed-pinned IVF quantizer fit still reproduces the pinned centers exactly") {
+    // q31/q99/q104/q112's oracles inline these centers as plan literals;
+    // this is the link back to the live fit (the q51 discipline) — if the
+    // k-means init, the canonical layout, or the embeddings fixture change,
+    // the quantizer drift fails HERE by name, not as a silent recall drop
+    val emb = graft.ml.PinIvfMain.canonicalLayout(
+      Tables.embeddings(spark, "/root/testdata/sf0.01")).cache()
+    try {
+      val got = graft.ml.PinIvfMain.trainCenters(emb)
+      assert(got === graft.ml.PinnedIvfCenters.values,
+        "re-fit IVF centers drifted from PinnedIvfCenters — an ENVIRONMENT " +
+          "change (JVM or BLAS swap) is an expected cause with no code " +
+          "change; remedy: runMain graft.ml.PinIvfMain, update the " +
+          "generated file, re-run the oracle gate")
+    } finally emb.unpersist()
+  }
+
+  test("trained IVF quantizer holds the pinned recall floor (q112 family)") {
+    // the round-10 trained quantizer's reason to exist: recall@5 at
+    // nProbe=4 measured 0.70 (sf0.01) / 0.66 (sf0.1) vs 0.44/0.50 for the
+    // old fixed ±1 quantizer. Floor at 0.6 — above everything the fixed
+    // quantizer ever measured, with slack for a testdata regeneration
+    // (the centers get re-pinned by the refit test above first)
+    val d = "/root/testdata/sf0.01"
+    val recall = graft.queries.Extensions.annRecallAt5(spark, d)
+      .agg(avg(col("hits_at_5"))).head.getDouble(0) / 5.0
+    assert(recall >= 0.6, f"IVF mean recall@5 $recall%.3f below the 0.6 floor")
   }
 
   test("deterministic PCA fit still reproduces the q132 pinned components exactly") {
@@ -143,8 +174,10 @@ class GateHygieneSpec extends AnyFunSuite {
     try {
       val got = graft.ml.EmbedPca.fit(emb)
       assert(got === graft.ml.EmbedPca.pinnedComponents,
-        "re-fit PCA drifted from PinnedPcaComponents — regenerate with " +
-          "runMain graft.ml.PinPcaMain")
+        "re-fit PCA drifted from PinnedPcaComponents — an ENVIRONMENT " +
+          "change (JVM or BLAS swap) is an expected cause with no code " +
+          "change; remedy: runMain graft.ml.PinPcaMain, update the " +
+          "constants, re-run the oracle gate")
     } finally emb.unpersist()
   }
 
