@@ -86,6 +86,69 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.format, r.byte_len, width, height, nFrames, feature)
   }
 
+  /** REAL decode path behind the same partition-batched interface: the
+    * JDK's ImageIO decodes PNG/BMP/GIF with no native codecs, so this one
+    * is not a stub — `read`s the actual raster and derives width/height,
+    * frame count (GIF: real animation frames), and a luminance-grid
+    * feature from the decoded pixels. Rows ImageIO has no reader for
+    * (jpeg-less containers, corrupt payloads, or the synthetic text
+    * fixtures) are DROPPED, not faked — the deterministic stub
+    * ([[decodeFeatures]]) remains the oracle path for gate rows, and this
+    * is the production shape: same `mapPartitions` batching, decoder
+    * state per partition, narrow (no shuffle).
+    *
+    * Scale note: `getRGB` per pixel is the portable raster access; a
+    * throughput-tuned decoder would grab the raster row-batch via
+    * `Raster.getPixels` — same operator shape, local change inside the
+    * partition loop. */
+  def decodeFeaturesImageIO(media: Dataset[MediaRecord], featureDim: Int = 8)
+                           (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.flatMap(decodeOneImageIO(_, featureDim))
+    }
+  }
+
+  private[operators] def decodeOneImageIO(r: MediaRecord,
+                                          featureDim: Int): Option[MediaFeatures] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // allowSearch=true is safe on an in-memory stream; for GIF this
+          // counts the REAL animation frames
+          val nFrames = reader.getNumImages(true)
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          // integer-luminance grid feature: pixel (x,y) accumulates into
+          // bucket (y*w+x) mod dim — deterministic for a given raster
+          val feature = new Array[Float](featureDim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              feature((y * w + x) % featureDim) += lum / 255.0f
+              x += 1
+            }
+            y += 1
+          }
+          Some(MediaFeatures(r.doc_id, r.format, r.byte_len, w, h, nFrames, feature))
+        } catch {
+          case _: javax.imageio.IIOException => None // corrupt payload: drop, don't fake
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Resize planning: aspect-preserving fit of each decoded asset into a
     * `boxW` × `boxH` box — the dimension math of a letterboxed resize as
     * pure integer column arithmetic (floor division on BIGINTs, exact in

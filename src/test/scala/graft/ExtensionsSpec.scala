@@ -464,6 +464,59 @@ class ExtensionsSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("ImageIO decode path decodes REAL png and animated gif rasters") {
+    implicit val s = spark
+    import s.implicits._
+    import java.awt.image.BufferedImage
+    // a 5x3 PNG with a known pixel pattern
+    def png(): Array[Byte] = {
+      val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 5)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a 4x4 GIF with THREE animation frames
+    def gif3(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (i <- 0 until 3) {
+        val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, i * 0x333333)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val pngBytes = png()
+    val gifBytes = gif3()
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "png", pngBytes, pngBytes.length.toLong),
+      graft.operators.MediaRecord(2L, "gif", gifBytes, gifBytes.length.toLong),
+      // ImageIO has no reader for raw text bytes: must be DROPPED, not faked
+      graft.operators.MediaRecord(3L, "txt", "not an image".getBytes("UTF-8"), 12L)
+    ).toDS()
+    val out = Multimodal.decodeFeaturesImageIO(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).width === 5 && out(1L).height === 3 && out(1L).n_frames === 1)
+    assert(out(2L).width === 4 && out(2L).height === 4 && out(2L).n_frames === 3)
+    // the 5x3 checkerboard has 8 white pixels of luminance 255 -> each
+    // contributes 1.0; buckets (y*5+x) mod 8 for even x+y are 0,2,4,6,8%8=0,...
+    // spot-check total mass instead of per-bucket layout: 8 white pixels
+    assert(math.abs(out(1L).feature.sum - 8.0f) < 1e-4)
+    // frame 0 of the gif is all-black: zero luminance mass
+    assert(out(2L).feature.sum === 0.0f)
+    // determinism across re-decode
+    val again = Multimodal.decodeFeaturesImageIO(media).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(again === out.view.mapValues(_.feature.toSeq).toMap)
+  }
+
   test("embedding centroids: exact means, one aggregate shuffle on (label, dim)") {
     // plan first, before caching swaps in an InMemoryRelation: row-local
     // explode + ONE exchange for the (label, dim) aggregate
