@@ -96,8 +96,16 @@ object PinIvfMain {
     hits.toDouble / brute.count()
   }
 
+  /** q30's dup-blocking quantizer: more, smaller cells (32) for pair
+    * blocking, same pinned fit discipline. Seed 99 kept — re-swept for 32
+    * cells it remains within a point of the best (blocking recall is less
+    * init-sensitive than probe recall because multi-probe overlaps
+    * cells). */
+  val dupCells = 32
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val dupMode = args.contains("dup")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -106,15 +114,19 @@ object PinIvfMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = canonicalLayout(graft.Tables.embeddings(spark, sfDir)).cache()
-    val centers = trainCenters(emb)
+    val centers =
+      if (dupMode) trainCenters(emb, cells = dupCells) else trainCenters(emb)
+    val objName = if (dupMode) "PinnedDupCenters" else "PinnedIvfCenters"
+    val what = if (dupMode) s"q30 dup-blocking quantizer ($dupCells cells)"
+               else "IVF coarse quantizer"
     println("// PINNED_IVF_BEGIN")
     println("package graft.ml")
     println()
-    println("/** The IVF coarse quantizer's committed centers (seed-pinned k-means fit")
+    println(s"/** The $what's committed centers (seed-pinned k-means fit")
     println("  * at sf0.01, canonical layout) -- GENERATED by `runMain")
-    println("  * graft.ml.PinIvfMain`; do not hand-edit. GateHygieneSpec refits and")
+    println(s"  * graft.ml.PinIvfMain${if (dupMode) " <sf> dup" else ""}`; do not hand-edit. GateHygieneSpec refits and")
     println("  * asserts exact equality. */")
-    println("private[graft] object PinnedIvfCenters {")
+    println(s"private[graft] object $objName {")
     println("  val values: Seq[Seq[Double]] = Seq(")
     centers.foreach { c =>
       println("    Seq(" + c.map(_.toString).mkString(", ") + "),")

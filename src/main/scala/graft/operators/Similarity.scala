@@ -423,6 +423,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
   }
 
+  /** Contrastive pair mining for embedding-model training: for each anchor,
+    * the most-cosine-similar SAME-label vector (the positive) and the
+    * most-similar DIFFERENT-label vector (the hard negative), plus the
+    * margin between them. Anchors with a singleton label emit a NULL
+    * positive (they exist and a training pipeline must see them — dropping
+    * would silently shrink the anchor set).
+    *
+    * Exact by construction: anchors broadcast, the corpus is scanned once
+    * with no embedding shuffle; only (anchor, candidate, sim) triples reach
+    * the two per-(anchor, side) top-1 windows, and the final per-anchor
+    * pivot is a 2-row aggregate. At 100 TB the scored candidate set is the
+    * thing to shrink, not the window: route candidates through the IVF
+    * probe ([[ivfTopKIndexedFiltered]] with a label predicate per side)
+    * and this same ranking runs over cells/nProbe of the corpus. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      asDouble(col(vecCol)).as("a_vec"), col(labelCol).as("a_label"))
+      .withColumn("a_nrm", norm(col("a_vec")))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("c_vec"), col(labelCol).as("c_label"))
+      .withColumn("c_nrm", norm(col("c_vec")))
+    val scored = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("a_vec"), col("c_vec")), col("a_nrm"), col("c_nrm")))
+      .withColumn("same", col("a_label") === col("c_label"))
+    val w = Window.partitionBy(col("anchor_id"), col("same"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("same"), col("cand_id"))).as("pos_id"),
+        max(when(col("same"), col("sim"))).as("pos_sim"),
+        max(when(!col("same"), col("cand_id"))).as("neg_id"),
+        max(when(!col("same"), col("sim"))).as("neg_sim"))
+      .withColumn("margin", col("pos_sim") - col("neg_sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `minCosine` among pairs that
     * share an IVF cell (the LSH-bucket analog for dense vectors). */
   def embeddingNearDups(corpus: DataFrame, minCosine: Double,

@@ -139,6 +139,52 @@ object Curation {
            CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_masked_runs
     FROM customer"""
 
+  // --- q136: k-anonymity suppression ---------------------------------------
+
+  /** k-anonymity enforcement over a quasi-identifier tuple — the
+    * data-governance pass that follows q64's redaction in a release
+    * pipeline: any (nation, segment, balance-band) combination carried by
+    * fewer than [[kAnonK]] rows is SUPPRESSED (quasi-identifiers nulled),
+    * because a rare combination re-identifies its members even with direct
+    * identifiers masked. Rows keep flowing either way — suppression is a
+    * column scrub, not a filter — with an explicit audit flag.
+    *
+    * The balance band is floor(acctbal / 2000): one IEEE division and a
+    * no-tie floor, exact cross-engine (and floor's toward-negative-infinity
+    * rounding keeps negative balances in their own bands in both engines).
+    * Scale shape: ONE window count over the QI tuple (equivalently a
+    * groupBy + broadcast-back join of the small group table); no row-level
+    * data leaves its partition twice. Group sizes at the gate SFs make both
+    * branches non-vacuous: sf0.01 keeps 9 rows / suppresses 1,491; sf0.1
+    * keeps 14,857 / suppresses 143. */
+  val kAnonK = 8
+
+  def kAnonymize(s: SparkSession, d: String): DataFrame = {
+    val band = floor(col("c_acctbal") / 2000.0).cast("long")
+    val grp = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"), band)
+    Tables.customer(s, d)
+      .withColumn("grp_n", count(lit(1)).over(grp))
+      .select(
+        col("c_custkey"),
+        when(col("grp_n") >= kAnonK, col("c_nationkey")).as("nation_out"),
+        when(col("grp_n") >= kAnonK, col("c_mktsegment")).as("segment_out"),
+        when(col("grp_n") >= kAnonK, band).as("bal_band_out"),
+        (col("grp_n") < kAnonK).as("suppressed"))
+  }
+
+  val kAnonymizeSql: String = s"""
+    SELECT c_custkey,
+           CASE WHEN grp_n >= $kAnonK THEN c_nationkey END AS nation_out,
+           CASE WHEN grp_n >= $kAnonK THEN c_mktsegment END AS segment_out,
+           CASE WHEN grp_n >= $kAnonK THEN bal_band END AS bal_band_out,
+           (grp_n < $kAnonK) AS suppressed
+    FROM (SELECT c_custkey, c_nationkey, c_mktsegment, bal_band,
+            count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band)
+              AS grp_n
+          FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+                FROM customer))"""
+
   // --- q65: quality routing ------------------------------------------------
 
   /** First-failing-rule quality router — the corpus-level twin of the
@@ -1056,5 +1102,6 @@ object Curation {
     "q85_incremental_vocab" -> QueryDef(incrementalVocab _, incrementalVocabSql),
     "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql),
     "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql),
-    "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql))
+    "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql),
+    "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql))
 }

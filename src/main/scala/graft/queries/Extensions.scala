@@ -259,6 +259,91 @@ object Extensions {
       FROM pairs)
     WHERE rn <= 5"""
 
+  /** q135: contrastive pair mining (anchor → nearest same-label positive +
+    * nearest cross-label hard negative) — the training-pair generator an
+    * embedding-model pipeline runs over its labeled corpus. Exact
+    * variant under oracle; the operator doc describes the IVF-probed
+    * candidate route at scale. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20))
+  }
+
+  val hardNegativesSql: String = s"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av FROM c
+          WHERE vec_id < 20),
+    best AS (
+      SELECT anchor_id, cand_id, same, sim,
+             row_number() OVER (PARTITION BY anchor_id, same
+                                ORDER BY sim DESC, cand_id) AS rn
+      FROM (SELECT a.anchor_id, c.vec_id AS cand_id,
+              (c.label = a.a_label) AS same,
+              ${cosineSql("av", "v")} AS sim
+            FROM c CROSS JOIN a WHERE c.vec_id <> a.anchor_id))
+    SELECT anchor_id,
+           max(CASE WHEN same THEN cand_id END) AS pos_id,
+           max(CASE WHEN same THEN sim END) AS pos_sim,
+           max(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+           max(CASE WHEN NOT same THEN sim END) AS neg_sim,
+           max(CASE WHEN same THEN sim END)
+             - max(CASE WHEN NOT same THEN sim END) AS margin
+    FROM best WHERE rn = 1 GROUP BY anchor_id"""
+
+  /** q137: embedding-corpus audit — the data-QA gate a vector pipeline
+    * runs before indexing/training: per norm band (floor(4·‖v‖)), the
+    * vector count and exact norm extrema, plus corpus-wide counts of
+    * zero vectors and non-finite components. A norm collapse (all-zero
+    * batch), an exploding-scale regression, or a NaN leak each lands in
+    * its own row instead of vanishing into a mean.
+    *
+    * Float discipline: the norm is the engine's exact fold
+    * ([[Similarity.norm]]); floor(4·nrm) has no tie-rounding; min/max are
+    * element picks — every output value is bit-reproducible at any
+    * parallelism. Scale shape: one row-local projection + one
+    * map-side-combined aggregate on ≤ a few dozen band keys; NULL-safe
+    * (a NULL embedding lands in the NULL band, counted, never dropped). */
+  def embeddingAudit(s: SparkSession, d: String): DataFrame =
+    embeddingAuditOn(Tables.embeddings(s, d))
+
+  def embeddingAuditOn(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val nrm = Similarity.norm(v)
+    val nonfinite = size(filter(v, x => x.isNaN || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity))
+    // non-finite norms are QUARANTINED into the NULL band rather than cast:
+    // Spark's non-ANSI long cast sends NaN to 0 (silently polluting the
+    // zero band) and +Inf to Long.MaxValue, and DuckDB's cast errors — the
+    // explicit CASE is the one spelling with identical semantics in both
+    val band = when(isnan(nrm) || nrm === Double.PositiveInfinity, lit(null))
+      .otherwise(floor(nrm * lit(4.0)).cast("long"))
+    emb.select(
+        band.as("norm_band"),
+        nrm.as("nrm"),
+        when(nrm === 0.0, 1L).otherwise(0L).as("is_zero"),
+        nonfinite.cast("long").as("n_nonfinite"))
+      .groupBy("norm_band")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sum(col("is_zero")).as("n_zero_vectors"),
+        sum(col("n_nonfinite")).as("n_nonfinite_components"))
+  }
+
+  val embeddingAuditSql: String = s"""
+    SELECT CASE WHEN isnan(nrm) OR isinf(nrm) THEN NULL
+                ELSE CAST(floor(nrm * 4.0) AS BIGINT) END AS norm_band,
+           count(*) AS n_vectors,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors,
+           CAST(sum(CAST(len(list_filter(v, x -> isnan(x) OR isinf(x))) AS BIGINT))
+             AS BIGINT) AS n_nonfinite_components
+    FROM (SELECT v, sqrt(${dotSql("v", "v")}) AS nrm
+          FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+    GROUP BY 1"""
+
   /** Shared SQL fragments for the fixed-quantizer oracles. */
   private val embSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
   private def sqdistFoldSql(v: String, cc: String): String =
@@ -521,8 +606,12 @@ object Extensions {
       FROM scored)
     WHERE rn <= 5"""
 
-  /** q30 quantizer: more, smaller cells + multi-probe for pair blocking. */
-  private val dupCenters = Similarity.fixedCenters(cells = 32, dim = 64)
+  /** q30 quantizer: more, smaller cells + multi-probe for pair blocking —
+    * TRAINED (round 10, same pinned-fit discipline as the q31 probe
+    * quantizer): data-adapted 32-cell Voronoi blocking finds 13/14 of the
+    * sf0.01 ground-truth cos ≥ 0.45 pairs vs 10/14 for the fixed ±1
+    * grid, at the same probes=3 candidate budget. */
+  private val dupCenters: Seq[Seq[Double]] = graft.ml.PinnedDupCenters.values
 
   def embeddingNearDups(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDupsFixed(Tables.embeddings(s, d), dupCenters,
@@ -1241,7 +1330,9 @@ object Extensions {
     "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql),
     "q87_event_sessions"     -> QueryDef(eventSessions _, eventSessionsSql),
     "q129_session_window_native" -> QueryDef(SessionWindowGate.sessionWindowNative _,
-      SessionWindowGate.sessionWindowNativeSql))
+      SessionWindowGate.sessionWindowNativeSql),
+    "q135_hard_negatives"    -> QueryDef(hardNegatives _, hardNegativesSql),
+    "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

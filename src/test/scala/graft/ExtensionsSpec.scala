@@ -517,6 +517,74 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(again === out.view.mapValues(_.feature.toSeq).toMap)
   }
 
+  test("hard-negative mining picks the planted positive and hard negative") {
+    implicit val s = spark
+    import s.implicits._
+    // anchor 1 (label A): vector 2 is the near-identical same-label positive,
+    // vector 3 the same-label distractor; vector 4 (label B) is the hard
+    // negative (closer to the anchor than vector 5's opposite direction)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(0.8f, 0.0f, 0.6f), 1),
+      (5L, Array(-1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 1L))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("pos_id") === 2L)
+    assert(r.getAs[Long]("neg_id") === 4L)
+    assert(r.getAs[Double]("margin") ===
+      r.getAs[Double]("pos_sim") - r.getAs[Double]("neg_sim"))
+    // singleton-label anchor: positive NULL, negative still found
+    val lone = Seq((9L, Array(0.0f, 0.0f, 1.0f), 7)).toDF("vec_id", "embedding", "label")
+    val out2 = Similarity.hardNegatives(emb.union(lone), lone).collect()
+    assert(out2.length === 1 && out2.head.isNullAt(out2.head.fieldIndex("pos_id")))
+    assert(!out2.head.isNullAt(out2.head.fieldIndex("neg_id")))
+  }
+
+  test("k-anonymity suppresses exactly the under-k quasi-identifier groups") {
+    val out = graft.queries.Curation.kAnonymize(spark, sf).cache()
+    try {
+      val k = graft.queries.Curation.kAnonK
+      // suppressed rows carry NO quasi-identifier
+      assert(out.filter(col("suppressed") &&
+        (col("nation_out").isNotNull || col("segment_out").isNotNull ||
+          col("bal_band_out").isNotNull)).isEmpty)
+      // every surviving quasi-identifier tuple has >= k members in the OUTPUT
+      val under = out.filter(!col("suppressed"))
+        .groupBy("nation_out", "segment_out", "bal_band_out")
+        .agg(count(lit(1)).as("n")).filter(col("n") < k)
+      assert(under.isEmpty, "a released group is smaller than k")
+      // row count preserved: suppression scrubs columns, never drops rows
+      assert(out.count() === Tables.customer(spark, sf).count())
+    } finally out.unpersist()
+  }
+
+  test("embedding audit counts zero vectors and non-finite components") {
+    implicit val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f), 0),             // norm 5 -> band 20
+      (2L, Array(0.0f, 0.0f), 0),             // zero vector -> band 0
+      (3L, Array(Float.NaN, 1.0f), 0),        // NaN norm -> NULL band, 1 bad comp
+      (4L, Array(Float.PositiveInfinity, 0.0f), 0) // Inf norm
+    ).toDF("vec_id", "embedding", "label")
+    val rows = graft.queries.Extensions.embeddingAuditOn(emb)
+      .collect().map(r => Option(r.getAs[Any]("norm_band")) -> r).toMap
+    assert(rows(Some(20L)).getAs[Long]("n_vectors") === 1)
+    assert(rows(Some(0L)).getAs[Long]("n_zero_vectors") === 1)
+    // non-finite norms (NaN from row 3, +Inf from row 4) are quarantined in
+    // the NULL band — not cast to 0 / Long.MaxValue — and still counted
+    assert(rows.contains(None))
+    assert(rows(None).getAs[Long]("n_vectors") === 2)
+    assert(rows(None).getAs[Long]("n_nonfinite_components") === 2)
+    val total = rows.values.map(_.getAs[Long]("n_vectors")).sum
+    assert(total === 4, "every vector lands in exactly one band")
+  }
+
   test("embedding centroids: exact means, one aggregate shuffle on (label, dim)") {
     // plan first, before caching swaps in an InMemoryRelation: row-local
     // explode + ONE exchange for the (label, dim) aggregate

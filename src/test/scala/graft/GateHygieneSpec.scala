@@ -149,6 +149,11 @@ class GateHygieneSpec extends AnyFunSuite {
           "change (JVM or BLAS swap) is an expected cause with no code " +
           "change; remedy: runMain graft.ml.PinIvfMain, update the " +
           "generated file, re-run the oracle gate")
+      val gotDup = graft.ml.PinIvfMain.trainCenters(emb,
+        cells = graft.ml.PinIvfMain.dupCells)
+      assert(gotDup === graft.ml.PinnedDupCenters.values,
+        "re-fit dup-blocking centers drifted from PinnedDupCenters — " +
+          "remedy: runMain graft.ml.PinIvfMain <sf> dup")
     } finally emb.unpersist()
   }
 
