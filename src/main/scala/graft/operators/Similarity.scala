@@ -450,6 +450,13 @@ object Similarity {
       .withColumn("sim",
         cosineWithNorms(dot(col("a_vec"), col("c_vec")), col("a_nrm"), col("c_nrm")))
       .withColumn("same", col("a_label") === col("c_label"))
+    bestContrastivePair(scored)
+  }
+
+  /** Per-(anchor, side) top-1 + 2-row pivot shared by the exact and the
+    * IVF-probed hard-negative routes — scored rows in, one
+    * (anchor, pos, neg, margin) row out. */
+  private def bestContrastivePair(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("anchor_id"), col("same"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -461,6 +468,41 @@ object Similarity {
         max(when(!col("same"), col("cand_id"))).as("neg_id"),
         max(when(!col("same"), col("sim"))).as("neg_sim"))
       .withColumn("margin", col("pos_sim") - col("neg_sim"))
+  }
+
+  /** The 100 TB route for [[hardNegatives]]: candidates come from the
+    * anchor's `nProbe` nearest IVF cells of a materialized label-carrying
+    * index ([[writeIvfIndex]] with `metaCols`) instead of the full corpus —
+    * the probe is a partition-pruned scan exactly like [[ivfTopKIndexed]],
+    * so per-anchor cost is cells/nProbe of the exact scan. Same
+    * deterministic arithmetic (fold dots, rank ties to lower id), so with
+    * pinned centers the full approximate pipeline is oracle-reproducible;
+    * its agreement with the exact route is a gate quantity (q138 vs q135).
+    *
+    * An anchor's probed cells may lack any same-label (or any cross-label)
+    * vector — the corresponding side is NULL, the honest answer of a
+    * probe-bounded candidate set. */
+  def hardNegativesIvf(indexDir: String, centers: Seq[Seq[Double]],
+                       anchors: DataFrame, nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label")
+                      (implicit spark: SparkSession): DataFrame = {
+    val a = anchors
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("a_label"),
+        asDouble(col(vecCol)).as("a_vec"))
+      .withColumn("a_nrm", norm(col("a_vec")))
+      .withColumn("cell", explode(probeCellsExpr(col("a_vec"), centers, nProbe)))
+    val probed = a.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexDir).filter(col("cell").isin(probed: _*))
+    val scored = idx
+      .select(col("cell"), col(idCol).as("cand_id"), col(labelCol).as("c_label"),
+        col("v").as("c_vec"), col("nrm").as("c_nrm"))
+      .join(broadcast(a), Seq("cell"))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("a_vec"), col("c_vec")), col("a_nrm"), col("c_nrm")))
+      .withColumn("same", col("a_label") === col("c_label"))
+    bestContrastivePair(scored)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `minCosine` among pairs that

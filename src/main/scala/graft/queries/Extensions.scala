@@ -290,6 +290,55 @@ object Extensions {
              - max(CASE WHEN NOT same THEN sim END) AS margin
     FROM best WHERE rn = 1 GROUP BY anchor_id"""
 
+  /** q138: the IVF-probed hard-negative route — q135's candidate
+    * generation bounded to each anchor's 4 nearest cells of the
+    * label-carrying index (q104's), the way a 100 TB corpus would mine
+    * training pairs. Deterministic end to end with the pinned quantizer,
+    * so the APPROXIMATE pipeline is under full oracle (the q31
+    * discipline); its agreement with the exact q135 answer is pinned in
+    * ExtensionsSpec (the q112 discipline: approximation quality is a
+    * measured gate quantity, not a claim). */
+  def hardNegativesIvfGate(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    val dir = ivfLabIndexDir(d)
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Similarity.writeIvfIndex(emb, dir, ivfCenters, metaCols = Seq("label"))
+    }
+    Similarity.hardNegativesIvf(dir, ivfCenters, emb.filter(col("vec_id") < 20))
+  }
+
+  val hardNegativesIvfSql: String = s"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ctr AS (SELECT * FROM (VALUES ${centersValuesSql(graft.ml.PinnedIvfCenters.values)}) t(cell, cc)),
+    rk AS (SELECT vec_id, label, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+           FROM (SELECT c.vec_id, c.label, c.v, ctr.cell,
+                   ${sqdistFoldSql("c.v", "ctr.cc")} AS dd
+                 FROM c CROSS JOIN ctr)),
+    assign AS (SELECT vec_id, label, v, cell FROM rk WHERE rn = 1),
+    q AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av, cell FROM rk
+          WHERE rn <= 4 AND vec_id < 20),
+    cand AS (SELECT q.anchor_id, q.a_label, q.av, a.vec_id AS cand_id,
+               a.label AS c_label, a.v
+             FROM q JOIN assign a USING (cell)
+             WHERE a.vec_id <> q.anchor_id),
+    best AS (SELECT anchor_id, cand_id, same, sim,
+               row_number() OVER (PARTITION BY anchor_id, same
+                                  ORDER BY sim DESC, cand_id) AS rn
+             FROM (SELECT anchor_id, cand_id, (c_label = a_label) AS same,
+                     ${cosineSql("av", "v")} AS sim
+                   FROM cand))
+    SELECT anchor_id,
+           max(CASE WHEN same THEN cand_id END) AS pos_id,
+           max(CASE WHEN same THEN sim END) AS pos_sim,
+           max(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+           max(CASE WHEN NOT same THEN sim END) AS neg_sim,
+           max(CASE WHEN same THEN sim END)
+             - max(CASE WHEN NOT same THEN sim END) AS margin
+    FROM best WHERE rn = 1 GROUP BY anchor_id"""
+
   /** q137: embedding-corpus audit — the data-QA gate a vector pipeline
     * runs before indexing/training: per norm band (floor(4·‖v‖)), the
     * vector count and exact norm extrema, plus corpus-wide counts of
@@ -1332,7 +1381,8 @@ object Extensions {
     "q129_session_window_native" -> QueryDef(SessionWindowGate.sessionWindowNative _,
       SessionWindowGate.sessionWindowNativeSql),
     "q135_hard_negatives"    -> QueryDef(hardNegatives _, hardNegativesSql),
-    "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql))
+    "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql),
+    "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

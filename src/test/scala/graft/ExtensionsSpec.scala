@@ -545,6 +545,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!out2.head.isNullAt(out2.head.fieldIndex("neg_id")))
   }
 
+  test("IVF-probed hard negatives agree with the exact route on most anchors") {
+    // the q112 discipline for q138: the probe route's agreement with the
+    // exact q135 answer is MEASURED (12/20 on each side at sf0.001-scale
+    // geometry; floor at half) — on near-isotropic synthetic embeddings the
+    // 4/16-cell probe bounds it, real clustered embeddings sit higher
+    val d = "/root/testdata/sf0.01"
+    val exact = graft.queries.Extensions.hardNegatives(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(3))).toMap
+    val probed = graft.queries.Extensions.hardNegativesIvfGate(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(3))).toMap
+    assert(exact.keySet === probed.keySet, "every anchor must emit a row")
+    val posAgree = exact.count { case (k, (p, _)) => probed(k)._1 == p }
+    val negAgree = exact.count { case (k, (_, n)) => probed(k)._2 == n }
+    assert(posAgree * 2 >= exact.size,
+      s"positive agreement $posAgree/${exact.size} below the 1/2 floor")
+    assert(negAgree * 2 >= exact.size,
+      s"negative agreement $negAgree/${exact.size} below the 1/2 floor")
+  }
+
   test("k-anonymity suppresses exactly the under-k quasi-identifier groups") {
     val out = graft.queries.Curation.kAnonymize(spark, sf).cache()
     try {
