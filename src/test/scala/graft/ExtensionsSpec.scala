@@ -604,6 +604,56 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(total === 4, "every vector lands in exactly one band")
   }
 
+  test("new-operator plan shapes: audit one-exchange, mining broadcast + window-limit") {
+    // q137: map-side-combined aggregate on the band key over a scan pruned
+    // to the embedding column — ONE exchange total
+    val audit = graft.queries.Extensions.embeddingAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(audit).size === 1,
+      s"q137 must shuffle exactly once:\n$audit")
+    assert(audit.contains("partial_count"), s"q137 must combine map-side:\n$audit")
+    assert(audit.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"q137 scan must prune to the embedding column:\n$audit")
+    // q135: anchors broadcast (corpus embeddings never shuffle) and the
+    // per-(anchor,side) top-1 is pushed BELOW the exchange as a partial
+    // WindowGroupLimit — only per-partition winners move
+    val mine = graft.queries.Extensions.hardNegatives(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(mine.contains("BroadcastExchange"),
+      s"q135 anchors must broadcast:\n$mine")
+    assert(mine.contains("row_number(), 1, Partial"),
+      s"q135 top-1 must prune before the shuffle (WindowGroupLimit Partial):\n$mine")
+  }
+
+  test("embedding audit runs as a live streaming aggregate, stream ≡ batch") {
+    // the audit's operational use is monitoring an embedding INGEST — the
+    // same embeddingAuditOn plan runs in complete mode over a stream, and
+    // a shuffled replay must converge to the exact batch answer (every
+    // audit value is order-independent: counts, element-pick extrema)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect().toList
+    val in = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.queries.Extensions.embeddingAuditOn(
+        in.toDF().toDF("vec_id", "embedding", "label"))
+      .writeStream.format("memory").queryName("audit_stream")
+      .outputMode("complete").start()
+    try {
+      new scala.util.Random(11).shuffle(rows).grouped(300).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("audit_stream").collect()
+        .map(r => r.toSeq.map(String.valueOf)).toSet
+      val want = graft.queries.Extensions.embeddingAuditOn(
+          Tables.embeddings(spark, sf)).collect()
+        .map(r => r.toSeq.map(String.valueOf)).toSet
+      assert(got === want, "streamed audit must equal the batch audit exactly")
+    } finally q.stop()
+  }
+
   test("embedding centroids: exact means, one aggregate shuffle on (label, dim)") {
     // plan first, before caching swaps in an InMemoryRelation: row-local
     // explode + ONE exchange for the (label, dim) aggregate
