@@ -290,6 +290,52 @@ object Extensions {
              - max(CASE WHEN NOT same THEN sim END) AS margin
     FROM best WHERE rn = 1 GROUP BY anchor_id"""
 
+  /** q139: hybrid retrieval — ANN over only the vectors whose DOCUMENT
+    * passes the q65 quality route (doc_id ≡ vec_id in the fixture corpus,
+    * the usual contract of a text+vector store). The filter is applied
+    * INSIDE candidate generation (left-semi before scoring), not to the
+    * top-k output — the q104 lesson: post-filtering an unfiltered top-k
+    * under-returns for queries whose same-filter neighbors rank below k.
+    * Non-vacuous at the gate SFs (the route drops ~21% of docs), and exact:
+    * both engines compose their already-proven q65 and q24 pipelines.
+    *
+    * At 100 TB the verdict is computed once at ingest and stored as index
+    * metadata (`writeIvfIndex(metaCols = …)`, the q104 serving path), so
+    * the probe pushes `verdict = 'keep'` into the pruned cell scan instead
+    * of re-deriving it; this gate row pins the SEMANTICS with the exact
+    * route. */
+  def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val keep = graft.queries.Curation.qualityRouteOn(Tables.documents(s, d))
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = emb.join(keep, Seq("vec_id"), "left_semi")
+    Similarity.bruteForceTopK(corpus, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val hybridSearchSql: String = s"""
+    WITH keep AS (SELECT doc_id FROM (${graft.queries.Curation.qualityRouteSql})
+                  WHERE verdict = 'keep'),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings JOIN keep ON embeddings.vec_id = keep.doc_id),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        CASE WHEN sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")}) = 0.0
+             THEN NULL
+             ELSE ${dotSql("qv", "v")}
+                  / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")}))
+        END AS sim
+      FROM c CROSS JOIN q
+      WHERE c.vec_id <> q.qid)
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs)
+    WHERE rn <= 5"""
+
   /** q138: the IVF-probed hard-negative route — q135's candidate
     * generation bounded to each anchor's 4 nearest cells of the
     * label-carrying index (q104's), the way a 100 TB corpus would mine
@@ -1382,7 +1428,8 @@ object Extensions {
       SessionWindowGate.sessionWindowNativeSql),
     "q135_hard_negatives"    -> QueryDef(hardNegatives _, hardNegativesSql),
     "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql),
-    "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql))
+    "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql),
+    "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

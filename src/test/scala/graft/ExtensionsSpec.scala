@@ -564,6 +564,29 @@ class ExtensionsSpec extends AnyFunSuite {
       s"negative agreement $negAgree/${exact.size} below the 1/2 floor")
   }
 
+  test("hybrid search filters inside candidate generation, not post-hoc") {
+    val d = "/root/testdata/sf0.01"
+    val keep = graft.queries.Curation.qualityRoute(spark, d)
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = graft.queries.Extensions.hybridSearch(spark, d).collect()
+    // every returned neighbor's document passed the quality route
+    assert(rows.forall(r => keep(r.getAs[Long]("neighbor_id"))),
+      "hybrid search returned a filtered-out neighbor")
+    // every query still gets its full k (the post-filter trap would
+    // under-return whenever dropped docs held top-5 slots)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ === 5), s"under-returned: ${perQuery.toMap}")
+    // and the filter is load-bearing: the answer differs from unfiltered q24
+    val unfiltered = graft.queries.Extensions.annBruteTopK(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hybrid = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((hybrid diff unfiltered).nonEmpty,
+      "fixture regression: quality filter no longer changes any top-5")
+  }
+
   test("k-anonymity suppresses exactly the under-k quasi-identifier groups") {
     val out = graft.queries.Curation.kAnonymize(spark, sf).cache()
     try {
