@@ -302,7 +302,81 @@ object ScaleJoins {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment"""
 
+  // --- q140: negative candidate generation ---------------------------------
+
+  /** Per-customer negative candidates for recommender-style training: the
+    * top-[[negCandPool]] globally popular parts the customer has NOT
+    * bought, ranked by popularity, top [[negCandK]] per customer. The
+    * standard scale trick is baked into the SHAPE, not bolted on: the
+    * candidate pool is a global top-N (one map-side-combined aggregate +
+    * TakeOrdered, driver state = N rows), the pool cross-joins customers
+    * as a BROADCAST (never a customer × parts product), and the
+    * anti-join's right side is only the customer's purchases WITHIN the
+    * pool (left_anti on the composite key — semi-join-sized shuffle).
+    * Everything is integer arithmetic: counts, ranks, keys — no float
+    * discipline needed at all.
+    *
+    * Output is bounded at customers × k rows; at 100 TB the same plan
+    * holds because the pool is constant-size and purchases are filtered
+    * to it before they shuffle. */
+  val negCandPool = 20
+  val negCandK = 3
+
+  def negativeCandidates(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val orders = Tables.orders(s, d)
+    val pool = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_bought"))
+      .orderBy(col("n_bought").desc, col("l_partkey"))
+      .limit(negCandPool)
+      .withColumn("pop_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_bought").desc, col("l_partkey"))))
+    val purchased = li
+      .join(broadcast(pool.select(col("l_partkey"))), Seq("l_partkey"), "left_semi")
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), Seq("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("pop_rank"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .crossJoin(broadcast(pool))
+      .join(purchased,
+        col("c_custkey") === col("o_custkey") &&
+          pool("l_partkey") === purchased("l_partkey"), "left_anti")
+      .withColumn("cand_rank", row_number().over(w))
+      .filter(col("cand_rank") <= negCandK)
+      .select(col("c_custkey"), col("l_partkey").as("cand_partkey"),
+        col("pop_rank"), col("cand_rank"))
+  }
+
+  val negativeCandidatesSql: String = s"""
+    WITH pool AS (
+      SELECT l_partkey, n_bought,
+             CAST(row_number() OVER (ORDER BY n_bought DESC, l_partkey)
+                  AS BIGINT) AS pop_rank
+      FROM (SELECT l_partkey, count(*) AS n_bought FROM lineitem GROUP BY 1)
+      ORDER BY n_bought DESC, l_partkey LIMIT $negCandPool),
+    purchased AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey IN (SELECT l_partkey FROM pool)),
+    cand AS (
+      SELECT c.c_custkey, p.l_partkey AS cand_partkey, p.pop_rank
+      FROM customer c CROSS JOIN pool p
+      WHERE NOT EXISTS (SELECT 1 FROM purchased u
+                        WHERE u.o_custkey = c.c_custkey
+                          AND u.l_partkey = p.l_partkey))
+    SELECT c_custkey, cand_partkey, pop_rank, cand_rank FROM (
+      SELECT c_custkey, cand_partkey, pop_rank,
+             CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY pop_rank)
+                  AS BIGINT) AS cand_rank
+      FROM cand)
+    WHERE cand_rank <= $negCandK"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q140_negative_candidates" -> QueryDef(negativeCandidates _, negativeCandidatesSql),
     "q105_fuzzy_resolve"    -> QueryDef(fuzzyResolve _, fuzzyResolveSql),
     "q125_auto_join_skewed" -> QueryDef(autoSkewedRevenue _, autoSkewedRevenueSql),
     "q126_auto_join_broadcast" -> QueryDef(autoBroadcastSegments _, autoBroadcastSegmentsSql),

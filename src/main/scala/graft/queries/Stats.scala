@@ -594,7 +594,58 @@ object Stats {
       FROM customer) t
     WHERE rank <= 3"""
 
+  // --- q141: exponential time-decay aggregation ----------------------------
+
+  /** Time-decayed per-type event aggregates with EXACT decay arithmetic —
+    * the recency weighting a feature store applies to behavioral counters,
+    * under the gate's float discipline: half-life = 1 day, weight =
+    * 2^-age_days computed as `1.0 / (1 << age)`. A power-of-two divisor
+    * makes the division exact in IEEE 754 and identical in both engines —
+    * libm pow/exp are NOT correctly rounded and would flip final ulps —
+    * and base-2 decay is what "half-life" means anyway. Age is anchored to
+    * the corpus max timestamp (deterministic; at 100 TB the anchor is the
+    * feed's high-watermark, a scalar), integer-divided in epoch micros,
+    * and capped at 50 doublings (weight < 1e-15 of scale beyond that; the
+    * cap also keeps the shift in BIGINT range). Decayed sums go through
+    * the floor-quantized Exact aggregate, so the whole row is
+    * bit-reproducible at any parallelism.
+    *
+    * Scale shape: one broadcast 1-row scalar join for the anchor + one
+    * map-side-combined aggregate on the (tiny) event_type key. */
+  def decayedPopularity(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val mx = ev.agg(max(col("ts_us")).as("mx_us"))
+    ev.crossJoin(broadcast(mx))
+      // `div`, NOT `/`: Spark's `/` is double division, and a quotient that
+      // double-rounds just above an integer would truncate differently from
+      // DuckDB's integer `//` at day boundaries
+      .withColumn("age_days", expr("(mx_us - ts_us) div 86400000000"))
+      .withColumn("w", expr(
+        "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(least(age_days, 50) AS INT)) AS DOUBLE)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.dsum(col("w"), 8).as("decayed_count"),
+        Exact.dsum(col("value") * col("w"), 6).as("decayed_value"))
+  }
+
+  val decayedPopularitySql: String = s"""
+    SELECT event_type, count(*) AS n_events,
+           ${Exact.dsumSql("w", 8)} AS decayed_count,
+           ${Exact.dsumSql("value * w", 6)} AS decayed_value
+    FROM (
+      SELECT event_type, value,
+             1.0 / CAST((CAST(1 AS BIGINT) << CAST(LEAST(age_days, 50) AS INT))
+                        AS DOUBLE) AS w
+      FROM (
+        SELECT event_type, value,
+               (mx_us - epoch_us(ts)) // 86400000000 AS age_days
+        FROM events
+        CROSS JOIN (SELECT max(epoch_us(ts)) AS mx_us FROM events)))
+    GROUP BY event_type"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q127_topk_per_group" -> QueryDef(topCustomersPerNation _, topCustomersPerNationSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
