@@ -290,6 +290,33 @@ object Extensions {
              - max(CASE WHEN NOT same THEN sim END) AS margin
     FROM best WHERE rn = 1 GROUP BY anchor_id"""
 
+  /** q142: the SQL surface end-to-end — a `spark.sql` query over temp
+    * views calling the engine's REGISTERED Catalyst expressions
+    * (`GraftExtensions.register`: graft_fingerprint, graft_dot), under the
+    * same DuckDB oracle as the DataFrame paths. This gates the extension
+    * mechanism itself: if function registration, the codegen expressions'
+    * SQL bindings, or the analyzer plumbing regress, this row goes red —
+    * not just a unit spec. The arithmetic is the proven exact family
+    * (31-bit polynomial fingerprint fold, left-fold dot), so hash-exact
+    * cross-engine. */
+  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s) // createOrReplaceTempFunction: idempotent
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs_v")
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_v")
+    s.sql("""
+      SELECT d.doc_id, graft_fingerprint(d.text, 64) AS fp,
+             graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+                       CAST(e.embedding AS ARRAY<DOUBLE>)) AS sq_norm
+      FROM graft_docs_v d JOIN graft_emb_v e ON d.doc_id = e.vec_id""")
+  }
+
+  val sqlSurfaceSql: String = s"""
+    SELECT d.doc_id, ${fingerprintExprSqlOn("d.text")} AS fp,
+           ${dotSql("v", "v")} AS sq_norm
+    FROM documents d
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+      ON d.doc_id = e.vec_id"""
+
   /** q139: hybrid retrieval — ANN over only the vectors whose DOCUMENT
     * passes the q65 quality route (doc_id ≡ vec_id in the fixture corpus,
     * the usual contract of a text+vector store). The filter is applied
@@ -1429,7 +1456,8 @@ object Extensions {
     "q135_hard_negatives"    -> QueryDef(hardNegatives _, hardNegativesSql),
     "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql),
     "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql),
-    "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql))
+    "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql),
+    "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully
