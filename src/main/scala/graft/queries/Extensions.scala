@@ -290,6 +290,34 @@ object Extensions {
              - max(CASE WHEN NOT same THEN sim END) AS margin
     FROM best WHERE rn = 1 GROUP BY anchor_id"""
 
+  /** q143: cross-source duplication matrix — for every source pair, how
+    * many distinct document fingerprints they SHARE. The data-governance
+    * view of dedup: a hot cell means source B re-hosts source A's content
+    * (scrape-of-a-scrape, mirror feeds), which both wastes tokens and
+    * breaks "dedup within source" assumptions. Shape: distinct
+    * (source, fp) — one aggregate — then a self-equi-join ON fp whose
+    * per-key fan-out is bounded by sources-per-fingerprint (≤ #sources),
+    * never corpus-sized; a count aggregate on the (tiny) pair key ends it.
+    * Non-vacuous on the fixture (planted duplicate texts straddle
+    * sources). */
+  def sourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("source"), TextFunctions.fingerprint(col("text"), 64).as("fp"))
+      .distinct()
+    f.select(col("source").as("source_a"), col("fp"))
+      .join(f.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
+  val sourceDupMatrixSql: String = s"""
+    WITH f AS (SELECT DISTINCT source, $fingerprintExprSql AS fp FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_fps
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2"""
+
   /** q142: the SQL surface end-to-end — a `spark.sql` query over temp
     * views calling the engine's REGISTERED Catalyst expressions
     * (`GraftExtensions.register`: graft_fingerprint, graft_dot), under the
@@ -1457,7 +1485,8 @@ object Extensions {
     "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql),
     "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql),
     "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql),
-    "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql))
+    "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql),
+    "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully
