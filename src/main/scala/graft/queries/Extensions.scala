@@ -290,6 +290,46 @@ object Extensions {
              - max(CASE WHEN NOT same THEN sim END) AS margin
     FROM best WHERE rn = 1 GROUP BY anchor_id"""
 
+  /** q144: encoding audit — the mojibake/binary-leak detector a text
+    * pipeline runs before tokenization: per document, the U+FFFD
+    * replacement-character count (the scar UTF-8 decoding leaves on
+    * mis-encoded bytes), the C0 control-character count (excluding
+    * \t \n \r — real text never contains the rest; PDFs-gone-wrong and
+    * binary leaks do), and the printable-ASCII ratio. All explicit
+    * character classes — the Java/RE2 spelling both engines agree on —
+    * and one IEEE division for the ratio. Row-local, codegen'd, zero
+    * shuffles; clean-fixture outputs are exact zeros/ones and the
+    * DETECTION behavior is spec-pinned on planted mojibake. */
+  private val replChar = "�"
+  private val controlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  private val asciiPrintable = "[\\x20-\\x7E]"
+
+  def encodingAudit(s: SparkSession, d: String): DataFrame =
+    encodingAuditOn(Tables.documents(s, d))
+
+  def encodingAuditOn(docs: DataFrame): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      cnt(s"[$replChar]").as("n_replacement"),
+      cnt(controlClass).as("n_control"),
+      (cnt(asciiPrintable).cast("double") /
+        nullif(length(col("text")).cast("double"), lit(0.0))).as("ascii_ratio"))
+  }
+
+  val encodingAuditSql: String = s"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[$replChar]', '', 'g'))
+                AS BIGINT) AS n_replacement,
+           CAST(length(text) - length(regexp_replace(text, '$controlClass', '', 'g'))
+                AS BIGINT) AS n_control,
+           CAST(length(text) - length(regexp_replace(text, '$asciiPrintable', '', 'g'))
+                AS DOUBLE)
+             / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS ascii_ratio
+    FROM documents"""
+
   /** q143: cross-source duplication matrix — for every source pair, how
     * many distinct document fingerprints they SHARE. The data-governance
     * view of dedup: a hot cell means source B re-hosts source A's content
@@ -1486,7 +1526,8 @@ object Extensions {
     "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql),
     "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql),
     "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql),
-    "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql))
+    "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql),
+    "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

@@ -644,8 +644,61 @@ object Stats {
         CROSS JOIN (SELECT max(epoch_us(ts)) AS mx_us FROM events)))
     GROUP BY event_type"""
 
+  // --- q145: robust (median/MAD) scaling statistics -------------------------
+
+  /** Outlier-robust scaling statistics per event type: the exact median and
+    * the median absolute deviation, both as ORDER STATISTICS (the q56
+    * discipline — a picked element with a total order is the same row in
+    * every engine; interpolated percentiles are not). Pass 1 picks the
+    * rank-⌈n/2⌉ (value, event_id) per type; pass 2 broadcasts the 5-row
+    * median table back, forms |value − median| (the same IEEE subtraction
+    * in both engines), and picks its rank-⌈n/2⌉ element. (median, MAD) is
+    * what a feature pipeline feeds a robust z-score ((x−med)/(1.4826·MAD))
+    * when heavy tails would poison mean/stddev scaling.
+    *
+    * Scale shape: two sort-windows over the event_type partition — the
+    * exact form; q92's histogram sketch is the documented one-pass
+    * approximate alternative when a full sort per key is too dear. */
+  def robustScaling(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val med = ev
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("value").as("median_value"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("median_value")))
+      .withColumn("rn", row_number().over(byType.orderBy(col("adev"), col("event_id"))))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("cnt").as("n"),
+        col("median_value"), col("adev").as("mad"))
+  }
+
+  val robustScalingSql: String = """
+    WITH ev AS (SELECT event_type, event_id, value FROM events),
+    med AS (
+      SELECT event_type, value AS median_value
+      FROM (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM ev)
+      WHERE rn = (cnt + 1) // 2)
+    SELECT event_type, cnt AS n, median_value, adev AS mad
+    FROM (SELECT ev.event_type, med.median_value,
+            abs(ev.value - med.median_value) AS adev, ev.event_id,
+            row_number() OVER (PARTITION BY ev.event_type
+                               ORDER BY abs(ev.value - med.median_value),
+                                        ev.event_id) AS rn,
+            count(*) OVER (PARTITION BY ev.event_type) AS cnt
+          FROM ev JOIN med USING (event_type))
+    WHERE rn = (cnt + 1) // 2"""
+
   val defs: Map[String, QueryDef] = Map(
     "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
+    "q145_robust_scaling"    -> QueryDef(robustScaling _, robustScalingSql),
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q127_topk_per_group" -> QueryDef(topCustomersPerNation _, topCustomersPerNationSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),

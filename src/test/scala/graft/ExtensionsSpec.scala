@@ -605,6 +605,28 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("encoding audit detects planted mojibake, control leaks, and non-ASCII") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "clean ascii text."),
+      (2L, "broken �� bytes"),          // 2 replacement chars
+      (3L, "binary\u0000leak\u0007here"),          // 2 C0 controls
+      (4L, "tab\tand\nnewline are fine"),          // \t \n excluded from controls
+      (5L, "café résumé")           // non-ascii letters, no damage
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Extensions.encodingAuditOn(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_replacement") === 0 &&
+      out(1L).getAs[Long]("n_control") === 0 &&
+      out(1L).getAs[Double]("ascii_ratio") === 1.0)
+    assert(out(2L).getAs[Long]("n_replacement") === 2)
+    assert(out(3L).getAs[Long]("n_control") === 2)
+    assert(out(4L).getAs[Long]("n_control") === 0, "\\t/\\n must not count as damage")
+    assert(out(5L).getAs[Long]("n_replacement") === 0 &&
+      out(5L).getAs[Double]("ascii_ratio") < 1.0)
+  }
+
   test("embedding audit counts zero vectors and non-finite components") {
     implicit val s = spark
     import s.implicits._
