@@ -330,6 +330,39 @@ object Extensions {
              / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS ascii_ratio
     FROM documents"""
 
+  /** q146: the native grouped top-k AGGREGATE under the gate — q127
+    * answers the same question (top-3 customers by balance per nation)
+    * with a window; this row answers it with the engine's
+    * TypedImperativeAggregate (`TopKRows`, registered as SQL `graft_topk`)
+    * so the custom-aggregate machinery — buffer update/merge/serialize,
+    * the analyzer's aggregate wrapping, posexplode of the struct-array
+    * result — is driver-gated end to end, not just spec'd. The aggregate's
+    * total order (key desc, payload asc) makes the kept set unique under
+    * ANY merge order, which is exactly what lets a DuckDB window
+    * formulation reproduce it. At scale the aggregate form beats the
+    * window form: per-group state is k pairs (no sort of the full
+    * partition), shuffles bytes ∝ groups·k. */
+  def topkNativeAgg(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_v")
+    s.sql("""
+      SELECT c_nationkey, CAST(pos + 1 AS BIGINT) AS rnk,
+             t.key AS acctbal, t.payload AS top_custkey
+      FROM (SELECT c_nationkey,
+              graft_topk(c_acctbal, c_custkey, 3) AS top
+            FROM graft_cust_v GROUP BY c_nationkey)
+      LATERAL VIEW posexplode(top) x AS pos, t""")
+  }
+
+  val topkNativeAggSql: String = """
+    SELECT c_nationkey, CAST(rn AS BIGINT) AS rnk,
+           c_acctbal AS acctbal, c_custkey AS top_custkey
+    FROM (SELECT c_nationkey, c_acctbal, c_custkey,
+            row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 3"""
+
   /** q143: cross-source duplication matrix — for every source pair, how
     * many distinct document fingerprints they SHARE. The data-governance
     * view of dedup: a hot cell means source B re-hosts source A's content
@@ -1527,7 +1560,8 @@ object Extensions {
     "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql),
     "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql),
     "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql),
-    "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql))
+    "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql),
+    "q146_topk_native_agg"   -> QueryDef(topkNativeAgg _, topkNativeAggSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully
