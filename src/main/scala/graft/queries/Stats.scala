@@ -659,8 +659,11 @@ object Stats {
     * Scale shape: two sort-windows over the event_type partition — the
     * exact form; q92's histogram sketch is the documented one-pass
     * approximate alternative when a full sort per key is too dear. */
-  def robustScaling(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+  def robustScaling(s: SparkSession, d: String): DataFrame =
+    robustScalingOn(Tables.events(s, d))
+
+  def robustScalingOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("event_id"), col("value"))
     val byType = Window.partitionBy(col("event_type"))
     val med = ev
       .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
