@@ -330,6 +330,45 @@ object Extensions {
              / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS ascii_ratio
     FROM documents"""
 
+  /** q147: Structured Streaming EXECUTION under the batch oracle — the
+    * q43 pattern applied to streaming aggregation: the embeddings table
+    * replays through `readStream` (one file per trigger — a real
+    * micro-batch sequence, not a single-batch degenerate), the SAME
+    * `embeddingAuditOn` plan runs in complete mode through the streaming
+    * engine (partial aggregation + state store merge per batch), and the
+    * final in-memory table must hash-match q137's batch oracle. Every
+    * audit value is order/batching-independent by construction (counts,
+    * element-pick extrema), so micro-batch boundaries cannot show — which
+    * is exactly the property this row gates. q43 covers
+    * flatMapGroupsWithState; this covers the streaming-aggregation state
+    * path. */
+  private val auditGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val auditReplayLock = new Object
+
+  def streamingAuditGate(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_audit_gate_${auditGateRuns.incrementAndGet()}"
+    // the testdata table is a single file and a file stream source needs a
+    // directory — materialize a 4-file copy once per fixture fingerprint
+    // (hash-partitioned on vec_id, so each micro-batch is a nontrivial slice)
+    val dir = indexCacheDir("graft-audit-replay", d, "embeddings", "files4")
+    auditReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables.embeddings(s, d).repartition(4, col("vec_id"))
+          .write.mode("overwrite").parquet(dir)
+    }
+    val schema = Tables.embeddings(s, d).schema
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = embeddingAuditOn(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+  }
+
   /** q146: the native grouped top-k AGGREGATE under the gate — q127
     * answers the same question (top-3 customers by balance per nation)
     * with a window; this row answers it with the engine's
@@ -1561,7 +1600,8 @@ object Extensions {
     "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql),
     "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql),
     "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql),
-    "q146_topk_native_agg"   -> QueryDef(topkNativeAgg _, topkNativeAggSql))
+    "q146_topk_native_agg"   -> QueryDef(topkNativeAgg _, topkNativeAggSql),
+    "q147_streaming_audit_gate" -> QueryDef(streamingAuditGate _, embeddingAuditSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully
