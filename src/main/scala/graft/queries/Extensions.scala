@@ -369,6 +369,39 @@ object Extensions {
     s.table(name)
   }
 
+  /** q148: the audit's APPEND path — day-1 audit table persisted, day-2
+    * delta audited alone, the two MERGED per band (counts/sums add,
+    * extrema pick — every column of q137 is a semigroup), and the result
+    * must hash-match the FULL-corpus oracle. The sketch-family discipline
+    * (HLL max-merge, CMS sum-merge, Bloom or-merge: append ≡ rebuild
+    * proven under oracle, daily cost = delta) applied to the monitoring
+    * table: at 100 TB you audit the day's ingest and fold it into
+    * yesterday's table; you never re-scan the corpus. */
+  private def auditStateDir(d: String): String =
+    indexCacheDir("graft-audit-state", d, "embeddings", "evenhalf")
+
+  private val auditStateLock = new Object
+
+  def auditIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = auditStateDir(d)
+    auditStateLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        embeddingAuditOn(emb.filter(col("vec_id") % 2 === 0))
+          .write.mode("overwrite").parquet(dir)
+    }
+    val day1 = s.read.parquet(dir)
+    val day2 = embeddingAuditOn(emb.filter(col("vec_id") % 2 === 1))
+    day1.unionByName(day2)
+      .groupBy("norm_band")
+      .agg(
+        sum(col("n_vectors")).as("n_vectors"),
+        min(col("min_norm")).as("min_norm"),
+        max(col("max_norm")).as("max_norm"),
+        sum(col("n_zero_vectors")).as("n_zero_vectors"),
+        sum(col("n_nonfinite_components")).as("n_nonfinite_components"))
+  }
+
   /** q146: the native grouped top-k AGGREGATE under the gate — q127
     * answers the same question (top-3 customers by balance per nation)
     * with a window; this row answers it with the engine's
@@ -1601,7 +1634,8 @@ object Extensions {
     "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql),
     "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql),
     "q146_topk_native_agg"   -> QueryDef(topkNativeAgg _, topkNativeAggSql),
-    "q147_streaming_audit_gate" -> QueryDef(streamingAuditGate _, embeddingAuditSql))
+    "q147_streaming_audit_gate" -> QueryDef(streamingAuditGate _, embeddingAuditSql),
+    "q148_audit_incremental" -> QueryDef(auditIncremental _, embeddingAuditSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

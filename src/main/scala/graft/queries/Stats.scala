@@ -699,9 +699,48 @@ object Stats {
           FROM ev JOIN med USING (event_type))
     WHERE rn = (cnt + 1) // 2"""
 
+  // --- q149: equi-depth (quantile-bucketed) histogram -----------------------
+
+  /** Equi-depth histogram of lineitem extended price: `ntile(8)` under a
+    * TOTAL order (price, orderkey, linenumber) — ntile's
+    * extra-row-to-the-first-(n mod k)-buckets distribution is SQL-standard
+    * and identical cross-engine once the order is total, so the bucket
+    * boundaries are exact, not interpolated. The complement of q79's
+    * equal-WIDTH histogram: equal-width shows the value distribution's
+    * shape, equal-depth gives the split points a range partitioner or a
+    * BETWEEN-predicate selectivity estimator actually wants (every bucket
+    * holds the same row count by construction).
+    *
+    * Scale shape: one global sort-window — the exact form (the same cost
+    * class as any global ntile); q92's one-pass histogram sketch is the
+    * documented approximate alternative. */
+  def equiDepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(8).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        Exact.dsum(col("l_extendedprice"), 2).as("bucket_sum"))
+  }
+
+  val equiDepthHistogramSql: String = s"""
+    SELECT bucket, count(*) AS n_rows,
+           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+           ${Exact.dsumSql("l_extendedprice", 2)} AS bucket_sum
+    FROM (SELECT l_extendedprice,
+            ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                           l_linenumber) AS bucket
+          FROM lineitem)
+    GROUP BY bucket"""
+
   val defs: Map[String, QueryDef] = Map(
     "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
     "q145_robust_scaling"    -> QueryDef(robustScaling _, robustScalingSql),
+    "q149_equidepth_histogram" -> QueryDef(equiDepthHistogram _, equiDepthHistogramSql),
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q127_topk_per_group" -> QueryDef(topCustomersPerNation _, topCustomersPerNationSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
