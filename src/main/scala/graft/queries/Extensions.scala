@@ -369,6 +369,52 @@ object Extensions {
     s.table(name)
   }
 
+  /** q150: the round-10 curation composition — the document intake a
+    * training pipeline actually runs, chaining this round's screens with
+    * the established ones IN THE SAFE ORDER (cheap row-local screens
+    * before the dedup shuffle): encoding screen (q144: no replacement
+    * chars, no control leaks, ascii_ratio ≥ 0.8) → quality route keep
+    * (q65) → exact dedup keep-first (q20) → per-source kept counts +
+    * token totals. One window shuffle (the dedup) over the pre-screened
+    * survivors, one small aggregate — the oracle recomputes the whole
+    * chain independently, so the COMPOSITION (filter order included, via
+    * the keep-first tie on the screened subset) is what's gated, not just
+    * the parts. */
+  def curateV2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val screened = docs
+      .join(encodingAuditOn(docs)
+        .filter(col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("ascii_ratio") >= 0.8)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(graft.queries.Curation.qualityRouteOn(docs)
+        .filter(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    Dedup.exactKeepFirst(screened, "text", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+  }
+
+  val curateV2Sql: String = s"""
+    WITH screened AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      WHERE (length(text) - length(regexp_replace(text, '[$replChar]', '', 'g'))) = 0
+        AND (length(text) - length(regexp_replace(text, '$controlClass', '', 'g'))) = 0
+        AND CAST(length(text) - length(regexp_replace(text, '$asciiPrintable', '', 'g'))
+                 AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0) >= 0.8
+        AND d.doc_id IN (
+          SELECT doc_id FROM (${graft.queries.Curation.qualityRouteSql})
+          WHERE verdict = 'keep')),
+    deduped AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM screened) WHERE rn = 1)
+    SELECT source, count(*) AS n_docs_kept,
+           CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY source"""
+
   /** q148: the audit's APPEND path — day-1 audit table persisted, day-2
     * delta audited alone, the two MERGED per band (counts/sums add,
     * extrema pick — every column of q137 is a semigroup), and the result
@@ -1635,7 +1681,8 @@ object Extensions {
     "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql),
     "q146_topk_native_agg"   -> QueryDef(topkNativeAgg _, topkNativeAggSql),
     "q147_streaming_audit_gate" -> QueryDef(streamingAuditGate _, embeddingAuditSql),
-    "q148_audit_incremental" -> QueryDef(auditIncremental _, embeddingAuditSql))
+    "q148_audit_incremental" -> QueryDef(auditIncremental _, embeddingAuditSql),
+    "q150_curate_v2"         -> QueryDef(curateV2 _, curateV2Sql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully
