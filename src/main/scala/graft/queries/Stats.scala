@@ -737,10 +737,55 @@ object Stats {
           FROM lineitem)
     GROUP BY bucket"""
 
+  // --- q151: windowed rate capping ------------------------------------------
+
+  /** Per-(user, hour) rate capping — the bot/scraper throttle a
+    * behavioral-data pipeline applies before events become training
+    * signal: within each user-hour, keep the first [[rateCapK]] events in
+    * (time, event_id) order and REPORT what was dropped, per user-hour.
+    * q67 caps per SOURCE (static key); this caps per time window — the
+    * rolling-abuse shape. All integer arithmetic: the hour bucket is an
+    * epoch-micros integer division, the keep set is a rank under a total
+    * order. One window shuffle on the (user, bucket) composite — high
+    * cardinality, unskewed — then the per-key aggregate reuses the same
+    * partitioning (no second exchange). K = 1 — at-most-one-event-per-
+    * user-hour downsampling — keeps the over-cap report non-vacuous at
+    * every gate SF (49 / 426 / 4,262 capped user-hours at
+    * sf0.001/0.01/0.1). */
+  val rateCapK = 1
+
+  def rateCap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("bucket_hour", expr("ts_us div 3600000000"))
+    val w = Window.partitionBy(col("user_id"), col("bucket_hour"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .groupBy("user_id", "bucket_hour")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("rn") <= rateCapK, lit(1))).as("n_kept"),
+        count(when(col("rn") > rateCapK, lit(1))).as("n_dropped"))
+      .filter(col("n_dropped") > 0)
+  }
+
+  val rateCapSql: String = s"""
+    SELECT user_id, bucket_hour, count(*) AS n_events,
+           count(CASE WHEN rn <= $rateCapK THEN 1 END) AS n_kept,
+           count(CASE WHEN rn > $rateCapK THEN 1 END) AS n_dropped
+    FROM (SELECT user_id, bucket_hour,
+            row_number() OVER (PARTITION BY user_id, bucket_hour
+                               ORDER BY ts_us, event_id) AS rn
+          FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) // 3600000000 AS bucket_hour
+                FROM events))
+    GROUP BY user_id, bucket_hour
+    HAVING count(CASE WHEN rn > $rateCapK THEN 1 END) > 0"""
+
   val defs: Map[String, QueryDef] = Map(
     "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
     "q145_robust_scaling"    -> QueryDef(robustScaling _, robustScalingSql),
     "q149_equidepth_histogram" -> QueryDef(equiDepthHistogram _, equiDepthHistogramSql),
+    "q151_rate_cap"          -> QueryDef(rateCap _, rateCapSql),
     "q79_price_histogram" -> QueryDef(priceHistogram _, priceHistogramSql),
     "q127_topk_per_group" -> QueryDef(topCustomersPerNation _, topCustomersPerNationSql),
     "q80_moment_stats"    -> QueryDef(momentStats _, momentStatsSql),
