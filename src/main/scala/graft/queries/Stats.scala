@@ -781,7 +781,57 @@ object Stats {
     GROUP BY user_id, bucket_hour
     HAVING count(CASE WHEN rn > $rateCapK THEN 1 END) > 0"""
 
+  // --- q152: chi-square drift between cohorts -------------------------------
+
+  /** Distribution-drift statistic between two event cohorts (split by
+    * event_id parity — the deterministic stand-in for day-over-day
+    * feeds): per event_type, the chi-square contribution
+    * (observed − expected)² / expected of each cohort against the pooled
+    * distribution, summed into one drift score per type plus the global
+    * statistic. Chi-square is the drift test that needs NO logarithm —
+    * unlike PSI/KL — so every term is subtract/multiply/divide on exact
+    * integer counts and the sum goes through the quantized-exact
+    * aggregate: the whole monitor is bit-reproducible, the q101
+    * text-drift row's numeric sibling. Shape: one map-side-combined count
+    * aggregate on (type, cohort), a driver-free pivot via conditional
+    * sums, row-local arithmetic on a #types-sized table. */
+  def chisqDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("event_id") % 2 === 0, lit(1))).cast("double").as("a"),
+        count(when(col("event_id") % 2 === 1, lit(1))).cast("double").as("b"))
+    val tot = counts.agg(
+      sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("ea", (col("a") + col("b")) * col("ta") / (col("ta") + col("tb")))
+      .withColumn("eb", (col("a") + col("b")) * col("tb") / (col("ta") + col("tb")))
+      .select(col("event_type"),
+        col("a").cast("long").as("n_cohort_a"),
+        col("b").cast("long").as("n_cohort_b"),
+        ((col("a") - col("ea")) * (col("a") - col("ea")) / col("ea") +
+          (col("b") - col("eb")) * (col("b") - col("eb")) / col("eb"))
+          .as("chisq"))
+  }
+
+  val chisqDriftSql: String = """
+    WITH counts AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS DOUBLE) AS a,
+             CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS DOUBLE) AS b
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM counts)
+    SELECT event_type,
+           CAST(a AS BIGINT) AS n_cohort_a,
+           CAST(b AS BIGINT) AS n_cohort_b,
+           (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb AS chisq
+    FROM (SELECT event_type, a, b,
+            (a + b) * ta / (ta + tb) AS ea,
+            (a + b) * tb / (ta + tb) AS eb
+          FROM counts CROSS JOIN tot)"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q152_chisq_drift"       -> QueryDef(chisqDrift _, chisqDriftSql),
     "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
     "q145_robust_scaling"    -> QueryDef(robustScaling _, robustScalingSql),
     "q149_equidepth_histogram" -> QueryDef(equiDepthHistogram _, equiDepthHistogramSql),
