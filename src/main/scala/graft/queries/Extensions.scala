@@ -825,6 +825,57 @@ object Extensions {
     * Scale shape: the projected corpus is 8 doubles per row — the
     * broadcast-queries brute pass costs 8× less per pair than full-dim,
     * which is the point of projecting before searching. */
+  /** q153: matryoshka-prefix retrieval fidelity — recall@5 of cosine over
+    * the FIRST [[matryoshkaDims]] embedding dimensions against the
+    * full-space truth (q24). The practice MRL-style embedding models
+    * enable: serve the cheap prefix, keep the tail for re-ranking; this
+    * row MEASURES what prefix truncation costs on this corpus, the q134
+    * discipline with slicing instead of projection. On the synthetic
+    * near-isotropic embeddings the prefix carries ~16/64 of the energy,
+    * so measured recall is honestly low — the row's value is that the
+    * number is gated, not assumed (real MRL embeddings put most energy in
+    * the prefix by training). `slice` + the proven fold-dot machinery:
+    * exact cross-engine, and the prefix pass folds 4× fewer terms per
+    * pair than full-dim — the point of truncating. */
+  val matryoshkaDims = 16
+
+  def matryoshkaRecallAt5(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, matryoshkaDims).as("pvec"))
+    val preTop = Similarity.bruteForceTopK(
+        pre, pre.filter(col("vec_id") < 10), k = 5, vecCol = "pvec")
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    annBruteTopK(s, d).select("query_id", "neighbor_id")
+      .join(preTop, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id").agg(count(col("__hit")).as("hits_at_5"))
+  }
+
+  val matryoshkaRecallAt5Sql: String = s"""
+    SELECT b.query_id, count(i.neighbor_id) AS hits_at_5
+    FROM ($annBruteTopKSql) b
+    LEFT JOIN (
+      WITH c AS (SELECT vec_id,
+                   list_slice(CAST(embedding AS DOUBLE[]), 1, $matryoshkaDims) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+      pairs AS (
+        SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+          CASE WHEN sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")}) = 0.0
+               THEN NULL
+               ELSE ${dotSql("qv", "v")}
+                    / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")}))
+          END AS sim
+        FROM c CROSS JOIN q WHERE c.vec_id <> q.qid)
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM pairs)
+      WHERE rn <= 5) i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id"""
+
   def pcaAnnRecallAt5(s: SparkSession, d: String): DataFrame = {
     val k = graft.ml.EmbedPca.k
     val proj = graft.ml.EmbedPca.projectPinned(Tables.embeddings(s, d))
@@ -1651,6 +1702,7 @@ object Extensions {
     "q104_ann_filtered"      -> QueryDef(annIvfFilteredTopK _, annIvfFilteredTopKSql),
     "q112_ann_recall"        -> QueryDef(annRecallAt5 _, annRecallAt5Sql),
     "q134_pca_ann_recall"    -> QueryDef(pcaAnnRecallAt5 _, pcaAnnRecallAt5Sql),
+    "q153_matryoshka_recall" -> QueryDef(matryoshkaRecallAt5 _, matryoshkaRecallAt5Sql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
