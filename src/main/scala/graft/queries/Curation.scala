@@ -185,6 +185,79 @@ object Curation {
                   CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
                 FROM customer))"""
 
+  // --- q154: collocation mining by lift -------------------------------------
+
+  /** Token-pair collocations by LIFT — the no-logarithm PMI alternative
+    * (PMI = log lift; ranking by lift ranks identically and keeps the
+    * arithmetic exact): lift(a,b) = N · df(a,b) / (df(a) · df(b)) over
+    * document-level co-occurrence, computed for pairs of the
+    * [[collocVocabN]] most-frequent tokens with support ≥
+    * [[collocMinSupport]] docs, top-[[collocTopK]] by (lift, support,
+    * pair). The standard blow-up control is structural: tokens are
+    * restricted to the top-N vocabulary BEFORE the per-doc pair join, so
+    * candidates are ≤ N²/2 per doc regardless of corpus size, and only
+    * (doc, token) pairs — not text — reach the join.
+    *
+    * Exactness: df counts are integers; lift is one integer-product
+    * ratio as an IEEE division — identical cross-engine. Vocabulary
+    * selection is total-ordered (count desc, token) like q63. */
+  val collocVocabN = 40
+  val collocMinSupport = 3
+  val collocTopK = 20
+
+  def tokenLift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val docTok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+    val vocab = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(collocVocabN)
+    val vt = docTok.join(broadcast(vocab), "tok")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = vt.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+      .join(vt.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b")),
+        Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("df_ab"),
+        first(col("df_a")).as("df_a"), first(col("df_b")).as("df_b"))
+      .filter(col("df_ab") >= collocMinSupport)
+    val w = Window.orderBy(col("lift").desc, col("df_ab").desc,
+      col("tok_a"), col("tok_b"))
+    pairs.crossJoin(broadcast(nDocs))
+      .withColumn("lift",
+        (col("n_docs") * col("df_ab")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= collocTopK)
+      .select(col("rnk"), col("tok_a"), col("tok_b"), col("df_ab"),
+        col("df_a"), col("df_b"), col("lift"))
+  }
+
+  val tokenLiftSql: String = s"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(${Extensions.toksSql}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, count(*) AS df FROM dt GROUP BY 1
+      ORDER BY df DESC, tok LIMIT $collocVocabN),
+    vt AS (SELECT dt.doc_id, dt.tok, vocab.df FROM dt JOIN vocab USING (tok)),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS df_ab,
+             first(a.df) AS df_a, first(b.df) AS df_b
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= $collocMinSupport),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT rnk, tok_a, tok_b, df_ab, df_a, df_b, lift FROM (
+      SELECT CAST(row_number() OVER (ORDER BY lift DESC, df_ab DESC,
+                                     tok_a, tok_b) AS BIGINT) AS rnk,
+             tok_a, tok_b, df_ab, df_a, df_b, lift
+      FROM (SELECT tok_a, tok_b, df_ab, df_a, df_b,
+              CAST(n_docs * df_ab AS DOUBLE)
+                / CAST(df_a * df_b AS DOUBLE) AS lift
+            FROM pairs CROSS JOIN n))
+    WHERE rnk <= $collocTopK"""
+
   // --- q65: quality routing ------------------------------------------------
 
   /** First-failing-rule quality router — the corpus-level twin of the
@@ -1103,5 +1176,6 @@ object Curation {
     "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql),
     "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql),
     "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql),
-    "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql))
+    "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
+    "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql))
 }
