@@ -175,8 +175,10 @@ object Bench {
     // 2-decimal per-query values (10 ms resolution — ample for a seconds-
     // scale bench) buy the byte budget for the "worst" object.
     def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _) => "\"" + shortKey(k) + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    // per-query entries ordered most-expensive-first: when the byte budget
+    // forces shedding (below), the retained prefix is the informative one
+    val qEntries = results.sortBy { case (_, med, _, _) => -med }
+      .map { case (k, v, _, _) => "\"" + shortKey(k) + "\":" + r2(v) }
     // Top worst queries by median as [median,min] pairs: median≫min says
     // machine noise, median≈min≫record says a real regression — the
     // adjudication the round-9 verdict had to re-measure locally.
@@ -209,17 +211,24 @@ object Bench {
     spark.stop()
     // Length guard: the driver parses the JSON line out of its ~2000-byte
     // tail keep; a line that outgrows the window records "parsed": null and
-    // the round loses its bench. Shed worst-pairs (the diagnostic extra)
-    // one at a time before that can happen — the core queries/errors
-    // objects always ship intact.
-    def line(pairs: Seq[String]): String = {
-      val worst = pairs.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","worst":$worst,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // the round loses its bench. At 150+ registry queries the FULL
+    // per-query map alone is ~1900 bytes, so the shedding priority is
+    // inverted from round 9: total/errors/WORST always ship (worst is the
+    // outlier-adjudication instrument the round-9 verdict had to re-measure
+    // locally), and the queries map keeps only its most-expensive prefix
+    // with an explicit "queries_omitted" count. The complete per-query
+    // medians+mins live in the committed BENCHDETAIL.json either way.
+    def line(nQ: Int): String = {
+      val worst = worstPairs.mkString("{", ",", "}")
+      val qs = qEntries.take(nQ).mkString("{", ",", "}")
+      val omitted = qEntries.size - nQ
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","worst":$worst,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
     }
     val budget = 1900
-    val fitted = Iterator.iterate(worstPairs)(_.dropRight(1))
-      .find(p => p.isEmpty || line(p).length <= budget).get
-    println(line(fitted))
+    val fitted = Iterator.iterate(qEntries.size)(_ - 10)
+      .find(n => n <= 0 || line(n).length <= budget).get
+    println(line(math.max(0, fitted)))
     System.out.flush()
   }
 }
