@@ -830,8 +830,92 @@ object Stats {
             (a + b) * tb / (ta + tb) AS eb
           FROM counts CROSS JOIN tot)"""
 
+  // --- q155: two-sample Kolmogorov–Smirnov drift ----------------------------
+
+  /** Exact two-sample KS statistic per event type between the parity
+    * cohorts — the CONTINUOUS-distribution drift test beside q152's
+    * categorical chi-square, and like it transcendental-free: the KS
+    * statistic is max |F̂_a(x) − F̂_b(x)| over observed values, each term
+    * one subtraction of two IEEE divisions of exact integer counts, the
+    * max an element pick. Computed the order-statistic way: one sort-
+    * window per type over the merged sample computes both running
+    * cohort counts; ties are closed by evaluating the CDF difference at
+    * the LAST row of each distinct value (both step functions have
+    * jumped — the supremum over x of right-continuous ECDFs is attained
+    * there, so duplicate values cannot inflate the statistic
+    * mid-jump).
+    *
+    * Output: per type, both cohort sizes and the KS distance (plus the
+    * value where it is attained, ties to the smaller value). Scale
+    * shape: one window shuffle on event_type over (value, cohort) pairs
+    * — the exact form; the sketch alternative at 100 TB is a quantile
+    * histogram per cohort. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        (col("event_id") % 2 === 0).as("in_a"))
+      .filter(col("value").isNotNull)
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("value"), col("event_id"))
+    val run = ev
+      .withColumn("ca", sum(when(col("in_a"), 1L).otherwise(0L)).over(ordered))
+      .withColumn("cb", sum(when(!col("in_a"), 1L).otherwise(0L)).over(ordered))
+      .withColumn("na", sum(when(col("in_a"), 1L).otherwise(0L)).over(byType))
+      .withColumn("nb", sum(when(!col("in_a"), 1L).otherwise(0L)).over(byType))
+      // last row of each distinct value: both ECDFs have fully jumped
+      .withColumn("rn_in_val",
+        row_number().over(Window.partitionBy(col("event_type"), col("value"))
+          .orderBy(col("event_id").desc)))
+      .filter(col("rn_in_val") === 1)
+      .withColumn("dd", abs(
+        col("ca").cast("double") / col("na").cast("double") -
+          col("cb").cast("double") / col("nb").cast("double")))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("dd").desc, col("value"), col("event_id"))
+    run.withColumn("pick", row_number().over(pick))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("na").as("n_cohort_a"),
+        col("nb").as("n_cohort_b"), col("dd").as("ks_stat"),
+        col("value").as("at_value"))
+  }
+
+  val ksDriftSql: String = """
+    WITH ev AS (
+      SELECT event_type, value, event_id, (event_id % 2 = 0) AS in_a
+      FROM events WHERE value IS NOT NULL),
+    run AS (
+      SELECT event_type, value, event_id,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cb,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+             row_number() OVER (PARTITION BY event_type, value
+                                ORDER BY event_id DESC) AS rn_in_val
+      FROM ev),
+    dd AS (
+      SELECT event_type, value, event_id, na, nb,
+             abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dd
+      FROM run WHERE rn_in_val = 1)
+    SELECT event_type, na AS n_cohort_a, nb AS n_cohort_b,
+           dd AS ks_stat, value AS at_value
+    FROM (SELECT event_type, value, na, nb, dd,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY dd DESC, value, event_id) AS pick
+          FROM dd)
+    WHERE pick = 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q152_chisq_drift"       -> QueryDef(chisqDrift _, chisqDriftSql),
+    "q155_ks_drift"          -> QueryDef(ksDrift _, ksDriftSql),
     "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
     "q145_robust_scaling"    -> QueryDef(robustScaling _, robustScalingSql),
     "q149_equidepth_histogram" -> QueryDef(equiDepthHistogram _, equiDepthHistogramSql),
