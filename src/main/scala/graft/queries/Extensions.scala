@@ -825,6 +825,61 @@ object Extensions {
     * Scale shape: the projected corpus is 8 doubles per row — the
     * broadcast-queries brute pass costs 8× less per pair than full-dim,
     * which is the point of projecting before searching. */
+  /** q156: per-label embedding tightness — each label's mean member
+    * cosine to its own EXACT centroid (q78's quantized-exact per-dim
+    * means, assembled into a vector), the label-noise detector an
+    * embedding-training pipeline runs over labeled corpora: a label whose
+    * members barely point at their centroid is mislabeled or
+    * incoherent. Exact end to end: centroid components are
+    * order-independent quantized means, the member·centroid product is
+    * the proven fold dot, and the per-label mean cosine goes through the
+    * quantized sum. Scale shape: ONE aggregate builds all centroids
+    * (labels × dims rows), they broadcast back as 10 label vectors, and
+    * the scoring pass is row-local — no member-member pairs anywhere
+    * (contrast q30's pairwise path). */
+  def labelTightness(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    val byDim = emb.select(col("label"), posexplode(vd).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(graft.functions.Exact.davg(col("v"), 6).as("c"))
+    val centroids = byDim
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("label"),
+        transform(col("pairs"), p => p.getField("c")).as("centroid"))
+    emb.select(col("label"), vd.as("v"))
+      .join(broadcast(centroids), "label")
+      .withColumn("cos", Similarity.cosine(col("v"), col("centroid")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        try_divide(graft.functions.Exact.dsum(col("cos"), 6), count(col("cos")))
+          .as("mean_cos_to_centroid"),
+        min(col("cos")).as("min_cos_to_centroid"))
+  }
+
+  val labelTightnessSql: String = s"""
+    WITH byd AS (
+      SELECT label, p.dim AS dim,
+             ${graft.functions.Exact.davgSql("p.v", 6)} AS c
+      FROM (SELECT label,
+              unnest(list_transform(range(len(embedding)),
+                i -> struct_pack(dim := i, v := CAST(embedding[i+1] AS DOUBLE)))) AS p
+            FROM embeddings)
+      GROUP BY 1, 2),
+    ctr AS (
+      SELECT label, list(c ORDER BY dim) AS centroid
+      FROM byd GROUP BY label),
+    scored AS (
+      SELECT e.label, ${cosineSql("v", "centroid")} AS cos
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+      JOIN ctr USING (label))
+    SELECT label, count(*) AS n_members,
+           ${graft.functions.Exact.dsumSql("cos", 6)} / count(cos)
+             AS mean_cos_to_centroid,
+           min(cos) AS min_cos_to_centroid
+    FROM scored GROUP BY label"""
+
   /** q153: matryoshka-prefix retrieval fidelity — recall@5 of cosine over
     * the FIRST [[matryoshkaDims]] embedding dimensions against the
     * full-space truth (q24). The practice MRL-style embedding models
@@ -1703,6 +1758,7 @@ object Extensions {
     "q112_ann_recall"        -> QueryDef(annRecallAt5 _, annRecallAt5Sql),
     "q134_pca_ann_recall"    -> QueryDef(pcaAnnRecallAt5 _, pcaAnnRecallAt5Sql),
     "q153_matryoshka_recall" -> QueryDef(matryoshkaRecallAt5 _, matryoshkaRecallAt5Sql),
+    "q156_label_tightness"   -> QueryDef(labelTightness _, labelTightnessSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
