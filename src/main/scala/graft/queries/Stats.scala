@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -913,8 +913,87 @@ object Stats {
           FROM dd)
     WHERE pick = 1"""
 
+  // --- q157: Benford leading-digit audit ------------------------------------
+
+  /** Benford's-law audit of order totals — the forensic screen for
+    * fabricated or synthetic numeric feeds (organic multiplicative data
+    * follows P(d) = log10(1+1/d); uniform generators don't — the fixture
+    * measures exactly that deviation, which is the point: the audit's
+    * job is to REPORT the divergence, and here it is a gated number).
+    * Kept exact two ways: the leading digit is a CASE chain over
+    * magnitude bands (floor division by a power of ten — no libm log10
+    * to find the magnitude), and the nine Benford expectations are
+    * PINNED double literals shared by both engines (they are universal
+    * constants, not runtime transcendentals). Per digit: observed count,
+    * expected count (n · P(d), one multiply), and the chi-square
+    * contribution (obs−exp)²/exp. One map-side-combined aggregate on a
+    * 9-value key. Domain: o_totalprice ∈ (0, 1e7) — bands cover it;
+    * a wider feed extends the CASE, still O(#magnitudes). */
+  private val benfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.30102999566398120, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  private def leadDigit(v: Column): Column = {
+    // magnitude by range test, digit by integer floor-divide — no log10
+    val bands = Seq(1e6, 1e5, 1e4, 1e3, 1e2, 1e1, 1e0)
+    bands.foldLeft(lit(null).cast("long")) { (acc, b) =>
+      when(acc.isNotNull, acc).otherwise(
+        when(v >= b, floor(v / lit(b)).cast("long")))
+    }
+  }
+
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(leadDigit(col("o_totalprice")).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("n"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", benfordP.foldLeft(lit(null).cast("double")) {
+        case (acc, (dg, p)) =>
+          when(acc.isNotNull, acc).otherwise(
+            when(col("digit") === dg, lit(p)))
+      })
+      .withColumn("n_exp", col("n").cast("double") * col("p"))
+      .select(col("digit"), col("n_obs"),
+        col("n_exp"),
+        ((col("n_obs").cast("double") - col("n_exp")) *
+          (col("n_obs").cast("double") - col("n_exp")) / col("n_exp"))
+          .as("chisq_term"))
+  }
+
+  val benfordAuditSql: String = {
+    val pVals = benfordP.map { case (dg, p) => s"($dg, CAST('$p' AS DOUBLE))" }
+      .mkString(", ")
+    s"""
+    WITH counts AS (
+      SELECT CASE WHEN o_totalprice >= 1e6 THEN CAST(floor(o_totalprice / 1e6) AS BIGINT)
+                  WHEN o_totalprice >= 1e5 THEN CAST(floor(o_totalprice / 1e5) AS BIGINT)
+                  WHEN o_totalprice >= 1e4 THEN CAST(floor(o_totalprice / 1e4) AS BIGINT)
+                  WHEN o_totalprice >= 1e3 THEN CAST(floor(o_totalprice / 1e3) AS BIGINT)
+                  WHEN o_totalprice >= 1e2 THEN CAST(floor(o_totalprice / 1e2) AS BIGINT)
+                  WHEN o_totalprice >= 1e1 THEN CAST(floor(o_totalprice / 1e1) AS BIGINT)
+                  WHEN o_totalprice >= 1e0 THEN CAST(floor(o_totalprice / 1e0) AS BIGINT)
+             END AS digit,
+             count(*) AS n_obs
+      FROM orders WHERE o_totalprice >= 1.0
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+    p AS (SELECT * FROM (VALUES $pVals) t(digit, p))
+    SELECT counts.digit, n_obs,
+           CAST(n AS DOUBLE) * p AS n_exp,
+           (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+             * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+             / (CAST(n AS DOUBLE) * p) AS chisq_term
+    FROM counts CROSS JOIN tot JOIN p ON counts.digit = p.digit"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q152_chisq_drift"       -> QueryDef(chisqDrift _, chisqDriftSql),
+    "q157_benford_audit"     -> QueryDef(benfordAudit _, benfordAuditSql),
     "q155_ks_drift"          -> QueryDef(ksDrift _, ksDriftSql),
     "q141_decayed_popularity" -> QueryDef(decayedPopularity _, decayedPopularitySql),
     "q145_robust_scaling"    -> QueryDef(robustScaling _, robustScalingSql),
