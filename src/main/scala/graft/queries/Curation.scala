@@ -258,6 +258,56 @@ object Curation {
             FROM pairs CROSS JOIN n))
     WHERE rnk <= $collocTopK"""
 
+  // --- q158: per-source quality scorecard -----------------------------------
+
+  /** The per-vendor scorecard a data-acquisition team reviews: for each
+    * source, document count, q65 keep-rate, mean quality score
+    * (quantized-exact), and the count of q144-style encoding-damaged docs
+    * (replacement chars or control leaks). One row-local projection
+    * computes all verdicts, one map-side-combined aggregate on the
+    * low-cardinality source key — scan-once, shuffle-once at any corpus
+    * size. Rates are single IEEE divisions of exact counts. */
+  def sourceScorecard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val routed = qualityRouteOn(docs)
+      .select(col("doc_id"), col("quality"), (col("verdict") === "keep").as("keep"))
+    val damaged = graft.queries.Extensions.encodingAuditOn(docs)
+      .select(col("doc_id"),
+        (col("n_replacement") > 0 || col("n_control") > 0).as("damaged"))
+    docs.select(col("doc_id"), col("source"))
+      .join(routed, "doc_id").join(damaged, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), lit(1))).as("n_keep"),
+        (count(when(col("keep"), lit(1))).cast("double") /
+          count(lit(1)).cast("double")).as("keep_rate"),
+        try_divide(Exact.dsum(col("quality"), 6), count(col("quality")))
+          .as("mean_quality"),
+        count(when(col("damaged"), lit(1))).as("n_encoding_damaged"))
+  }
+
+  /** lazy: this val sits ABOVE qualityRouteSql in declaration order, and
+    * a strict init would interpolate "null" (the q134-documented
+    * cross-val init-cycle class, caught by the oracle parser). */
+  lazy val sourceScorecardSql: String = s"""
+    WITH routed AS (SELECT doc_id, quality, (verdict = 'keep') AS keep
+                    FROM ($qualityRouteSql)),
+    dmg AS (SELECT doc_id,
+              ((length(text) - length(regexp_replace(text, '[�]', '', 'g'))) > 0
+               OR (length(text) - length(regexp_replace(text,
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))) > 0) AS damaged
+            FROM documents)
+    SELECT source, count(*) AS n_docs,
+           count(CASE WHEN keep THEN 1 END) AS n_keep,
+           CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS keep_rate,
+           ${Exact.dsumSql("quality", 6)} / count(quality) AS mean_quality,
+           count(CASE WHEN damaged THEN 1 END) AS n_encoding_damaged
+    FROM documents
+    JOIN routed USING (doc_id) JOIN dmg USING (doc_id)
+    GROUP BY source"""
+
   // --- q65: quality routing ------------------------------------------------
 
   /** First-failing-rule quality router — the corpus-level twin of the
@@ -1177,5 +1227,6 @@ object Curation {
     "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql),
     "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql),
     "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
-    "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql))
+    "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql),
+    "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql))
 }
