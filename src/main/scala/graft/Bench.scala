@@ -105,6 +105,25 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARMUP FAILED mllib: ${e.getMessage}")
     }
+    // ONE untimed full sweep of every query before any measurement
+    // (round-10 verdict #1): the timed pass runs in lexicographic order on a
+    // progressively-dirtier JVM, so without this the early block (q01-q09,
+    // q17) reported 2-4× its isolated cost purely from codegen-cache and GC
+    // state accumulated by LATER queries in the previous rep — 5 of
+    // BENCH_r10's worst-10 rows were that noise, not engine cost. A single
+    // sweep warms every codegen shape, parquet footer, and memoized fit
+    // once, the same way the targeted warmups above already work, so the
+    // timed reps all run against the same fully-warm JVM. Disable with
+    // SPARK_GRAFT_SWEEP=0 for quick local iteration.
+    if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0") {
+      val t0 = System.nanoTime()
+      ordered.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] SWEEP FAILED $name: ${e.getMessage}")
+        }
+      }
+      System.err.println(f"[bench] untimed warm sweep: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     def jsonEscape(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -218,17 +237,29 @@ object Bench {
     // locally), and the queries map keeps only its most-expensive prefix
     // with an explicit "queries_omitted" count. The complete per-query
     // medians+mins live in the committed BENCHDETAIL.json either way.
-    def line(nQ: Int): String = {
-      val worst = worstPairs.mkString("{", ",", "}")
+    def line(nQ: Int, nWorst: Int, errStr: String): String = {
+      val worst = worstPairs.take(nWorst).mkString("{", ",", "}")
       val qs = qEntries.take(nQ).mkString("{", ",", "}")
       val omitted = qEntries.size - nQ
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","worst":$worst,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"env":"$env","worst":$worst,"queries":$qs$om,"errors":$errStr,"sf":"$sfDir"}"""
     }
     val budget = 1900
     val fitted = Iterator.iterate(qEntries.size)(_ - 10)
-      .find(n => n <= 0 || line(n).length <= budget).get
-    println(line(math.max(0, fitted)))
+      .find(n => n <= 0 || line(n, worstPairs.size, errs).length <= budget).get
+    if (fitted > 0) println(line(fitted, worstPairs.size, errs))
+    else {
+      // Fallback (round-10 advice): with queries shed to 0, a grown errors
+      // object (many failing queries) can STILL outgrow the tail window —
+      // the exact scenario where a parseable line matters most. Shed worst
+      // pairs next, then collapse errors to a bare count; some parseable
+      // line always ships.
+      val errCount = s"""{"n_errors":${allErrs.size}}"""
+      val candidates =
+        (worstPairs.size to 0 by -1).iterator.map(w => line(0, w, errs)) ++
+          Iterator(line(0, 0, errCount))
+      println(candidates.find(_.length <= budget).getOrElse(line(0, 0, errCount)))
+    }
     System.out.flush()
   }
 }

@@ -157,14 +157,26 @@ object Anomaly {
     * in a registry query that separate action recomputes the whole
     * upstream join+agg (measured 2× the query cost on q51/q54). The top-k
     * side plans as TakeOrderedAndProject (per-partition heaps, no global
-    * sort), and the shared aggregation exchange under both branches is
-    * computed once via ReuseExchange. Empty input → NULL threshold →
-    * `score > NULL` is never true → no rows (matches [[threshold]]'s NaN
-    * contract). */
+    * sort).
+    *
+    * The scored frame is PERSISTED (memory-and-disk) before the split:
+    * the threshold branch and the anomaly filter are two consumers of the
+    * same subtree, and ReuseExchange does NOT unify them (column pruning
+    * gives the top-k branch a narrower scan), so without the persist the
+    * upstream featurize join+agg ran twice per execution — at 100 TB a
+    * full extra corpus pass (round-10 verdict #3). The persist is lazy
+    * (zero cost if the result is never executed), materializes once on
+    * first action, and Spark's CacheManager dedupes re-invocations by
+    * canonicalized plan, so repeated registry calls share one cache entry
+    * instead of leaking block-manager memory.
+    *
+    * Empty input → NULL threshold → `score > NULL` is never true → no
+    * rows (matches [[threshold]]'s NaN contract). */
   def beyondThreshold(scored: DataFrame, scoreCol: String = "score", topK: Int = 2000): DataFrame = {
-    val th = scored.select(col(scoreCol)).orderBy(col(scoreCol).desc).limit(topK)
+    val cached = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = cached.select(col(scoreCol)).orderBy(col(scoreCol).desc).limit(topK)
       .agg(min(col(scoreCol)).as("__graft_thresh"))
-    scored.crossJoin(broadcast(th))
+    cached.crossJoin(broadcast(th))
       .filter(col(scoreCol) > col("__graft_thresh"))
       .drop("__graft_thresh")
   }

@@ -126,4 +126,32 @@ object Hll {
     if (rawEst <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else rawEst
   }
+
+  // --- JVM-side mirrors of the Column arithmetic ----------------------------
+  // Used by the native aggregate ([[graft.expressions.HllRegisters]]): every
+  // step is the same exact integer arithmetic as the Column/SQL forms above
+  // (Scala's % keeps the dividend's sign exactly like Spark's and DuckDB's),
+  // so registers built in an ObjectHashAggregate buffer are bit-identical to
+  // registers built by the groupBy composition — HllSpec asserts it.
+
+  private def polyLong(u: Long, prime: Long, cs: Seq[Long]): Long = {
+    val x = (u % prime + prime) % prime
+    cs.tail.foldLeft(cs.head)((acc, c) => (acc * x + c) % prime)
+  }
+
+  /** The ~62-bit cross-engine hash of a BIGINT id — JVM form of [[hash]]. */
+  def hashLong(u: Long): Long = polyLong(u, P1, C1) * P2 + polyLong(u, P2, C2)
+
+  /** Bucket of a hashed value — JVM form of [[bucketOf]]. */
+  def bucketOfLong(h: Long): Int = (h % m).toInt
+
+  /** Rank of a hashed value — JVM form of [[rankOf]]: the Column form reads
+    * the leading-zero count of the 50-bit window off a padded binary string
+    * (`instr(lpad(bin(w), 64, '0'), '1') - windowPad` = nlz(w) + 1 - 14);
+    * here it is one `numberOfLeadingZeros`. */
+  def rankOfLong(h: Long): Int = {
+    val w = h >> p
+    if (w == 0L) maxRank
+    else java.lang.Long.numberOfLeadingZeros(w) + 1 - windowPad
+  }
 }

@@ -109,6 +109,11 @@ object Multimodal {
     }
   }
 
+  /** Upper bound on declared raster size the real decoder will touch:
+    * 64 Mpixel ≈ a 256 MB ARGB BufferedImage — anything larger is treated
+    * as a decompression bomb and dropped before allocation. */
+  private[operators] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   private[operators] def decodeOneImageIO(r: MediaRecord,
                                           featureDim: Int): Option[MediaFeatures] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -120,30 +125,41 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis)
-          // allowSearch=true is safe on an in-memory stream; for GIF this
-          // counts the REAL animation frames
-          val nFrames = reader.getNumImages(true)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          // integer-luminance grid feature: pixel (x,y) accumulates into
-          // bucket (y*w+x) mod dim — deterministic for a given raster
-          val feature = new Array[Float](featureDim)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-              feature((y * w + x) % featureDim) += lum / 255.0f
-              x += 1
+          // decompression-bomb guard: the header's declared dimensions are
+          // available BEFORE any pixel allocation; a tiny payload can claim
+          // a multi-gigapixel raster and reader.read(0) would allocate it
+          val declW = reader.getWidth(0)
+          val declH = reader.getHeight(0)
+          if (declW <= 0 || declH <= 0 || declW.toLong * declH > MaxDecodePixels) None
+          else {
+            // allowSearch=true is safe on an in-memory stream; for GIF this
+            // counts the REAL animation frames
+            val nFrames = reader.getNumImages(true)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            // integer-luminance grid feature: pixel (x,y) accumulates into
+            // bucket (y*w+x) mod dim — deterministic for a given raster
+            val feature = new Array[Float](featureDim)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                feature((y * w + x) % featureDim) += lum / 255.0f
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            Some(MediaFeatures(r.doc_id, r.format, r.byte_len, w, h, nFrames, feature))
           }
-          Some(MediaFeatures(r.doc_id, r.format, r.byte_len, w, h, nFrames, feature))
         } catch {
-          case _: javax.imageio.IIOException => None // corrupt payload: drop, don't fake
+          // corrupt payload: drop, don't fake — and not just IIOException:
+          // buggy third-party readers surface malformed rasters as unwrapped
+          // runtime exceptions, which must not kill the executor task
+          case scala.util.control.NonFatal(_) => None
         } finally reader.dispose()
       }
     } finally iis.close()

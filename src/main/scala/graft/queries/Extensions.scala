@@ -351,7 +351,7 @@ object Extensions {
     // the testdata table is a single file and a file stream source needs a
     // directory — materialize a 4-file copy once per fixture fingerprint
     // (hash-partitioned on vec_id, so each micro-batch is a nontrivial slice)
-    val dir = indexCacheDir("graft-audit-replay", d, "embeddings", "files4")
+    val dir = indexCacheDir("graft-audit-replay", d, "embeddings", s"files4$auditCacheVersion")
     auditReplayLock.synchronized {
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         Tables.embeddings(s, d).repartition(4, col("vec_id"))
@@ -396,7 +396,10 @@ object Extensions {
         sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
   }
 
-  val curateV2Sql: String = s"""
+  // lazy: interpolates Curation.qualityRouteSql — a strict val here can read a
+  // partially-initialized Curation (init-order cycle; same hazard as
+  // Curation.sourceScorecardSql) and bake the string "null" into the oracle.
+  lazy val curateV2Sql: String = s"""
     WITH screened AS (
       SELECT d.doc_id, d.text, d.source FROM documents d
       WHERE (length(text) - length(regexp_replace(text, '[$replChar]', '', 'g'))) = 0
@@ -424,7 +427,7 @@ object Extensions {
     * table: at 100 TB you audit the day's ingest and fold it into
     * yesterday's table; you never re-scan the corpus. */
   private def auditStateDir(d: String): String =
-    indexCacheDir("graft-audit-state", d, "embeddings", "evenhalf")
+    indexCacheDir("graft-audit-state", d, "embeddings", s"evenhalf$auditCacheVersion")
 
   private val auditStateLock = new Object
 
@@ -559,7 +562,8 @@ object Extensions {
     Similarity.bruteForceTopK(corpus, emb.filter(col("vec_id") < 10), k = 5)
   }
 
-  val hybridSearchSql: String = s"""
+  // lazy: same Curation init-cycle guard as curateV2Sql.
+  lazy val hybridSearchSql: String = s"""
     WITH keep AS (SELECT doc_id FROM (${graft.queries.Curation.qualityRouteSql})
                   WHERE verdict = 'keep'),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -646,6 +650,15 @@ object Extensions {
     * (a NULL embedding lands in the NULL band, counted, never dropped). */
   def embeddingAudit(s: SparkSession, d: String): DataFrame =
     embeddingAuditOn(Tables.embeddings(s, d))
+
+  /** Version tag for on-disk caches derived from [[embeddingAuditOn]]'s
+    * OUTPUT (q147's replay table, q148's persisted day-1 state). Bump it
+    * whenever the audit's schema or semantics change — otherwise a stale
+    * cache silently survives the code change and q147/q148 diverge from
+    * (or spuriously match) the oracle. The IVF caches already carry this
+    * discipline in their params tag (c16 → c16t99 when the quantizer was
+    * retrained); this makes the audit caches match it. */
+  private[queries] val auditCacheVersion = "a1"
 
   def embeddingAuditOn(emb: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
