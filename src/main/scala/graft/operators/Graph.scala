@@ -65,28 +65,55 @@ object Graph {
     * checkpointing if executor loss during downstream reads matters. */
   def pageRank(edges: DataFrame, iterations: Int,
                broadcastScores: Boolean = false): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    pageRankPrepared(withSourceDegrees(edges, deg), deg, iterations,
+      broadcastScores, validateDangling = true)
+  }
+
+  /** PageRank over a PREPARED graph: `edgesDeg` = (src, dst, sdeg) with
+    * each edge's source out-degree already fused on; `deg` = (node, deg).
+    * This is the serving path for a MAINTAINED graph artifact (q96/q119's
+    * co-purchase parquet): the degree table and the degree-fused edge list
+    * are written once at build time, so a ranking pays neither the degree
+    * aggregation nor — with `validateDangling = false` — the corpus-sized
+    * dangling re-proof. At 100 TB you do not re-scan the edge list per
+    * ranking to re-prove an invariant the artifact build already
+    * validated; leave `validateDangling = true` for ad-hoc inputs.
+    *
+    * `deg` MUST be exactly the per-src edge count of `edgesDeg` and `sdeg`
+    * its fused copy — derived artifacts from the same build, not
+    * independently computed ones. */
+  def pageRankPrepared(edgesDeg: DataFrame, deg: DataFrame, iterations: Int,
+                       broadcastScores: Boolean = false,
+                       validateDangling: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = cached.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cluster the cached edges by dst — the key every iteration aggregates
+    // on. The InMemoryRelation retains the partitioning and the score join
+    // is broadcast, so each iteration's contribution sum runs
+    // exchange-free (the per-iteration shuffle of partitions×nodes partial
+    // rows collapses into this one preparation-time exchange).
+    val ed = edgesDeg.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val dg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // guard: every dst must have out-edges, or its rank mass would
-      // silently vanish (deg is built from src only). One anti-join count —
-      // cheap next to K iterations, and it warms both caches.
-      val dangling = cached.select(col("dst").as("node")).distinct()
-        .join(deg.select("node"), Seq("node"), "left_anti").count()
-      require(dangling == 0L,
-        s"pageRank requires out-edges for every node ($dangling dangling " +
-          "node(s) found): feed an undirected graph both ways, or " +
-          "redistribute dangling mass upstream")
-      val n = deg.agg(count(lit(1)).as("nn"))
-      val pr0 = deg.crossJoin(broadcast(n))
+      if (validateDangling) {
+        // guard: every dst must have out-edges, or its rank mass would
+        // silently vanish (deg is built from src only). One anti-join
+        // count — cheap next to K iterations, and it warms both caches.
+        val dangling = ed.select(col("dst").as("node")).distinct()
+          .join(dg.select("node"), Seq("node"), "left_anti").count()
+        require(dangling == 0L,
+          s"pageRank requires out-edges for every node ($dangling dangling " +
+            "node(s) found): feed an undirected graph both ways, or " +
+            "redistribute dangling mass upstream")
+      }
+      val n = dg.agg(count(lit(1)).as("nn"))
+      val pr0 = dg.crossJoin(broadcast(n))
         .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
       iterateMaterialized(pr0, iterations,
-        prStep(cached, deg, n, broadcastScores))
+        prStep(ed, dg, n, broadcastScores))
     } finally {
-      cached.unpersist(false)
-      deg.unpersist(false)
+      ed.unpersist(false)
+      dg.unpersist(false)
     }
   }
 
@@ -110,16 +137,32 @@ object Graph {
     * persist, guard, materialize, unpersist. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
                            broadcastScores: Boolean = false): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    personalizedPageRankPrepared(withSourceDegrees(edges, deg), deg, seeds,
+      iterations, broadcastScores, validateDangling = true)
+  }
+
+  /** [[personalizedPageRank]] over a PREPARED graph — same contract as
+    * [[pageRankPrepared]]: `edgesDeg`/`deg` are build-time artifacts, and
+    * `validateDangling = false` skips the corpus-sized dangling re-proof
+    * the artifact build already ran. Seed validation always runs (seeds
+    * are per-query input, not part of the artifact). */
+  def personalizedPageRankPrepared(edgesDegIn: DataFrame, deg0: DataFrame,
+                                   seeds: DataFrame, iterations: Int,
+                                   broadcastScores: Boolean = false,
+                                   validateDangling: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = cached.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = deg0.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesDeg = edgesDegIn.repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dangling = cached.select(col("dst").as("node")).distinct()
-        .join(deg.select("node"), Seq("node"), "left_anti").count()
-      require(dangling == 0L,
-        s"personalizedPageRank requires out-edges for every node " +
-          s"($dangling dangling node(s) found)")
+      if (validateDangling) {
+        val dangling = edgesDeg.select(col("dst").as("node")).distinct()
+          .join(deg.select("node"), Seq("node"), "left_anti").count()
+        require(dangling == 0L,
+          s"personalizedPageRank requires out-edges for every node " +
+            s"($dangling dangling node(s) found)")
+      }
       val sd = seeds.select(col("node")).distinct()
       // Emptiness first: the anti-join guard passes vacuously on zero
       // seeds and the teleport weight would be 0 everywhere — an
@@ -147,9 +190,8 @@ object Graph {
       try {
         val pr0 = teleport.select(col("node"), col("tw").as("pr"))
         iterateMaterialized(pr0, iterations, { pr =>
-          val msgs = cached
+          val msgs = edgesDeg
             .join(bc(pr.withColumnRenamed("node", "src")), "src")
-            .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
             .select(col("dst").as("node"),
               floor(col("pr") / col("sdeg") * lit(1e12))
                 .cast(DecimalType(27, 0)).as("q"))
@@ -162,10 +204,23 @@ object Graph {
         })
       } finally teleport.unpersist(false)
     } finally {
-      cached.unpersist(false)
+      edgesDeg.unpersist(false)
       deg.unpersist(false)
     }
   }
+
+  /** Edge list with each edge's SOURCE out-degree fused on as `sdeg`: one
+    * broadcast join at preparation time so the K iteration blocks join the
+    * score vector only — without the fusion every iteration re-broadcast
+    * and re-joined the degree table (a second 20 K-row build+probe per
+    * iteration on q96's graph). The degree table is node-count-sized, so
+    * the broadcast is always safe where `broadcastScores` is sane.
+    * (Clustering by `dst` — the key every iteration aggregates on — is
+    * applied by the prepared entry points at persist time, where the
+    * cached InMemoryRelation retains the partitioning.) */
+  private def withSourceDegrees(edges: DataFrame, deg: DataFrame): DataFrame =
+    edges.join(broadcast(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
+      .select(col("src"), col("dst"), col("sdeg"))
 
   /** The iteration blocks over already-persisted edges/degrees — same
     * arithmetic as [[pageRankPlan]], reusing the caller's cached frames.
@@ -175,25 +230,25 @@ object Graph {
     * callers go through [[iterateMaterialized]] instead. */
   private def pageRankIterate(edges: DataFrame, deg: DataFrame,
                               iterations: Int, broadcastScores: Boolean): DataFrame = {
+    val edgesDeg = withSourceDegrees(edges, deg)
     val n = deg.agg(count(lit(1)).as("nn"))
     val pr0 = deg.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
     (1 to iterations).foldLeft(pr0)((pr, _) =>
-      prStep(edges, deg, n, broadcastScores)(pr))
+      prStep(edgesDeg, deg, n, broadcastScores)(pr))
   }
 
-  /** One power-iteration block: edges ⋈ scores on src (broadcast or
-    * co-partitioned per `broadcastScores`), quantized contribution sum on
-    * dst, teleport re-add. Pure plan construction — identical arithmetic
-    * wherever it is driven from, so the lazy inspection path and the
-    * eager materialized path cannot drift. */
-  private def prStep(edges: DataFrame, deg: DataFrame, n: DataFrame,
+  /** One power-iteration block: degree-fused edges ⋈ scores on src
+    * (broadcast or co-partitioned per `broadcastScores`), quantized
+    * contribution sum on dst, teleport re-add. Pure plan construction —
+    * identical arithmetic wherever it is driven from, so the lazy
+    * inspection path and the eager materialized path cannot drift. */
+  private def prStep(edgesDeg: DataFrame, deg: DataFrame, n: DataFrame,
                      broadcastScores: Boolean)(pr: DataFrame): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastScores) broadcast(_) else identity
-    val msgs = edges
+    val msgs = edgesDeg
       .join(bc(pr.withColumnRenamed("node", "src")), "src")
-      .join(bc(deg.select(col("node").as("src"), col("deg").as("sdeg"))), "src")
       .select(col("dst").as("node"),
         floor(col("pr") / col("sdeg") * lit(1e12))
           .cast(DecimalType(27, 0)).as("q"))
