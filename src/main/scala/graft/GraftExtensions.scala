@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.expressions.{BoundedLevenshtein, DotProduct, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
+import graft.expressions.{BoundedLevenshtein, DotProduct, HllRegisters, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -126,6 +126,12 @@ object GraftExtensions {
         TopKStrRows(
           Cast(es(0), DoubleType), Cast(es(1), StringType),
           posIntConst(es(2), "k", max = TopKRows.maxK))
+      }),
+    ("graft_hll",
+      new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll"),
+      (es: Seq[Expression]) => {
+        checkArity("graft_hll", es, 1, 1)
+        HllRegisters(Cast(es(0), LongType))
       }))
 
   /** Register on an already-built session (temp functions). */

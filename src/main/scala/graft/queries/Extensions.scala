@@ -586,6 +586,75 @@ object Extensions {
       FROM pairs)
     WHERE rn <= 5"""
 
+  /** q160: q139's hybrid retrieval SERVED FROM THE INDEX — the quality
+    * verdict written as IVF index metadata (`writeIvfIndex(metaCols =
+    * verdict)`, the q104 mechanism) instead of a per-query semi-join of
+    * the full embedding table against a re-derived keep set. The
+    * `verdict = 'keep'` predicate rides the pruned cell scan as a
+    * PushedFilter next to the cell PartitionFilters (ScaleSpec asserts
+    * both), so at 100 TB a hybrid query touches cells/nProbe of the
+    * corpus and the quality screen makes the probe CHEAPER — q139's own
+    * scaladoc names this as the scale path; this row pins it under
+    * oracle with the pinned-quantizer bucketing mirrored exactly (the
+    * q138 discipline). Corpus rows are embeddings joined to their
+    * document's verdict at INDEX BUILD time — re-curation is an index
+    * rebuild (offline maintenance), not a query-time recomputation. */
+  private def ivfVerdictIndexDir(d: String): String =
+    indexCacheDir("graft-ivf-cache", d, "embeddings", "c16t99verd")
+
+  def hybridSearchIvf(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    val dir = ivfVerdictIndexDir(d)
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val labeled = emb.join(
+          graft.queries.Curation.qualityRouteOn(Tables.documents(s, d))
+            .select(col("doc_id").as("vec_id"), col("verdict")),
+          Seq("vec_id"))
+        Similarity.writeIvfIndex(labeled, dir, ivfCenters, metaCols = Seq("verdict"))
+      }
+    }
+    Similarity.ivfTopKIndexedFiltered(dir, ivfCenters,
+      emb.filter(col("vec_id") < 10), k = 5,
+      neighborFilter = col("verdict") === "keep", nProbe = 4)
+  }
+
+  /** The oracle mirrors the APPROXIMATE route exactly (q31/q138
+    * discipline): corpus = embeddings with a verdict, bucketed by the
+    * pinned quantizer; queries = the FULL embedding table's probe cells
+    * (a query needs no verdict to search); candidates = keep-verdict index
+    * rows in the probed cells. */
+  lazy val hybridSearchIvfSql: String = s"""
+    WITH kq AS (SELECT doc_id, verdict
+                FROM (${graft.queries.Curation.qualityRouteSql})),
+    ctr AS (SELECT * FROM (VALUES ${centersValuesSql(graft.ml.PinnedIvfCenters.values)}) t(cell, cc)),
+    c AS (SELECT e.vec_id, kq.verdict, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM embeddings e JOIN kq ON e.vec_id = kq.doc_id),
+    assign AS (SELECT vec_id, verdict, v, cell FROM (
+                 SELECT c.vec_id, c.verdict, c.v, ctr.cell,
+                        row_number() OVER (PARTITION BY c.vec_id
+                          ORDER BY ${sqdistFoldSql("c.v", "ctr.cc")}, ctr.cell) AS rn
+                 FROM c CROSS JOIN ctr) WHERE rn = 1),
+    qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 10),
+    q AS (SELECT vec_id AS query_id, v AS qvec, cell FROM (
+            SELECT qv.vec_id, qv.v, ctr.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                     ORDER BY ${sqdistFoldSql("qv.v", "ctr.cc")}, ctr.cell) AS rn
+            FROM qv CROSS JOIN ctr) WHERE rn <= 4),
+    cand AS (SELECT q.query_id, q.qvec, a.vec_id AS neighbor_id, a.v
+             FROM q JOIN assign a USING (cell)
+             WHERE a.vec_id <> q.query_id AND a.verdict = 'keep'),
+    scored AS (SELECT query_id, neighbor_id, ${cosineSql("qvec", "v")} AS sim
+               FROM cand)
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5"""
+
   /** q138: the IVF-probed hard-negative route — q135's candidate
     * generation bounded to each anchor's 4 nearest cells of the
     * label-carrying index (q104's), the way a 100 TB corpus would mine
@@ -1797,6 +1866,7 @@ object Extensions {
     "q137_embedding_audit"   -> QueryDef(embeddingAudit _, embeddingAuditSql),
     "q138_hard_negatives_ivf" -> QueryDef(hardNegativesIvfGate _, hardNegativesIvfSql),
     "q139_hybrid_search"     -> QueryDef(hybridSearch _, hybridSearchSql),
+    "q160_hybrid_ivf"        -> QueryDef(hybridSearchIvf _, hybridSearchIvfSql),
     "q142_sql_surface"       -> QueryDef(sqlSurface _, sqlSurfaceSql),
     "q143_source_dup_matrix" -> QueryDef(sourceDupMatrix _, sourceDupMatrixSql),
     "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql),

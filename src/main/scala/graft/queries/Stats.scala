@@ -346,6 +346,41 @@ object Stats {
     FROM agg"""
   }
 
+  // --- q159: the HLL sketch via the NATIVE aggregate -------------------------
+
+  /** q159: q93's per-event-type distinct-user sketch built by the engine's
+    * [[graft.expressions.HllRegisters]] TypedImperativeAggregate (SQL:
+    * `graft_hll(id)`) instead of the (bucket, rank) groupBy composition —
+    * the q146-vs-q127 discipline applied to the sketch family. The
+    * composition shuffles one (group, bucket) row per input event to the
+    * register aggregation; the native aggregate folds registers map-side
+    * and ships one 4 KB buffer per group per task — at 100 TB the exchange
+    * carries sketches, not the fact table. The (active, s_scaled, raw_est)
+    * finalization runs as plan-level array lambdas over the register
+    * array with the SAME exact integer arithmetic, so this row's oracle is
+    * q93's verbatim — the two engine paths and DuckDB all hash-match. */
+  def hllNativeSketch(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import graft.operators.Hll
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.expressions.HllRegisters.hll(col("user_id")).as("regs"))
+      .select(col("event_type"),
+        expr("CAST(size(filter(regs, r -> r > 0)) AS BIGINT)").as("active"),
+        // absent buckets carry rank 0, so 2^(51-0) is exactly their
+        // (m - active)·2^51 share in q93's s_scaled — one lambda fold
+        expr(s"""aggregate(regs, CAST(0 AS BIGINT),
+                 (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT),
+                                             CAST(${Hll.maxRank} - r AS INT)))""")
+          .as("s_scaled"))
+      .withColumn("raw_est",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(Hll.m.toDouble)) *
+          lit(Hll.m.toDouble) * lit(Hll.m.toDouble) *
+          lit(math.pow(2.0, Hll.maxRank)) /
+          col("s_scaled").cast("double"))
+  }
+
   // --- q114/q115: oracle-exact Bloom filter + semi-join reduction -----------
 
   /** q114: Bloom filter STATE per market segment over the customer keys —
@@ -1005,6 +1040,7 @@ object Stats {
     "q81_p99_per_type"    -> QueryDef(p99PerType _, p99PerTypeSql),
     "q92_approx_quantiles" -> QueryDef(approxQuantiles _, approxQuantilesSql),
     "q93_hll_sketch"      -> QueryDef(hllSketch _, hllSketchSql),
+    "q159_hll_native_agg" -> QueryDef(hllNativeSketch _, hllSketchSql),
     "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql),
     "q114_bloom_state"    -> QueryDef(bloomState _, bloomStateSql),
     "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql),

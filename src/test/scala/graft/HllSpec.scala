@@ -103,6 +103,90 @@ class HllSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native graft_hll aggregate matches the composed sketch bit-for-bit (q159 ≡ q93)") {
+    val a = graft.queries.Stats.hllSketch(spark, sf)
+    val b = graft.queries.Stats.hllNativeSketch(spark, sf)
+      .select("event_type", "active", "s_scaled", "raw_est")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "native-aggregate sketch must equal the composed q93 sketch exactly")
+    // and the raw REGISTERS agree with the composed register table: the
+    // array slot j carries exactly max(rank) for bucket j, 0 when absent
+    graft.GraftExtensions.register(spark)
+    val nat = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.expressions.HllRegisters.hll(col("user_id")).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val composed = regMap(Hll.registers(Tables.events(spark, sf),
+      Seq("event_type"), col("user_id")))
+    composed.foreach { case ((et, bucket), rank) =>
+      assert(nat(et)(bucket.toInt) === rank.toLong,
+        s"register ($et, $bucket) disagrees")
+    }
+    assert(composed.size ===
+      nat.toSeq.map { case (_, regs) => regs.count(_ > 0L) }.sum,
+      "native sketch must not touch buckets the composed sketch leaves empty")
+  }
+
+  test("native graft_hll registers are merge-order independent and SQL-callable") {
+    graft.GraftExtensions.register(spark)
+    Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .createOrReplaceTempView("hll_ev_v")
+    val sqlRes = spark.sql(
+      "SELECT event_type, graft_hll(user_id) AS regs FROM hll_ev_v GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val repart = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .repartition(23)
+      .groupBy("event_type")
+      .agg(graft.expressions.HllRegisters.hll(col("user_id")).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlRes.nonEmpty && sqlRes === repart)
+  }
+
+  test("native graft_hll streaming complete-mode replay equals the batch registers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.GraftExtensions.register(spark)
+
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .filter(col("user_id").isNotNull)
+      .as[HllEvent].collect().toList
+    val shuffled = new scala.util.Random(47).shuffle(rows)
+
+    val in = MemoryStream[HllEvent]
+    val q = in.toDF().groupBy("event_type")
+      .agg(graft.expressions.HllRegisters.hll(col("user_id")).as("regs"))
+      .writeStream.format("memory").queryName("hll_native_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(499).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("hll_native_stream")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val want = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(graft.expressions.HllRegisters.hll(col("user_id")).as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got === want, "streamed native registers must equal batch")
+    } finally q.stop()
+  }
+
+  test("plan: native aggregate runs as ObjectHashAggregate with no row-sized shuffle key") {
+    graft.GraftExtensions.register(spark)
+    val df = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.expressions.HllRegisters.hll(col("user_id")).as("regs"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"graft_hll must plan as ObjectHashAggregate:\n$plan")
+    // exchange is keyed on the GROUP alone (buffers move, not rows) —
+    // unlike q93's composed form, whose exchange key is (group, bucket)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(event_type#") && !l.contains("bucket")),
+      s"expected a group-keyed exchange carrying sketch buffers:\n$plan")
+  }
+
   test("plan: one data-sized shuffle on (group, bucket), then a bounded finalize") {
     val df = graft.queries.Stats.hllSketch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -124,6 +124,24 @@ class ScaleSpec extends AnyFunSuite {
       "fixture too easy: post-filtering never starved a query, trap not exercised")
   }
 
+  test("q160 hybrid-IVF: the quality verdict rides the pruned cell scan as a PushedFilter") {
+    val df = graft.queries.Extensions.hybridSearchIvf(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"hybrid probe lost its cell pruning:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("verdict"),
+      s"verdict predicate not pushed into the index scan:\n$plan")
+    // semantics: every served neighbor really carries a keep verdict
+    val keep = graft.queries.Curation
+      .qualityRouteOn(Tables.documents(spark, sf))
+      .filter(col("verdict") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(keep.contains(r.getLong(1)),
+      s"non-keep neighbor served: ${r.getLong(1)}"))
+  }
+
   test("labeled IVF append: metaCols ride along; a meta-less append fails loudly") {
     implicit val s = spark
     import graft.operators.Similarity
