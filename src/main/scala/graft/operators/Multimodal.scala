@@ -200,4 +200,76 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
       .select(col("doc_id"), col("format"), col("frame_idx"))
+
+  // --- deterministic REAL image payloads (gating the ImageIO decoder) -------
+
+  /** `n` REAL image payloads — actual PNG/BMP/GIF containers written by
+    * the JDK's ImageIO, encoded ON EXECUTORS inside `mapPartitions` (the
+    * same partition-batched codec boundary as the decoder). Rasters are
+    * fixed functions of the id, chosen to roundtrip EXACTLY through every
+    * format: PNG/BMP carry truecolor gradients (both lossless); GIF
+    * frames are strict black/white checkerboards, the one palette no GIF
+    * quantizer can perturb. GIF ids carry 1–3 REAL animation frames.
+    * Decoded (width, height, n_frames, luminance grid) is therefore a
+    * pure integer function of the id — pinned as q161's VALUES oracle
+    * ([[graft.queries.Extensions.imageioDecode]]); payload BYTES are not
+    * pinned (container layout may differ across encoder versions — the
+    * raster cannot). */
+  def syntheticImageTable(n: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions(_.map(encodeSynthetic))
+  }
+
+  private[operators] def encodeSynthetic(id: Long): MediaRecord = {
+    val i = id.toInt
+    val fmt = Seq("png", "bmp", "gif")(i % 3)
+    val w = 4 + (i % 4) * 3
+    val h = 3 + (i % 3) * 2
+    val bytes = fmt match {
+      case "gif" =>
+        val frames = 1 + ((i / 3) % 3)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until frames).foreach { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, if ((x + y + f + i) % 2 == 0) 0xffffff else 0x000000)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        bos.toByteArray
+      case _ =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = (x * 31 + y * 7 + i * 11) % 256
+            val g = (x * 13 + y * 17 + i * 5) % 256
+            val b = (x * 3 + y * 29 + i * 23) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        bos.toByteArray
+    }
+    MediaRecord(id, fmt, bytes, bytes.length.toLong)
+  }
 }

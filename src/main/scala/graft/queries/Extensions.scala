@@ -1215,6 +1215,94 @@ object Extensions {
            CAST(CASE WHEN format = 'webp' THEN 1 + cs % 30 ELSE 1 END AS INTEGER) AS n_frames
     FROM m"""
 
+  // --- q161: the REAL ImageIO decode path under the gate ---------------------
+
+  /** q161: the REAL decoder gated — `decodeFeaturesImageIO` decoding
+    * actual PNG/BMP/GIF containers (`Multimodal.syntheticImageTable`:
+    * payloads encoded on executors, rasters exact-roundtrip by
+    * construction, GIFs with 1–3 real animation frames). Until this row
+    * the real decode path was spec-only and the oracle rode the stub
+    * (q32); here the gate output is the decoded (width, height,
+    * n_frames) plus the luminance grid quantized at 2^20 — pure integers
+    * derived from decoded pixels, so a VALUES oracle pins them exactly.
+    * If the decoder (or an ImageIO behavior change) perturbs one pixel,
+    * the hash breaks. Payload bytes are deliberately NOT pinned:
+    * container layout may vary across encoder versions; the raster
+    * cannot. Pins regenerate by running this query and reading the rows
+    * (ExtensionsSpec re-derives them every test run). */
+  def imageioDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val media = Multimodal.syntheticImageTable(12)
+    Multimodal.decodeFeaturesImageIO(media).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames"),
+        posexplode(expr(
+          "transform(feature, f -> CAST(round(CAST(f AS DOUBLE) * 1048576.0) AS BIGINT))")))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "qlum")
+  }
+
+  /** Decoded-raster pins for q161: (doc_id, format, width, height,
+    * n_frames, dim, qlum = round(lumGrid[dim]·2^20)). */
+  private[graft] val imageDecodePins: Seq[(Long, String, Int, Int, Int, Int, Long)] = Seq(
+    (0L, "png", 4, 3, 1, 0, 123362L), (0L, "png", 4, 3, 1, 1, 263172L),
+    (0L, "png", 4, 3, 1, 2, 407094L), (0L, "png", 4, 3, 1, 3, 546904L),
+    (0L, "png", 4, 3, 1, 4, 61681L), (0L, "png", 4, 3, 1, 5, 131586L),
+    (0L, "png", 4, 3, 1, 6, 201491L), (0L, "png", 4, 3, 1, 7, 275508L),
+    (1L, "bmp", 7, 5, 1, 0, 1513239L), (1L, "bmp", 7, 5, 1, 1, 1866877L),
+    (1L, "bmp", 7, 5, 1, 2, 2220514L), (1L, "bmp", 7, 5, 1, 3, 1792860L),
+    (1L, "bmp", 7, 5, 1, 4, 1644825L), (1L, "bmp", 7, 5, 1, 5, 1492679L),
+    (1L, "bmp", 7, 5, 1, 6, 1344645L), (1L, "bmp", 7, 5, 1, 7, 1196610L),
+    (2L, "gif", 10, 7, 1, 0, 6291456L), (2L, "gif", 10, 7, 1, 1, 3145728L),
+    (2L, "gif", 10, 7, 1, 2, 4194304L), (2L, "gif", 10, 7, 1, 3, 5242880L),
+    (2L, "gif", 10, 7, 1, 4, 6291456L), (2L, "gif", 10, 7, 1, 5, 3145728L),
+    (2L, "gif", 10, 7, 1, 6, 4194304L), (2L, "gif", 10, 7, 1, 7, 4194304L),
+    (3L, "png", 13, 3, 1, 0, 2142385L), (3L, "png", 13, 3, 1, 1, 2183505L),
+    (3L, "png", 13, 3, 1, 2, 1998463L), (3L, "png", 13, 3, 1, 3, 2347988L),
+    (3L, "png", 13, 3, 1, 4, 2389109L), (3L, "png", 13, 3, 1, 5, 2199954L),
+    (3L, "png", 13, 3, 1, 6, 2553591L), (3L, "png", 13, 3, 1, 7, 2068368L),
+    (4L, "bmp", 4, 5, 1, 0, 810076L), (4L, "bmp", 4, 5, 1, 1, 1023904L),
+    (4L, "bmp", 4, 5, 1, 2, 1233619L), (4L, "bmp", 4, 5, 1, 3, 1447446L),
+    (4L, "bmp", 4, 5, 1, 4, 538680L), (4L, "bmp", 4, 5, 1, 5, 682602L),
+    (4L, "bmp", 4, 5, 1, 6, 826525L), (4L, "bmp", 4, 5, 1, 7, 966335L),
+    (5L, "gif", 7, 7, 2, 0, 0L), (5L, "gif", 7, 7, 2, 1, 6291456L),
+    (5L, "gif", 7, 7, 2, 2, 0L), (5L, "gif", 7, 7, 2, 3, 6291456L),
+    (5L, "gif", 7, 7, 2, 4, 0L), (5L, "gif", 7, 7, 2, 5, 6291456L),
+    (5L, "gif", 7, 7, 2, 6, 0L), (5L, "gif", 7, 7, 2, 7, 6291456L),
+    (6L, "png", 10, 3, 1, 0, 1702394L), (6L, "png", 10, 3, 1, 1, 1986126L),
+    (6L, "png", 10, 3, 1, 2, 1620153L), (6L, "png", 10, 3, 1, 3, 1903885L),
+    (6L, "png", 10, 3, 1, 4, 1858652L), (6L, "png", 10, 3, 1, 5, 2146497L),
+    (6L, "png", 10, 3, 1, 6, 1690058L), (6L, "png", 10, 3, 1, 7, 1587256L),
+    (7L, "bmp", 13, 5, 1, 0, 4691864L), (7L, "bmp", 13, 5, 1, 1, 4634295L),
+    (7L, "bmp", 13, 5, 1, 2, 4539718L), (7L, "bmp", 13, 5, 1, 3, 4794665L),
+    (7L, "bmp", 13, 5, 1, 4, 4819338L), (7L, "bmp", 13, 5, 1, 5, 4523269L),
+    (7L, "bmp", 13, 5, 1, 6, 4778217L), (7L, "bmp", 13, 5, 1, 7, 4802890L),
+    (8L, "gif", 4, 7, 3, 0, 4194304L), (8L, "gif", 4, 7, 3, 1, 0L),
+    (8L, "gif", 4, 7, 3, 2, 4194304L), (8L, "gif", 4, 7, 3, 3, 0L),
+    (8L, "gif", 4, 7, 3, 4, 0L), (8L, "gif", 4, 7, 3, 5, 3145728L),
+    (8L, "gif", 4, 7, 3, 6, 0L), (8L, "gif", 4, 7, 3, 7, 3145728L),
+    (9L, "png", 7, 3, 1, 0, 1258291L), (9L, "png", 7, 3, 1, 1, 1468007L),
+    (9L, "png", 7, 3, 1, 2, 1685946L), (9L, "png", 7, 3, 1, 3, 1579032L),
+    (9L, "png", 7, 3, 1, 4, 1480343L), (9L, "png", 7, 3, 1, 5, 1176050L),
+    (9L, "png", 7, 3, 1, 6, 768956L), (9L, "png", 7, 3, 1, 7, 789516L),
+    (10L, "bmp", 10, 5, 1, 0, 3857115L), (10L, "bmp", 10, 5, 1, 1, 3918796L),
+    (10L, "bmp", 10, 5, 1, 2, 3195073L), (10L, "bmp", 10, 5, 1, 3, 3310211L),
+    (10L, "bmp", 10, 5, 1, 4, 3092271L), (10L, "bmp", 10, 5, 1, 5, 3199185L),
+    (10L, "bmp", 10, 5, 1, 6, 3289650L), (10L, "bmp", 10, 5, 1, 7, 3400676L),
+    (11L, "gif", 13, 7, 1, 0, 0L), (11L, "gif", 13, 7, 1, 1, 12582912L),
+    (11L, "gif", 13, 7, 1, 2, 0L), (11L, "gif", 13, 7, 1, 3, 11534336L),
+    (11L, "gif", 13, 7, 1, 4, 0L), (11L, "gif", 13, 7, 1, 5, 11534336L),
+    (11L, "gif", 13, 7, 1, 6, 0L), (11L, "gif", 13, 7, 1, 7, 11534336L))
+
+  val imageioDecodeSql: String = {
+    val rows = imageDecodePins.map { case (id, fmt, w, h, nf, dim, q) =>
+      s"(CAST($id AS BIGINT), '$fmt', CAST($w AS INTEGER), CAST($h AS INTEGER), " +
+        s"CAST($nf AS INTEGER), CAST($dim AS INTEGER), CAST($q AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""SELECT * FROM (VALUES
+      $rows) t(doc_id, format, width, height, n_frames, dim, qlum)"""
+  }
+
   /** Frame-sampling plumbing as a first-class gate entry: every 5th frame
     * index of each (deterministically decoded) media record. */
   def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
@@ -1842,6 +1930,7 @@ object Extensions {
     "q153_matryoshka_recall" -> QueryDef(matryoshkaRecallAt5 _, matryoshkaRecallAt5Sql),
     "q156_label_tightness"   -> QueryDef(labelTightness _, labelTightnessSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
+    "q161_imageio_decode"    -> QueryDef(imageioDecode _, imageioDecodeSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
     "q116_asof_exec"         -> QueryDef(asofPurchaseClickExec _, asofPurchaseClickSql),

@@ -517,6 +517,53 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(again === out.view.mapValues(_.feature.toSeq).toMap)
   }
 
+  test("q161 pins re-derive: the real decoder reproduces the committed VALUES oracle") {
+    implicit val s = spark
+    val got = graft.queries.Extensions.imageioDecode(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._6))
+    val want = graft.queries.Extensions.imageDecodePins.sortBy(t => (t._1, t._6))
+    assert(got.length === 96)
+    assert(got.toSeq === want,
+      "real ImageIO decode drifted from the pinned oracle — re-pin imageDecodePins")
+  }
+
+  test("ImageIO decode handles JPEG and rejects decompression bombs") {
+    implicit val s = spark
+    import s.implicits._
+    import java.awt.image.BufferedImage
+    // JPEG is lossy, so only structure is asserted (dimensions, no drop) —
+    // the exact-pixel gate rides the lossless formats (q161)
+    val img = new BufferedImage(9, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 9) img.setRGB(x, y, (x * 20) << 16 | (y * 30) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpegBytes = bos.toByteArray
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "jpeg", jpegBytes, jpegBytes.length.toLong)).toDS()
+    val out = Multimodal.decodeFeaturesImageIO(media).collect()
+    assert(out.length === 1 && out(0).width === 9 && out(0).height === 6)
+    // decompression bomb: a PNG whose header claims > MaxDecodePixels is
+    // dropped BEFORE any raster allocation (craft by patching the IHDR of
+    // a real 1x1 PNG to declare 65536x65536)
+    val tiny = {
+      val one = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(one, "png", b)
+      b.toByteArray
+    }
+    val bomb = tiny.clone()
+    // IHDR width/height are big-endian ints at offsets 16 and 20
+    bomb(16) = 0; bomb(17) = 1; bomb(18) = 0; bomb(19) = 0
+    bomb(20) = 0; bomb(21) = 1; bomb(22) = 0; bomb(23) = 0
+    val bombed = Seq(
+      graft.operators.MediaRecord(2L, "png", bomb, bomb.length.toLong)).toDS()
+    assert(Multimodal.decodeFeaturesImageIO(bombed).collect().isEmpty,
+      "oversized declared raster must be dropped, not allocated")
+  }
+
   test("hard-negative mining picks the planted positive and hard negative") {
     implicit val s = spark
     import s.implicits._
