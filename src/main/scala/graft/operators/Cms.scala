@@ -39,6 +39,11 @@ object Cms {
   def bucketSql(key: String, i: Int): String =
     s"(${Hll.polySql(key, P, rowCoeffs(i))}) % $width"
 
+  /** JVM-side mirror of `bucketCol` — the same exact integer arithmetic,
+    * used by the native aggregate ([[graft.expressions.CmsCells]]). */
+  def bucketOfLong(u: Long, i: Int): Int =
+    (Hll.polyLong(u, P, rowCoeffs(i)) % width).toInt
+
   /** Builds the sketch from a BIGINT key column: one (row, bucket, cnt)
     * tuple per touched cell. */
   def sketch(items: DataFrame, key: Column): DataFrame =

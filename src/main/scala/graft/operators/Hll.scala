@@ -134,7 +134,7 @@ object Hll {
   // so registers built in an ObjectHashAggregate buffer are bit-identical to
   // registers built by the groupBy composition — HllSpec asserts it.
 
-  private def polyLong(u: Long, prime: Long, cs: Seq[Long]): Long = {
+  private[graft] def polyLong(u: Long, prime: Long, cs: Seq[Long]): Long = {
     val x = (u % prime + prime) % prime
     cs.tail.foldLeft(cs.head)((acc, c) => (acc * x + c) % prime)
   }

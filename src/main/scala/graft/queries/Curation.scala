@@ -1094,6 +1094,38 @@ object Curation {
     GROUP BY p.token, p.cnt"""
   }
 
+  // --- q162: CMS frequencies via the NATIVE aggregate -----------------------
+
+  /** q162: q94's token-frequency estimates with the sketch built by the
+    * engine's [[graft.expressions.CmsCells]] TypedImperativeAggregate
+    * (SQL: `graft_cms(key)`) instead of the explode-then-groupBy
+    * composition — the q159/q93 discipline applied to the frequency
+    * sketch. The composition shuffles depth (row, bucket) tuples per
+    * token occurrence; the native aggregate folds cells map-side and
+    * ships one 64 KB buffer per task. Exploding the non-zero slots of
+    * the returned cell array reproduces q94's sparse cell table exactly,
+    * so the downstream probe is IDENTICAL code ([[Cms.lookup]]) and the
+    * oracle is q94's verbatim. */
+  def cmsNativeTokenFreq(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cms
+    graft.GraftExtensions.register(s)
+    val keyed = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .select(col("token"), TextFunctions.fingerprint(col("token"), 64).as("fp"))
+    val sk = keyed
+      .agg(graft.expressions.CmsCells.cms(col("fp")).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select((col("idx") / Cms.width).cast("int").as("row"),
+        (col("idx") % Cms.width).cast("long").as("bucket"),
+        col("cnt"))
+    val top = keyed.groupBy("token", "fp").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+    val est = Cms.lookup(sk, top.select(col("fp")).distinct(), col("fp"))
+    top.join(est, top("fp") === est("probe_key"))
+      .select(col("token"), col("cnt"), col("est"))
+  }
+
   // --- q88: the composed curation pipeline, oracled end-to-end --------------
 
   /** The FULL [[graft.streaming.CurationPipeline]] cascade — quality route
@@ -1226,6 +1258,7 @@ object Curation {
     "q86_heavy_hitters"     -> QueryDef(heavyHitters _, heavyHittersSql),
     "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql),
     "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql),
+    "q162_cms_native_agg"   -> QueryDef(cmsNativeTokenFreq _, cmsTokenFreqSql),
     "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
     "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql),
     "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql))

@@ -80,6 +80,52 @@ class CmsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native graft_cms cells equal the composed sketch cell-for-cell (q162 ≡ q94)") {
+    graft.GraftExtensions.register(spark)
+    val items = stream.toDF("key")
+    val composed = Cms.sketch(items, col("key"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cells = items.agg(graft.expressions.CmsCells.cms(col("key")).as("cells"))
+      .collect()(0).getSeq[Long](0)
+    assert(cells.length === Cms.depth * Cms.width)
+    composed.foreach { case ((row, bucket), cnt) =>
+      assert(cells(row * Cms.width + bucket.toInt) === cnt,
+        s"cell ($row, $bucket) disagrees")
+    }
+    assert(cells.count(_ > 0L) === composed.size,
+      "native sketch must not touch cells the composed sketch leaves empty")
+    // total mass: every key increments exactly depth cells
+    assert(cells.sum === stream.length.toLong * Cms.depth)
+    // merge-order independence + SQL callability
+    items.createOrReplaceTempView("cms_items_v")
+    val viaSql = spark.sql("SELECT graft_cms(key) AS cells FROM cms_items_v")
+      .collect()(0).getSeq[Long](0)
+    val viaRepart = items.repartition(19)
+      .agg(graft.expressions.CmsCells.cms(col("key")).as("cells"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql === cells && viaRepart === cells)
+  }
+
+  test("native graft_cms streaming complete-mode replay equals the batch cells") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shuffled = new scala.util.Random(53).shuffle(stream)
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("key")
+      .agg(graft.expressions.CmsCells.cms(col("key")).as("cells"))
+      .writeStream.format("memory").queryName("cms_native_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(487).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("cms_native_stream").collect()(0).getSeq[Long](0)
+      val want = stream.toDF("key")
+        .agg(graft.expressions.CmsCells.cms(col("key")).as("cells"))
+        .collect()(0).getSeq[Long](0)
+      assert(got === want, "streamed native cells must equal batch")
+    } finally q.stop()
+  }
+
   test("join-size estimate: one-sided guarantee and error bound (q117)") {
     // |A ⋈ B| from the two key sketches alone — min over depth rows of
     // the bucket-wise dot product. One-sided: collisions only ADD.
