@@ -1126,6 +1126,63 @@ object Curation {
       .select(col("token"), col("cnt"), col("est"))
   }
 
+  // --- q163: token-budget sequence packing ----------------------------------
+
+  /** q163: SEQUENCE PACKING — the step between a curated corpus and a
+    * training run: documents are packed into fixed-token-budget training
+    * sequences ("bins" of [[packCapacity]] tokens) so the trainer reads
+    * dense, uniformly-sized samples instead of one ragged document per
+    * row. The discipline here is START-FIT packing: within each source
+    * shard, documents in stable (doc_id) order are assigned to the bin
+    * their cumulative START offset falls in — `bin = (cum − tok) div C`.
+    * A document straddling a boundary stays in the bin it starts in, so a
+    * bin overflows by strictly less than one document (CurationSpec pins
+    * the bound) and NO document is split or dropped (coverage pinned
+    * too). This is the deterministic, window-expressible cousin of
+    * greedy first-fit (whose "place here if it fits, else open a bin"
+    * recurrence needs sequential state — the Sessionizer pattern — and
+    * buys back only the sub-one-document overflow this accepts).
+    * Complements q72 ([[packSequences]]), the CONCAT-AND-CHUNK form that
+    * splits the concatenated stream at exact token boundaries (documents
+    * straddle windows — the pretraining layout); this form never splits a
+    * document (the SFT/document-integrity layout).
+    *
+    * Scale: one shuffle on the source shard key; the per-shard running
+    * sum is the classic range-partitioned prefix sum, and at 100 TB you
+    * pack WITHIN shards by construction (a global packing order would
+    * serialize the corpus through one sort for zero training benefit —
+    * samples are shuffled again at load time anyway). */
+  val packCapacity = 2048
+
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.withColumn("cum", sum("tok").over(w))
+      .withColumn("bin", expr(s"(cum - tok) div $packCapacity"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("total_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  val sequencePackSql: String = s"""
+    WITH t AS (SELECT source, doc_id,
+                 CAST(len(${Extensions.toksSql}) AS BIGINT) AS tok
+               FROM documents),
+    packed AS (SELECT source, doc_id, tok,
+                 -- DuckDB widens sum(BIGINT) to HUGEINT (→ float64 in the
+                 -- driver's pandas compare); narrow it back for dtype parity
+                 (CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok)
+                   // $packCapacity AS bin
+               FROM t)
+    SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1, 2"""
+
   // --- q88: the composed curation pipeline, oracled end-to-end --------------
 
   /** The FULL [[graft.streaming.CurationPipeline]] cascade — quality route
@@ -1259,6 +1316,7 @@ object Curation {
     "q88_curation_pipeline" -> QueryDef(curationPipeline _, curationPipelineSql),
     "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql),
     "q162_cms_native_agg"   -> QueryDef(cmsNativeTokenFreq _, cmsTokenFreqSql),
+    "q163_sequence_pack"    -> QueryDef(sequencePack _, sequencePackSql),
     "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
     "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql),
     "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql))

@@ -534,4 +534,47 @@ class CurationSpec extends AnyFunSuite {
     assert(success.lastModified() === mtime,
       "a second run must reuse the persisted base, not rebuild it")
   }
+
+  test("q163 sequence packing: complete coverage, bounded overflow, dense bins") {
+    import org.apache.spark.sql.functions._
+    val c = Curation.packCapacity
+    val docs = Tables.documents(spark, sf).select(col("source"), col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val nDocs = docs.count()
+    val maxTok = docs.agg(max("tok")).head.getLong(0)
+    assert(maxTok < c, "fixture doc exceeds the pack capacity — bound below is vacuous")
+
+    val packed = Curation.sequencePack(spark, sf).collect()
+    // coverage: every document lands in exactly one bin
+    assert(packed.map(_.getLong(2)).sum === nDocs)
+    // overflow law of start-fit packing: a bin's tokens span at most
+    // C + (one straddling document) — strictly less than C + maxTok
+    packed.foreach { r =>
+      assert(r.getLong(3) < c + maxTok,
+        s"bin (${r.getString(0)}, ${r.getLong(1)}) overflowed: ${r.getLong(3)}")
+    }
+    // density: every bin except each source's LAST is filled past C - maxTok
+    // (a start offset below that line would have landed in the same bin)
+    val lastBin = packed.groupBy(_.getString(0))
+      .map { case (src, rs) => src -> rs.map(_.getLong(1)).max }
+    packed.foreach { r =>
+      if (r.getLong(1) != lastBin(r.getString(0)))
+        assert(r.getLong(3) > c - maxTok,
+          s"non-final bin (${r.getString(0)}, ${r.getLong(1)}) too sparse: ${r.getLong(3)}")
+    }
+    // bins are contiguous per source and doc ranges don't interleave
+    packed.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (0L until sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          "doc ranges of consecutive bins must not interleave")
+        case _ =>
+      }
+    }
+    // one shuffle on the shard key: the window and the aggregate share it
+    val plan = Curation.sequencePack(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"packing should cost at most the source shuffle (+AQE coalesce):\n$plan")
+  }
 }
