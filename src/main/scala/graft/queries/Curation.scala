@@ -1154,12 +1154,24 @@ object Curation {
     * samples are shuffled again at load time anyway). */
   val packCapacity = 2048
 
-  def sequencePack(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+  def sequencePack(s: SparkSession, d: String): DataFrame =
+    packOn(Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok")))
+
+  /** The packing body over (source, doc_id, tok) rows. `carry` offsets
+    * each source's prefix sum by previously-packed token mass — 0 for a
+    * from-scratch pack; the persisted per-source total for the append
+    * path (q164), which is the ONLY state start-fit packing needs. */
+  private def packOn(docs: DataFrame, carry: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
-    docs.withColumn("cum", sum("tok").over(w))
-      .withColumn("bin", expr(s"(cum - tok) div $packCapacity"))
+    val withCarry = carry match {
+      case None => docs.withColumn("carry", lit(0L))
+      case Some(c) => docs.join(broadcast(c), Seq("source"), "left_outer")
+        .withColumn("carry", coalesce(col("carry"), lit(0L)))
+    }
+    withCarry.withColumn("cum", sum("tok").over(w))
+      .withColumn("bin", expr(s"(carry + cum - tok) div $packCapacity"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum("tok").as("total_tokens"),
@@ -1182,6 +1194,57 @@ object Curation {
            CAST(sum(tok) AS BIGINT) AS total_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM packed GROUP BY 1, 2"""
+
+  // --- q164: the packing APPEND path -----------------------------------------
+
+  /** q164: q163's append path — the sketch-family discipline (q118 HLL
+    * max-merge, q122 CMS sum-merge, q148 audit semigroup: append ≡
+    * rebuild proven under oracle, daily cost = delta) applied to
+    * sequence packing. Start-fit packing is a pure per-source prefix sum,
+    * so its ENTIRE resumable state is one number per source: the total
+    * token mass already packed. Day-1's packed table and that carry
+    * vector persist to parquet; day-2 packs ALONE with the carried
+    * offsets; the straddling bin (day-1's last, which day-2's first doc
+    * may continue filling) merges by plain semigroup (counts/sums add,
+    * doc-range min/max) — and the result must hash-match the FULL-corpus
+    * rebuild oracle (q163's SQL verbatim). At 100 TB you pack the day's
+    * ingest and fold it in; you never re-window the corpus. */
+  private val packStateVersion = "p1"
+
+  private def packStateDir(d: String): String =
+    Extensions.indexCacheDir("graft-pack-state", d, "documents",
+      s"half$packStateVersion")
+
+  private val packStateLock = new Object
+
+  def sequencePackIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    // the fixture's "day boundary": docs at or below the median doc_id are
+    // day 1 — deterministic from the data, and (critically for append
+    // semantics) every day-2 doc_id sorts AFTER every day-1 doc_id
+    val cut = Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head.getLong(0) / 2
+    val dir = packStateDir(d)
+    packStateLock.synchronized {
+      if (!(new java.io.File(s"$dir/packed/_SUCCESS").exists() &&
+            new java.io.File(s"$dir/carry/_SUCCESS").exists())) {
+        val day1 = docs.filter(col("doc_id") <= cut)
+        packOn(day1).write.mode("overwrite").parquet(s"$dir/packed")
+        day1.groupBy("source").agg(sum("tok").as("carry"))
+          .write.mode("overwrite").parquet(s"$dir/carry")
+      }
+    }
+    val day1Packed = s.read.parquet(s"$dir/packed")
+    val carry = s.read.parquet(s"$dir/carry")
+    val day2Packed = packOn(docs.filter(col("doc_id") > cut), Some(carry))
+    day1Packed.unionByName(day2Packed)
+      .groupBy("source", "bin")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        min("first_doc").as("first_doc"),
+        max("last_doc").as("last_doc"))
+  }
 
   // --- q88: the composed curation pipeline, oracled end-to-end --------------
 
@@ -1317,6 +1380,7 @@ object Curation {
     "q94_cms_token_freq"    -> QueryDef(cmsTokenFreq _, cmsTokenFreqSql),
     "q162_cms_native_agg"   -> QueryDef(cmsNativeTokenFreq _, cmsTokenFreqSql),
     "q163_sequence_pack"    -> QueryDef(sequencePack _, sequencePackSql),
+    "q164_pack_incremental" -> QueryDef(sequencePackIncremental _, sequencePackSql),
     "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
     "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql),
     "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql))

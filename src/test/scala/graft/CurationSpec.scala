@@ -577,4 +577,21 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 2,
       s"packing should cost at most the source shuffle (+AQE coalesce):\n$plan")
   }
+
+  test("q164 incremental packing: append equals rebuild; day-1 state is reused") {
+    val rebuild = Curation.sequencePack(spark, sf)
+    val append = Curation.sequencePackIncremental(spark, sf)
+    assert(rebuild.count() > 0)
+    assert(rebuild.exceptAll(append).isEmpty && append.exceptAll(rebuild).isEmpty,
+      "append path must reproduce the full-corpus rebuild exactly")
+    // second call reuses the persisted day-1 pack + carry, not a rebuild
+    val dirRoot = new java.io.File("/root/repo/target/graft-pack-state")
+    val packedSuccess = dirRoot.listFiles()
+      .filter(_.getName.contains("sf0.001")).map(f => new java.io.File(f, "packed/_SUCCESS"))
+      .find(_.exists()).get
+    val mtime = packedSuccess.lastModified()
+    Curation.sequencePackIncremental(spark, sf).count()
+    assert(packedSuccess.lastModified() === mtime,
+      "a second run must reuse the persisted day-1 state, not rebuild it")
+  }
 }
