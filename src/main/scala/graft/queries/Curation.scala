@@ -1195,6 +1195,54 @@ object Curation {
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM packed GROUP BY 1, 2"""
 
+  // --- q165: globally contiguous packed-stream offsets ------------------------
+
+  /** q165: the globally contiguous form of q72's packed stream — each
+    * document's token offset in ONE corpus-wide stream (ordered by
+    * (source, doc_id)), computed WITHOUT a global sort: per-shard prefix
+    * sums (the q72 window, one shuffle on the shard key) plus the classic
+    * two-pass base-offset fold — per-shard token totals (a handful of
+    * rows) are exclusive-prefix-summed on the tiny aggregate and
+    * broadcast back, so `global_off = shard_base + local prefix`. q72's
+    * scaladoc documents this exact shape as the scale path and
+    * deliberately left it ungated; this row gates it. The oracle computes
+    * the same offsets the brute way — one global window over
+    * (source, doc_id) — which is precisely the single-partition sort the
+    * engine plan avoids; their hash-equality IS the claim that the
+    * decomposition is exact. Zero-token documents are dropped before
+    * packing, exactly as in q72. */
+  def packGlobalOffsets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1L)
+    val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+    // per-shard totals: rows = number of sources (a handful) — the
+    // single-partition window below runs over THAT aggregate, never the data
+    val baseW = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy("source").agg(sum("n_tokens").as("shard_total"))
+      .withColumn("shard_base", coalesce(sum(col("shard_total")).over(baseW), lit(0L)))
+      .select(col("source"), col("shard_base"))
+    local.join(broadcast(bases), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("shard_base") + col("local_off")).as("global_off"))
+  }
+
+  val packGlobalOffsetsSql: String = s"""
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY source, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS global_off
+    FROM (SELECT doc_id, source,
+                 CAST(len(${Extensions.toksSql}) AS BIGINT) AS n_tokens
+          FROM documents)
+    WHERE n_tokens >= 1"""
+
   // --- q164: the packing APPEND path -----------------------------------------
 
   /** q164: q163's append path — the sketch-family discipline (q118 HLL
@@ -1381,6 +1429,7 @@ object Curation {
     "q162_cms_native_agg"   -> QueryDef(cmsNativeTokenFreq _, cmsTokenFreqSql),
     "q163_sequence_pack"    -> QueryDef(sequencePack _, sequencePackSql),
     "q164_pack_incremental" -> QueryDef(sequencePackIncremental _, sequencePackSql),
+    "q165_pack_global_offsets" -> QueryDef(packGlobalOffsets _, packGlobalOffsetsSql),
     "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
     "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql),
     "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql))

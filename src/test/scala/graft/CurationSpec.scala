@@ -594,4 +594,27 @@ class CurationSpec extends AnyFunSuite {
     assert(packedSuccess.lastModified() === mtime,
       "a second run must reuse the persisted day-1 state, not rebuild it")
   }
+
+  test("q165 global offsets: no data-sized single-partition window; offsets contiguous") {
+    import org.apache.spark.sql.functions._
+    val df = Curation.packGlobalOffsets(spark, sf)
+    // the single-partition exchange may exist only for the per-shard-totals
+    // fold (rows = number of sources); the DATA window must stay partitioned
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange SinglePartition").length - 1 <= 1,
+      s"more than the tiny base-offset fold runs single-partition:\n$plan")
+    assert(plan.contains("Window") &&
+      plan.contains("Exchange hashpartitioning(source"),
+      s"per-shard window lost its shard partitioning:\n$plan")
+    // offsets are a permutation-free contiguous packing: sorted by
+    // global_off, each doc starts exactly where the previous ended
+    val rows = df.orderBy("global_off").collect()
+      .map(r => (r.getLong(3), r.getLong(2)))
+    assert(rows.nonEmpty && rows.head._1 === 0L)
+    rows.sliding(2).foreach {
+      case Array((off1, tok1), (off2, _)) =>
+        assert(off2 === off1 + tok1, s"gap/overlap at offset $off2")
+      case _ =>
+    }
+  }
 }
