@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.expressions.{BoundedLevenshtein, CmsCells, DotProduct, HllRegisters, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
+import graft.expressions.{BloomWords, BoundedLevenshtein, CmsCells, DotProduct, HllRegisters, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -138,6 +138,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         checkArity("graft_cms", es, 1, 1)
         CmsCells(Cast(es(0), LongType))
+      }),
+    ("graft_bloom",
+      new ExpressionInfo(classOf[BloomWords].getName, "graft_bloom"),
+      (es: Seq[Expression]) => {
+        checkArity("graft_bloom", es, 1, 1)
+        BloomWords(Cast(es(0), LongType))
       }))
 
   /** Register on an already-built session (temp functions). */

@@ -67,6 +67,16 @@ object Bloom {
   def posSql(key: String, i: Int): String =
     s"((${h1Sql(key)}) + $i * ${h2stepSql(key)}) % $bits"
 
+  /** JVM mirror of [[posOf]] — the same exact integer arithmetic as the
+    * Column/SQL forms, for the native aggregate
+    * ([[graft.expressions.BloomWords]]). h1 < 2^31 and step ≤ bits−1, so
+    * h1 + (k−1)·step never overflows. */
+  private[graft] def posOfLong(key: Long, i: Int): Int = {
+    val a = Hll.polyLong(key, P1, C1)
+    val step = Hll.polyLong(key, P2, C2) % (bits - 1) + 1L
+    ((a + i * step) % bits).toInt
+  }
+
   /** Mergeable sketch state: (word, bits32) rows, one per touched word.
     * Runs unchanged per group (prepend group columns before the groupBy)
     * or on a streaming frame — bit_or makes the words independent of

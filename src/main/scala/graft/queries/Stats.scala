@@ -413,6 +413,31 @@ object Stats {
     FROM pos GROUP BY 1, 2"""
   }
 
+  // --- q166: the Bloom filter via the NATIVE aggregate -----------------------
+
+  /** q166: q114's per-segment Bloom words built by the engine's
+    * [[graft.expressions.BloomWords]] TypedImperativeAggregate (SQL:
+    * `graft_bloom(key)`) instead of the explode-k-positions groupBy
+    * composition — the q159/q93 and q162/q94 discipline applied to the
+    * third sketch family, completing the native trio. The composition
+    * shuffles k (group, pos) rows per input key; the native aggregate ORs
+    * words map-side and ships one 16 KB buffer per group per task — at
+    * 100 TB the exchange carries filters, not the key stream. Exploding
+    * the non-zero word slots reproduces q114's sparse (word, bits32)
+    * table exactly, so this row's oracle is q114's VERBATIM — the two
+    * engine paths and DuckDB all hash-match. */
+  def bloomNativeState(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.customer(s, d)
+      .filter(col("c_custkey").isNotNull)
+      .groupBy("c_mktsegment")
+      .agg(graft.expressions.BloomWords.bloom(col("c_custkey")).as("ws"))
+      .select(col("c_mktsegment"), posexplode(col("ws")).as(Seq("word", "bits32")))
+      .filter(col("bits32") =!= 0L)
+      .select(col("c_mktsegment"), col("word").cast("long").as("word"),
+        col("bits32"))
+  }
+
   /** q115: explicit bloom semi-join reduction — the filter built from the
     * selective dim side (one segment of customers) prunes the orders scan
     * row-locally BEFORE the join shuffle, and the exact join removes the
@@ -1043,6 +1068,7 @@ object Stats {
     "q159_hll_native_agg" -> QueryDef(hllNativeSketch _, hllSketchSql),
     "q103_length_pct_rank" -> QueryDef(lengthPctRank _, lengthPctRankSql),
     "q114_bloom_state"    -> QueryDef(bloomState _, bloomStateSql),
+    "q166_bloom_native_agg" -> QueryDef(bloomNativeState _, bloomStateSql),
     "q115_bloom_semijoin" -> QueryDef(bloomSemiJoin _, bloomSemiJoinSql),
     "q117_join_size_est"  -> QueryDef(joinSizeEstimate _, joinSizeEstimateSql),
     "q118_hll_incremental" -> QueryDef(hllIncremental _, hllSketchSql),

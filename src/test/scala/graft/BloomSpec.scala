@@ -56,6 +56,69 @@ class BloomSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native graft_bloom words equal the composed state word-for-word (q166 ≡ q114)") {
+    graft.GraftExtensions.register(spark)
+    val cust = Tables.customer(spark, sf)
+    val composed = wordMap(Bloom.state(cust, col("c_custkey")))
+    val words = cust.filter(col("c_custkey").isNotNull)
+      .agg(graft.expressions.BloomWords.bloom(col("c_custkey")).as("ws"))
+      .collect()(0).getSeq[Long](0)
+    assert(words.length === Bloom.words)
+    composed.foreach { case (w, bits) =>
+      assert(words(w.toInt) === bits, s"word $w disagrees")
+    }
+    assert(words.count(_ != 0L) === composed.size,
+      "native filter must not touch words the composed state leaves empty")
+    // merge-order independence + SQL callability
+    cust.createOrReplaceTempView("bloom_cust_v")
+    val viaSql = spark.sql(
+      "SELECT graft_bloom(c_custkey) AS ws FROM bloom_cust_v")
+      .collect()(0).getSeq[Long](0)
+    val viaRepart = cust.repartition(19)
+      .agg(graft.expressions.BloomWords.bloom(col("c_custkey")).as("ws"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql === words && viaRepart === words)
+    // idempotence under duplicate delivery (bit_or, unlike CMS's sum)
+    val viaDup = cust.union(cust)
+      .agg(graft.expressions.BloomWords.bloom(col("c_custkey")).as("ws"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaDup === words, "duplicate delivery must not change the filter")
+  }
+
+  test("native graft_bloom streaming complete-mode replay equals the batch words") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).as[Long].collect().toList
+    val shuffled = new scala.util.Random(31).shuffle(keys)
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("key")
+      .agg(graft.expressions.BloomWords.bloom(col("key")).as("ws"))
+      .writeStream.format("memory").queryName("bloom_native_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      shuffled.grouped(137).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("bloom_native_stream").collect()(0).getSeq[Long](0)
+      val want = keys.toDF("key")
+        .agg(graft.expressions.BloomWords.bloom(col("key")).as("ws"))
+        .collect()(0).getSeq[Long](0)
+      assert(got === want, "streamed native words must equal batch")
+    } finally q.stop()
+  }
+
+  test("plan: native bloom aggregate runs as ObjectHashAggregate, group-keyed exchange") {
+    val df = graft.queries.Stats.bloomNativeState(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"graft_bloom must plan as ObjectHashAggregate:\n$plan")
+    // the exchange is keyed on the group alone (16 KB word buffers move,
+    // not k position rows per key — q114's composed form shuffles those)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(c_mktsegment#") && !l.contains("word")),
+      s"expected a group-keyed exchange carrying filter buffers:\n$plan")
+  }
+
   test("no false negatives: every inserted key passes mightContain") {
     val cust = Tables.customer(spark, sf)
     val bf = Bloom.build(cust, col("c_custkey"))
