@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -122,4 +122,46 @@ object Bpe {
     merges.foldLeft(word.split("").toSeq.filter(_.nonEmpty)) { (syms, m) =>
       applyMerge(syms, m.a, m.b)
     }
+
+  /** ENCODE a pre-token column with a trained merge table — the other half
+    * of the tokenizer, applied corpus-wide (training builds the table once;
+    * encoding is what actually runs over 100 TB).
+    *
+    * Pure string arithmetic, zero shuffle, whole-stage codegen, and
+    * oracle-expressible: the symbol sequence is materialized as a STRING
+    * with every symbol individually wrapped — `‹c›‹a›‹t›` — and the rank-r
+    * merge (a, b) is the literal replacement `‹a›‹b› → ‹ab›`, folded in
+    * rank order. Individually-wrapped symbols make non-overlapping
+    * left-to-right `replace` EXACTLY the BPE rewrite rule:
+    *  - adjacent matches share no characters (unlike space-separated
+    *    symbols, whose shared delimiter makes `replace` skip every other
+    *    occurrence), so "apply everywhere, leftmost-first" is preserved;
+    *  - a match can't start or end inside a symbol: `‹x›‹y›` requires x to
+    *    be a WHOLE symbol (preceded by ‹, followed by ›), so the suffix of
+    *    one symbol never merges with the prefix of the next.
+    * Both engines' literal `replace` scans left-to-right non-overlapping,
+    * so the Spark plan and the DuckDB oracle compute the identical
+    * segmentation (BpeSpec pins it against [[segment]] word-for-word).
+    *
+    * The wrapper pair ‹ › (U+2039/U+203A) never collides with symbol text
+    * because callers encode alphanumeric pre-tokens (`[A-Za-z]+|[0-9]+`
+    * runs — the only subtokens whose pairs ever train merges). */
+  def encodeTokens(word: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(word, "(.)", "‹$1›")
+    val folded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"‹$a›‹$b›"), lit(s"‹$a$b›"))
+    }
+    split(trim(folded, "‹›"), "›‹")
+  }
+
+  /** The DuckDB mirror of [[encodeTokens]]: the same wrap → rank-ordered
+    * literal replaces → unwrap-and-split, over a SQL expression for the
+    * word. */
+  def encodeTokensSql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    val wrapped = s"regexp_replace($wordExpr, '(.)', '‹\\1›', 'g')"
+    val folded = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, '‹$a›‹$b›', '‹$a$b›')"
+    }
+    s"string_split(trim($folded, '‹›'), '›‹')"
+  }
 }

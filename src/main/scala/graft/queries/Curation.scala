@@ -710,6 +710,52 @@ object Curation {
             GROUP BY pair))
     WHERE rank <= $bpeTopK"""
 
+  // --- q167: apply the trained BPE tokenizer corpus-wide ---------------------
+
+  /** q167: ENCODE the corpus with the committed BPE merge table
+    * ([[graft.ml.PinnedBpeMerges]], trained once by PinBpeMain — the
+    * pinned-quantizer discipline applied to the tokenizer) and report the
+    * encoded-token vocabulary: top 100 subword tokens by exact corpus
+    * count, deterministic ties. q75 gates the TRAINER's statistics; this
+    * gates the other half — what a training-data pipeline actually runs at
+    * 100 TB, tokenizing every document with a fixed vocabulary.
+    *
+    * Scale shape: the encoder ([[graft.operators.Bpe.encodeTokens]]) is a
+    * row-local wrap → 24 literal replaces → split chain, whole-stage
+    * codegen, zero shuffle; the only exchange is the vocab groupBy
+    * (map-side combined, key space = the learned vocabulary); top-100 is
+    * TakeOrderedAndProject and the rank window runs over 100 survivors.
+    * The oracle replays the identical replace chain in DuckDB — engine and
+    * oracle compute the segmentation, not just compare counts. */
+  val bpeEncodeTopK = 100
+
+  def bpeEncodeVocab(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ml.PinnedBpeMerges.values
+    val agg = Tables.documents(s, d)
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0))).as("w"))
+      .select(explode(graft.operators.Bpe.encodeTokens(col("w"), merges)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(bpeEncodeTopK)
+    agg.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+  }
+
+  lazy val bpeEncodeVocabSql: String = s"""
+    SELECT token, cnt, rank FROM (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM (SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(${graft.operators.Bpe.encodeTokensSql(
+                    "w", graft.ml.PinnedBpeMerges.values)}) AS token
+                  FROM (SELECT unnest(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+')) AS w
+                        FROM documents))
+            GROUP BY token))
+    WHERE rank <= $bpeEncodeTopK"""
+
   // --- q77: bigram language-model counts ------------------------------------
 
   /** Bigram LM count table — the statistics pass under perplexity-based
@@ -1418,6 +1464,7 @@ object Curation {
     "q73_chunk_windows"     -> QueryDef(chunkWindows _, chunkWindowsSql),
     "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),
     "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql),
+    "q167_bpe_encode"       -> QueryDef(bpeEncodeVocab _, bpeEncodeVocabSql),
     "q77_bigram_lm"         -> QueryDef(bigramLm _, bigramLmSql),
     "q82_lm_quality"        -> QueryDef(lmQualityScore _, lmQualitySql),
     "q83_dup_ngram_frac"    -> QueryDef(dupNgramFraction _, dupNgramFractionSql),

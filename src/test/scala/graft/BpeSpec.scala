@@ -66,4 +66,52 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.applyMerge(Seq("x"), "a", "a") === Seq("x"))
     assert(Bpe.applyMerge(Nil, "a", "b") === Nil)
   }
+
+  test("pinned merge table reproduces from its committed training run (q167)") {
+    val (merges, seg) = Bpe.learn(spark,
+      graft.Tables.documents(spark, graft.ml.PinBpeMain.trainDir), "text",
+      graft.ml.PinBpeMain.numMerges)
+    seg.unpersist()
+    assert(merges.map(m => (m.a, m.b)) === graft.ml.PinnedBpeMerges.values,
+      "PinnedBpeMerges is stale — regenerate with `runMain graft.ml.PinBpeMain`")
+  }
+
+  test("column encoder segments every corpus word exactly like Bpe.segment (q167)") {
+    import spark.implicits._
+    val merges = graft.ml.PinnedBpeMerges.values
+    val mergeTable = merges.map(p => Bpe.Merge(0, p._1, p._2, 0L))
+    val words = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0))).as("w"))
+      .distinct()
+    val encoded = words
+      .select(col("w"), Bpe.encodeTokens(col("w"), merges).as("toks"))
+      .as[(String, Seq[String])].collect()
+    assert(encoded.nonEmpty)
+    encoded.foreach { case (w, toks) =>
+      assert(toks === Bpe.segment(w, mergeTable), s"word '$w' segments differently")
+      assert(toks.mkString("") === w, s"encoding of '$w' is not lossless")
+    }
+    // overlap discipline: adjacent identical pairs merge leftmost-first,
+    // exactly like the trainer's in-word rewrite
+    val tricky = Seq("aaa", "erer", "inin", "stst").toDF("w")
+      .select(col("w"), Bpe.encodeTokens(col("w"), merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    tricky.foreach { case (w, toks) =>
+      assert(toks === Bpe.segment(w, mergeTable), s"overlap case '$w' diverges")
+    }
+  }
+
+  test("encoder compresses: corpus token count strictly below character count") {
+    val merges = graft.ml.PinnedBpeMerges.values
+    val stats = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0))).as("w"))
+      .select(length(col("w")).cast("long").as("chars"),
+        size(Bpe.encodeTokens(col("w"), merges)).cast("long").as("toks"))
+      .agg(sum("chars").as("chars"), sum("toks").as("toks"))
+      .collect()(0)
+    assert(stats.getLong(1) < stats.getLong(0),
+      s"24 merges should compress: ${stats.getLong(1)} tokens vs ${stats.getLong(0)} chars")
+  }
 }
