@@ -772,9 +772,21 @@ object Extensions {
   private def sqdistFoldSql(v: String, cc: String): String =
     s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(len($v)), " +
       s"i -> ($v[i+1] - $cc[i+1]) * ($v[i+1] - $cc[i+1]))), (a, b) -> a + b)"
+  /** A DOUBLE[] literal whose elements carry an exponent, so DuckDB parses
+    * each one DIRECTLY as DOUBLE. A bare-decimal list ([0.078..., ...])
+    * first unifies its elements to one common DECIMAL type, which can
+    * round the last significant digit BEFORE the ::DOUBLE[] cast — an
+    * off-by-one-ulp oracle (caught by the q169 ADC gate; depends on the
+    * element magnitude mix, so it can lurk silently). */
+  private[queries] def doubleListSql(xs: Seq[Double]): String =
+    "[" + xs.map { x =>
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }.mkString(", ") + "]::DOUBLE[]"
+
   private def centersValuesSql(centers: Seq[Seq[Double]]): String =
     centers.zipWithIndex
-      .map { case (c, i) => s"(${i + 1}, [${c.mkString(", ")}]::DOUBLE[])" }
+      .map { case (c, i) => s"(${i + 1}, ${doubleListSql(c)})" }
       .mkString(", ")
   private def cosineSql(a: String, b: String): String =
     s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0.0 THEN NULL " +
@@ -1113,7 +1125,7 @@ object Extensions {
   val annLshTopKSql: String = s"""
     WITH c AS ($embSql),
     hp AS (SELECT * FROM (VALUES ${lshHyperplanes.zipWithIndex
-      .map { case (h, i) => s"($i, [${h.mkString(", ")}]::DOUBLE[])" }
+      .map { case (h, i) => s"($i, ${doubleListSql(h)})" }
       .mkString(", ")}) t(i, h)),
     bk AS (SELECT vec_id, CAST(i // $lshBits AS INTEGER) AS tbl,
              sum(CASE WHEN ${dotSql("v", "h")} > 0.0
@@ -1909,8 +1921,135 @@ object Extensions {
           FROM embeddings)
     GROUP BY 1, 2"""
 
+  // --- q168/q169/q170: product quantization (codes, ADC scan, rerank) -------
+
+  /** The committed PQ codebooks ([[graft.ml.PinnedPqCodebooks]], trained
+    * once by PinPqMain — the pinned-quantizer discipline) as plan
+    * literals, so DuckDB reproduces codes, ADC distances, and both
+    * ranking stages exactly. */
+  private lazy val pqBooks: Seq[Seq[Seq[Double]]] = graft.ml.PinnedPqCodebooks.values
+
+  private lazy val pqBooksValuesSql: String =
+    pqBooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($s, ${j + 1}, ${doubleListSql(c)})"
+      }
+    }.mkString(", ")
+
+  private def pqSubSliceSql(v: String, s: String): String =
+    s"$v[($s * ${graft.operators.Pq.subDim} + 1):(($s + 1) * ${graft.operators.Pq.subDim})]"
+
+  /** Shared CTE text: per-vector per-subspace code assignment (rank-1 by
+    * (distance, centroid id) — the engine's `array_position` of the min). */
+  private def pqCodesCteSql: String = s"""
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ctr AS (SELECT * FROM (VALUES $pqBooksValuesSql) t(s, cell, cc)),
+    rk AS (SELECT vec_id, s, cell,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cell) AS rn
+           FROM (SELECT c.vec_id, ctr.s, ctr.cell,
+                   ${sqdistFoldSql(pqSubSliceSql("c.v", "ctr.s"), "ctr.cc")} AS dd
+                 FROM c CROSS JOIN ctr)),
+    codes AS (SELECT vec_id, s, cell FROM rk WHERE rn = 1)"""
+
+  /** q168: the corpus as PQ CODES — 8 centroid ids per vector, the 32×
+    * compression that makes a 100 TB embedding corpus memory-feasible
+    * ([[graft.operators.Pq]]). Encoding is row-local zero-shuffle
+    * codegen; the oracle recomputes every sub-assignment from the pinned
+    * codebooks, so the compressed representation itself is hash-exact. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pq.encode(Tables.embeddings(s, d), pqBooks)
+
+  lazy val pqCodesSql: String = s"""
+    WITH ${pqCodesCteSql}
+    SELECT vec_id,
+           ${(0 until graft.operators.Pq.subspaces).map(s =>
+             s"CAST(max(CASE WHEN s = $s THEN cell END) AS INT) AS c${s + 1}")
+             .mkString(",\n           ")}
+    FROM codes GROUP BY vec_id"""
+
+  /** q169: the ADC top-k scan — per-query subspace lookup tables against
+    * the CODES table only; raw corpus vectors are never read. The ADC
+    * total is a fixed left-associated 8-term chain in both engines, so
+    * approximate DISTANCES (not just ids) hash-match. */
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10), pqBooks, k = 5)
+  }
+
+  private def pqAdcRankedSql: String = s"""
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    persub AS (SELECT q.query_id, codes.vec_id AS neighbor_id, codes.s,
+                 ${sqdistFoldSql(pqSubSliceSql("q.qv", "codes.s"), "ctr.cc")} AS d
+               FROM codes JOIN ctr USING (s, cell) CROSS JOIN q
+               WHERE codes.vec_id <> q.query_id),
+    adc AS (SELECT query_id, neighbor_id,
+              ${(0 until graft.operators.Pq.subspaces).map(s =>
+                s"max(CASE WHEN s = $s THEN d END)").mkString(" + ")} AS adc
+            FROM persub GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, neighbor_id) AS rn
+               FROM adc)"""
+
+  lazy val pqAdcTopKSql: String = s"""
+    WITH ${pqCodesCteSql},
+    ${pqAdcRankedSql}
+    SELECT query_id, neighbor_id, adc, rn FROM ranked WHERE rn <= 5"""
+
+  /** q170: recall@5 of the two-stage serving path (ADC shortlist of
+    * ${graft.operators.Pq.rerankShortlist}, exact L2 re-rank — Jégou et
+    * al. §V) against brute-force L2 truth, per query — the q112
+    * discipline applied to the compressed index: the quality of serving
+    * from codes is a GATE ROW, not a claim. Pin-time measurement
+    * (PinPqMain's committed sweep): 0.98 at sf0.01, 0.80 at sf0.1 with
+    * books trained at sf0.01 — vs 0.18/0.12 ranking by raw ADC alone,
+    * which is why the rerank stage exists. Left join keeps fully-missed
+    * queries at 0. */
+  def pqRerankRecallAt5(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Pq.bruteL2TopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val rr = Pq.adcRerankTopK(emb, queries, pqBooks, k = 5,
+        shortlist = Pq.rerankShortlist)
+      .select("query_id", "neighbor_id").withColumn("__hit", lit(1))
+    brute.join(rr, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id").agg(count(col("__hit")).as("hits_at_5"))
+  }
+
+  lazy val pqRerankRecallAt5Sql: String = s"""
+    WITH ${pqCodesCteSql},
+    ${pqAdcRankedSql},
+    shortlist AS (SELECT query_id, neighbor_id FROM ranked
+                  WHERE rn <= ${graft.operators.Pq.rerankShortlist}),
+    rr AS (SELECT query_id, neighbor_id FROM (
+             SELECT sl.query_id, sl.neighbor_id,
+                    row_number() OVER (PARTITION BY sl.query_id
+                                       ORDER BY ${sqdistFoldSql("q.qv", "cv.v")},
+                                                sl.neighbor_id) AS rrn
+             FROM shortlist sl
+             JOIN c cv ON sl.neighbor_id = cv.vec_id
+             JOIN q ON sl.query_id = q.query_id)
+           WHERE rrn <= 5),
+    brute AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY ${sqdistFoldSql("q.qv", "c.v")},
+                                                   c.vec_id) AS bn
+                FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+              WHERE bn <= 5)
+    SELECT b.query_id, count(r.neighbor_id) AS hits_at_5
+    FROM brute b
+    LEFT JOIN rr r
+      ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+    GROUP BY b.query_id"""
+
   val defs: Map[String, QueryDef] = Map(
     "q78_embedding_centroids" -> QueryDef(embeddingCentroids _, embeddingCentroidsSql),
+    "q168_pq_codes"          -> QueryDef(pqCodes _, pqCodesSql),
+    "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
+    "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
     "q21_token_stats"        -> QueryDef(tokenStats _, tokenStatsSql),
     "q22_text_quality"       -> QueryDef(textQuality _, textQualitySql),
