@@ -55,56 +55,43 @@ object Pq {
     * mirrored by the oracle's `v[(s*8+1):(s*8+8)]`. */
   def subVec(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
 
-  /** The subspace-s code (1-based centroid id, ties to the lowest id) —
-    * the same argmin-by-(distance, id) the IVF assignment uses. */
-  def codeExpr(vec: Column, books: Seq[Seq[Seq[Double]]], s: Int): Column = {
-    val dists = array(books(s).map(c => Similarity.distToFold(subVec(vec, s), c)): _*)
-    array_position(dists, array_min(dists)).cast("int")
-  }
+  /** Encode to ONE codes array column: (id, codes array<int>) — the
+    * native [[graft.expressions.PqEncodeCodes]] kernel (512 fused
+    * sub-distance loops in whole-stage codegen; the per-centroid
+    * `aggregate(zip_with(...))` composition is interpreted and made plan
+    * analysis itself the bottleneck). Row-local, zero shuffle. */
+  def encodeArr(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      graft.expressions.PqExpressions.encode(asDouble(col(vecCol)), books).as("codes"))
 
   /** Encode a corpus: (id, c1..c8). Row-local, zero shuffle — at 100 TB
     * this pass writes the 32×-smaller codes table that all serving reads. */
   def encode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    corpus.select(
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    encodeArr(corpus, books, idCol, vecCol).select(
       col(idCol) +:
-        (0 until subspaces).map(s => codeExpr(v, books, s).as(s"c${s + 1}")): _*)
-  }
-
-  /** Per-query subspace lookup tables: lut_s[j] = dist²(q_s, books(s)(j)).
-    * queries × 8 × 16 doubles — broadcast metadata, computed once per
-    * query, amortized over every candidate the scan touches. */
-  def withLuts(queries: DataFrame, books: Seq[Seq[Seq[Double]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qv = asDouble(col(vecCol))
-    queries.select(
-      col(idCol).as("query_id") +:
-        (0 until subspaces).map { s =>
-          array(books(s).map(c => Similarity.distToFold(subVec(qv, s), c)): _*)
-            .as(s"lut_$s")
-        }: _*)
-  }
-
-  /** The ADC estimate for a codes row against one query's luts: a fixed
-    * left-associated chain, s = 0..7, so every engine sums in the same
-    * order. */
-  def adcExpr: Column =
-    (0 until subspaces)
-      .map(s => element_at(col(s"lut_$s"), col(s"c${s + 1}")))
-      .reduce(_ + _)
+        (0 until subspaces).map(s =>
+          element_at(col("codes"), s + 1).as(s"c${s + 1}")): _*)
 
   /** ADC top-k: scan the CODES table once against a broadcast query
     * batch, rank by (adc asc, neighbor id). The raw corpus vectors are
-    * never touched — that is the point. */
+    * never touched — that is the point. The ADC value is the native
+    * [[graft.expressions.PqAdcDist]] kernel: per pair it recomputes the
+    * coded sub-centroid distances inside codegen — bit-identical to a
+    * per-query lookup table (the entries would hold the very same
+    * folds), which becomes worth materializing only at ~10⁶ candidates
+    * per query. */
   def adcTopK(corpus: DataFrame, queries: DataFrame,
               books: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
-    val codes = encode(corpus, books)
-    val luts = withLuts(queries, books)
+    val codes = encodeArr(corpus, books)
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
     codes.withColumnRenamed("vec_id", "neighbor_id")
-      .join(broadcast(luts), col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", adcExpr)
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.expressions.PqExpressions.adcDist(col("qv"), col("codes"), books))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "adc", "rn")
