@@ -115,6 +115,72 @@ object Pq {
       .select("query_id", "neighbor_id", "dd", "rn")
   }
 
+  /** Materialize the IVF-PQ index (Jégou et al. §VI, "IVFADC" — the
+    * architecture FAISS made standard): every vector is assigned its
+    * nearest coarse cell ([[Similarity]]'s pinned IVF quantizer) and
+    * stored as PQ CODES ONLY, partitioned by cell. The index holds no raw
+    * vectors — 8 ints + an id per row — so the serving working set is
+    * ~32× smaller than the corpus, AND probes scan only cells/nProbe of
+    * it: the two orthogonal reductions composed. Append = assign + encode
+    * the new batch into its cell files, same as [[Similarity.appendToIvfIndex]]. */
+  def writeIvfPqIndex(corpus: DataFrame, indexDir: String,
+                      centers: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val v = asDouble(col(vecCol))
+    val dists = array(centers.map(c => Similarity.distToFold(v, c)): _*)
+    corpus.select(
+        col(idCol),
+        graft.expressions.PqExpressions.encode(v, books).as("codes"),
+        array_position(dists, array_min(dists)).cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+  }
+
+  /** Serve top-k from an IVF-PQ index: probe the nProbe nearest cells
+    * (cell ids push down as PartitionFilters on the codes read), rank the
+    * probed candidates by the codegen ADC kernel, keep a per-query
+    * `shortlist`, then re-rank ONLY those rows exactly against the raw
+    * corpus (the source-of-truth table — the index never stores vectors).
+    * Every stage is the established exact arithmetic, so the full
+    * approximate pipeline is oracle-reproducible (q171). */
+  def ivfPqTopK(indexDir: String, corpus: DataFrame, queries: DataFrame,
+                centers: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                k: Int, nProbe: Int, shortlist: Int)
+               (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("probe_cells",
+        Similarity.probeCellsExpr(col("qv"), centers, nProbe))
+    // union of probed cells: bounded driver metadata (≤ queries × nProbe
+    // ints), the same discipline as ivfTopKIndexedFiltered
+    val probed = q.select(explode(col("probe_cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probed: _*))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"),
+          explode(col("probe_cells")).as("cell"))),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.expressions.PqExpressions.adcDist(col("qv"), col("codes"), books))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    val sl = cand.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val vecs = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("v"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val wEx = Window.partitionBy("query_id").orderBy(col("dd"), col("neighbor_id"))
+    sl.join(vecs, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("dd", aggregate(zip_with(col("qv"), col("v"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "dd", "rn")
+  }
+
   /** The two-stage serving path (Jégou et al. §V): the compressed-domain
     * ADC scan picks a `shortlist`-sized candidate set per query, and only
     * those rows' RAW vectors are fetched for an exact L2 re-rank. The

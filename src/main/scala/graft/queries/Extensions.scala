@@ -2045,9 +2045,83 @@ object Extensions {
       ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
     GROUP BY b.query_id"""
 
+  /** q171: the composed IVF-PQ serving path ("IVFADC", Jégou et al. §VI —
+    * the FAISS-standard architecture): coarse cells prune WHICH rows a
+    * probe scans (cells/nProbe of the corpus, PartitionFilters on the
+    * cell-partitioned codes index), PQ codes shrink WHAT each scanned row
+    * costs (8 ints, no raw vectors in the index), and the exact re-rank
+    * against the source-of-truth table restores precision on the
+    * shortlist. Both quantizers are the engine's committed pins (IVF
+    * c16t99, PQ 8×64), so DuckDB reproduces cell assignment, probe
+    * selection, code assignment, ADC ranking, and the re-rank — the
+    * entire two-level approximate index is hash-exact. */
+  def ivfPqTopKQ(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import graft.operators.Pq
+    val emb = Tables.embeddings(s, d)
+    val dir = indexCacheDir("graft-ivfpq-cache", d, "embeddings", "c16t99pq64x8")
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Pq.writeIvfPqIndex(emb, dir, ivfCenters, pqBooks)
+    }
+    Pq.ivfPqTopK(dir, emb, emb.filter(col("vec_id") < 10),
+      ivfCenters, pqBooks, k = 5, nProbe = 4, shortlist = Pq.rerankShortlist)
+  }
+
+  lazy val ivfPqTopKSql: String = s"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ictr AS (SELECT * FROM (VALUES ${centersValuesSql(ivfCenters)}) t(cell, cc)),
+    irk AS (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+            FROM (SELECT c.vec_id, ictr.cell,
+                    ${sqdistFoldSql("c.v", "ictr.cc")} AS dd
+                  FROM c CROSS JOIN ictr)),
+    assign AS (SELECT vec_id, cell FROM irk WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cell FROM irk
+               WHERE rn <= 4 AND vec_id < 10),
+    qq AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    pctr AS (SELECT * FROM (VALUES $pqBooksValuesSql) t(s, pcell, cc)),
+    prk AS (SELECT vec_id, s, pcell,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, pcell) AS rn
+            FROM (SELECT c.vec_id, pctr.s, pctr.pcell,
+                    ${sqdistFoldSql(pqSubSliceSql("c.v", "pctr.s"), "pctr.cc")} AS dd
+                  FROM c CROSS JOIN pctr)),
+    pcodes AS (SELECT vec_id, s, pcell FROM prk WHERE rn = 1),
+    cand AS (SELECT qprobe.query_id, assign.vec_id AS neighbor_id
+             FROM qprobe JOIN assign USING (cell)
+             WHERE assign.vec_id <> qprobe.query_id),
+    persub AS (SELECT cand.query_id, cand.neighbor_id, pcodes.s,
+                 ${sqdistFoldSql(pqSubSliceSql("qq.qv", "pcodes.s"), "pctr.cc")} AS d
+               FROM cand
+               JOIN pcodes ON cand.neighbor_id = pcodes.vec_id
+               JOIN pctr ON pctr.s = pcodes.s AND pctr.pcell = pcodes.pcell
+               JOIN qq ON qq.query_id = cand.query_id),
+    adc AS (SELECT query_id, neighbor_id,
+              ${(0 until graft.operators.Pq.subspaces).map(s =>
+                s"max(CASE WHEN s = $s THEN d END)").mkString(" + ")} AS adc
+            FROM persub GROUP BY 1, 2),
+    sl AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id) AS srn
+             FROM adc)
+           WHERE srn <= ${graft.operators.Pq.rerankShortlist}),
+    rr0 AS (SELECT sl.query_id, sl.neighbor_id,
+              ${sqdistFoldSql("qq.qv", "cv.v")} AS dd
+            FROM sl
+            JOIN c cv ON sl.neighbor_id = cv.vec_id
+            JOIN qq ON qq.query_id = sl.query_id)
+    SELECT query_id, neighbor_id, dd, rn FROM (
+      SELECT query_id, neighbor_id, dd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dd, neighbor_id) AS rn
+      FROM rr0)
+    WHERE rn <= 5"""
+
   val defs: Map[String, QueryDef] = Map(
     "q78_embedding_centroids" -> QueryDef(embeddingCentroids _, embeddingCentroidsSql),
     "q168_pq_codes"          -> QueryDef(pqCodes _, pqCodesSql),
+    "q171_ivfpq_topk"        -> QueryDef(ivfPqTopKQ _, ivfPqTopKSql),
     "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
     "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),

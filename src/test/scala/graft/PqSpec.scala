@@ -75,6 +75,34 @@ class PqSpec extends AnyFunSuite {
       s"rerank ($reranked) must not lose to raw ADC ($adcOnly)")
   }
 
+  test("IVF-PQ: index holds codes only; probe prunes partitions; recall floor (q171)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = Tables.embeddings(spark, sf01)
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = graft.queries.Extensions.ivfPqTopKQ(spark, sf01)
+    // the index the gate row just (re)used: codes + cell, no raw vectors
+    val dir = new java.io.File("/root/repo/target/graft-ivfpq-cache")
+      .listFiles().filter(_.getName.contains("sf0.01")).maxBy(_.lastModified)
+    val idx = spark.read.parquet(dir.toString)
+    assert(idx.columns.sorted.toSeq === Seq("cell", "codes", "vec_id"),
+      s"index must store codes only, got ${idx.columns.mkString(",")}")
+    // partition pruning: the probe's scan carries a cell PartitionFilter
+    val plan = graft.operators.Pq.ivfPqTopK(dir.toString, emb, queries,
+      graft.ml.PinnedIvfCenters.values, books, k = 5, nProbe = 4,
+      shortlist = graft.operators.Pq.rerankShortlist)(spark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe must prune cell partitions:\n$plan")
+    // recall floor of the composed path vs brute L2 truth
+    val brute = graft.operators.Pq.bruteL2TopK(emb, queries, 5)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(served.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"IVF-PQ recall@5 at sf0.01: $hits/50")
+    assert(hits >= 25L, s"composed-path recall floor: $hits/50, expected >= 25")
+  }
+
   test("plan: encode is zero-shuffle; the ADC scan touches codes, not vectors") {
     val emb = Tables.embeddings(spark, sf01)
     val encPlan = Pq.encode(emb, books).queryExecution.executedPlan.toString
