@@ -135,6 +135,26 @@ object Pq {
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
   }
 
+  /** Roll the IVF-PQ index forward after an embedding batch is accepted —
+    * [[Similarity.appendToIvfIndex]]'s law applied to the codes index:
+    * ONLY the new batch is assigned and encoded (against the SAME pinned
+    * quantizers the index was built with — both are index metadata and
+    * must not drift), and its cell files are appended; existing files are
+    * never rewritten. Cell and code assignment are per-vector
+    * deterministic, so append ≡ full rebuild for every probe (the q172
+    * gate row reuses q171's oracle verbatim). */
+  def appendToIvfPqIndex(newVectors: DataFrame, indexDir: String,
+                         centers: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val v = asDouble(col(vecCol))
+    val dists = array(centers.map(c => Similarity.distToFold(v, c)): _*)
+    newVectors.select(
+        col(idCol),
+        graft.expressions.PqExpressions.encode(v, books).as("codes"),
+        array_position(dists, array_min(dists)).cast("int").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+  }
+
   /** Serve top-k from an IVF-PQ index: probe the nProbe nearest cells
     * (cell ids push down as PartitionFilters on the codes read), rank the
     * probed candidates by the codegen ADC kernel, keep a per-query

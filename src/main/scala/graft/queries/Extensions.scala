@@ -2068,7 +2068,7 @@ object Extensions {
       ivfCenters, pqBooks, k = 5, nProbe = 4, shortlist = Pq.rerankShortlist)
   }
 
-  lazy val ivfPqTopKSql: String = s"""
+  private def ivfPqProbeSql(queryPred: String): String = s"""
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     ictr AS (SELECT * FROM (VALUES ${centersValuesSql(ivfCenters)}) t(cell, cc)),
     irk AS (SELECT vec_id, cell,
@@ -2078,8 +2078,8 @@ object Extensions {
                   FROM c CROSS JOIN ictr)),
     assign AS (SELECT vec_id, cell FROM irk WHERE rn = 1),
     qprobe AS (SELECT vec_id AS query_id, cell FROM irk
-               WHERE rn <= 4 AND vec_id < 10),
-    qq AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+               WHERE rn <= 4 AND ($queryPred)),
+    qq AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE ($queryPred)),
     pctr AS (SELECT * FROM (VALUES $pqBooksValuesSql) t(s, pcell, cc)),
     prk AS (SELECT vec_id, s, pcell,
               row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, pcell) AS rn
@@ -2118,10 +2118,43 @@ object Extensions {
       FROM rr0)
     WHERE rn <= 5"""
 
+  lazy val ivfPqTopKSql: String = ivfPqProbeSql("vec_id < 10")
+
+  /** q172: the IVF-PQ index's APPEND path — build from the even half,
+    * [[graft.operators.Pq.appendToIvfPqIndex]] the odd half, probe a
+    * DIFFERENT query set (vec_id 10..20, the q99 discipline). Cell and
+    * code assignment are per-vector deterministic against the pinned
+    * quantizers, so the incrementally-grown index holds exactly the
+    * full-rebuild rows and ONE oracle form covers both — a daily corpus
+    * drop costs a batch-sized encode+assign job, never an index rebuild. */
+  def ivfPqAppendProbe(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import graft.operators.Pq
+    val emb = Tables.embeddings(s, d)
+    val dir = indexCacheDir("graft-ivfpq-incr", d, "embeddings", "c16t99pq64x8")
+    ivfBuildLock.synchronized {
+      // marker LAST: a half-built index (crash between the steps) is
+      // rebuilt from scratch, never probed — the q99 pattern
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
+        Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir,
+          ivfCenters, pqBooks)
+        Pq.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), dir,
+          ivfCenters, pqBooks)
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
+      }
+    }
+    Pq.ivfPqTopK(dir, emb, emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+      ivfCenters, pqBooks, k = 5, nProbe = 4, shortlist = Pq.rerankShortlist)
+  }
+
+  lazy val ivfPqAppendProbeSql: String =
+    ivfPqProbeSql("vec_id >= 10 AND vec_id < 20")
+
   val defs: Map[String, QueryDef] = Map(
     "q78_embedding_centroids" -> QueryDef(embeddingCentroids _, embeddingCentroidsSql),
     "q168_pq_codes"          -> QueryDef(pqCodes _, pqCodesSql),
     "q171_ivfpq_topk"        -> QueryDef(ivfPqTopKQ _, ivfPqTopKSql),
+    "q172_ivfpq_append"      -> QueryDef(ivfPqAppendProbe _, ivfPqAppendProbeSql),
     "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
     "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
