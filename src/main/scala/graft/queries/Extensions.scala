@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
@@ -2150,11 +2151,199 @@ object Extensions {
   lazy val ivfPqAppendProbeSql: String =
     ivfPqProbeSql("vec_id >= 10 AND vec_id < 20")
 
+  // --- q173/q174: lexical retrieval and reciprocal-rank hybrid fusion -------
+
+  /** q173: BM25-shaped lexical document retrieval, doc-as-query (each of
+    * the 5 query documents' term sets ranks the rest of the corpus). The
+    * score keeps BM25's tf saturation and length normalization
+    * (k1 = 1.2, b = 0.75) but weights rarity by the RAW odds
+    * (N − df + ½)/(df + ½) instead of its log — the q62 rationale: libm
+    * log is not contractually identical across engines, and the odds
+    * keep every step one IEEE op over exact integers. Per-document
+    * scores fold through [[graft.functions.Exact.dsum]] (quantized exact
+    * decimal sums), so the total is independent of partitioning AND
+    * bit-equal to the oracle.
+    *
+    * Scale shape: tf/df/dlen are the q62 shuffles; the query-term join
+    * broadcasts 5 term bags; corpus stats attach as a broadcast 1-row
+    * cross join; one (query, candidate) aggregate, then the rank window. */
+  val lexK1 = 1.2
+  val lexB = 0.75
+  val lexTopK = 10
+
+  private def lexScored(docs: DataFrame): DataFrame = {
+    // lazily persisted: dlen/dfreq/qterms and the candidate join are FOUR
+    // consumers of the same tokenize+aggregate subtree, and ReuseExchange
+    // does not unify them — without the persist the corpus tokenization
+    // runs 4× per execution (the beyondThreshold lesson, round-10 verdict
+    // #3; CacheManager dedupes re-invocations by canonicalized plan)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dlen.agg(sum("len").as("total_len")))
+    val qterms = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val norm = lit(1.0) - lit(lexB) +
+      lit(lexB) * (col("len").cast("double") /
+        (col("total_len").cast("double") / col("n_docs").cast("double")))
+    val idfOdds = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val termScore = idfOdds * (col("tf").cast("double") * lit(lexK1 + 1.0)) /
+      (col("tf").cast("double") + lit(lexK1) * norm)
+    qterms
+      .join(tf.withColumnRenamed("doc_id", "cand_id"), "term")
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(dfreq, "term")
+      .join(dlen.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(graft.functions.Exact.dsum(col("term_score"), 6).as("score"))
+  }
+
+  def lexicalTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    lexScored(Tables.documents(s, d))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lexTopK)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("score"),
+        col("rank"))
+  }
+
+  /** Shared lexical-score CTE text (mirrors [[lexScored]] exactly). */
+  private def lexScoredCteSql: String = s"""
+    tf AS (SELECT doc_id, token AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+           GROUP BY doc_id, token),
+    dlen AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(len) FROM dlen) AS total_len),
+    lexsc AS (
+      SELECT q.query_id, t.doc_id AS cand_id,
+             ${graft.functions.Exact.dsumSql(
+               s"""((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+                    / (CAST(f.df AS DOUBLE) + 0.5))
+                  * (CAST(t.tf AS DOUBLE) * ${lexK1 + 1.0})
+                  / (CAST(t.tf AS DOUBLE) + $lexK1 *
+                     (1.0 - $lexB + $lexB * (CAST(l.len AS DOUBLE)
+                        / (CAST(s.total_len AS DOUBLE)
+                           / CAST(s.n_docs AS DOUBLE)))))""", 6)} AS score
+      FROM (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 5) q
+      JOIN tf t ON q.term = t.term AND t.doc_id <> q.query_id
+      JOIN dfreq f ON f.term = q.term
+      JOIN dlen l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2)"""
+
+  lazy val lexicalTopKSql: String = s"""
+    WITH ${lexScoredCteSql}
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, cand_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rank
+      FROM lexsc)
+    WHERE rank <= $lexTopK"""
+
+  /** q174: hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009 — the fusion Elastic/Vespa/Weaviate all ship):
+    * rrf = Σ 1/(60 + rank) over the lexical list (q173's scorer, top 50)
+    * and the dense list (exact cosine over the embedding column, top 50;
+    * ids are shared across the two tables). Rank arithmetic only — the
+    * two 1/(60+r) terms are IEEE divisions of identical small integers
+    * summed in a fixed order — so the fused ranking is hash-exact. A
+    * candidate found by only one modality contributes its one term (the
+    * full-outer join + coalesce; dropping those is the classic hybrid
+    * bug this gate locks out).
+    *
+    * Scale shape: each modality's top-50 is its own established pipeline
+    * (windowed rank); fusion joins two 250-row lists — negligible
+    * against either candidate scan at any corpus size. */
+  val rrfK = 60
+  val rrfDepth = 50
+
+  def rrfHybridTopK(s: SparkSession, d: String): DataFrame = {
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val lex = lexScored(Tables.documents(s, d))
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= rrfDepth)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("r_lex"))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = c.join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .withColumn("sim", graft.operators.Similarity.cosine(col("qv"), col("v")))
+      .withColumn("r_vec", row_number().over(wVec))
+      .filter(col("r_vec") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"), col("r_vec"))
+    val rrf =
+      when(col("r_lex").isNotNull, lit(1.0) / (lit(rrfK) + col("r_lex")))
+        .otherwise(lit(0.0)) +
+      when(col("r_vec").isNotNull, lit(1.0) / (lit(rrfK) + col("r_vec")))
+        .otherwise(lit(0.0))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= lexTopK)
+      .select("query_id", "doc_id", "r_lex", "r_vec", "rrf", "rank")
+  }
+
+  lazy val rrfHybridTopKSql: String = s"""
+    WITH ${lexScoredCteSql},
+    lex AS (SELECT query_id, cand_id AS doc_id, r_lex FROM (
+              SELECT query_id, cand_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, cand_id) AS r_lex
+              FROM lexsc)
+            WHERE r_lex <= $rrfDepth),
+    ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vq AS (SELECT vec_id AS query_id, v AS qv FROM ce WHERE vec_id < 5),
+    vec AS (SELECT query_id, doc_id, r_vec FROM (
+              SELECT vq.query_id, ce.vec_id AS doc_id,
+                     row_number() OVER (PARTITION BY vq.query_id
+                                        ORDER BY ${cosineSql("vq.qv", "ce.v")} DESC,
+                                                 ce.vec_id) AS r_vec
+              FROM ce CROSS JOIN vq
+              WHERE ce.vec_id <> vq.query_id)
+            WHERE r_vec <= $rrfDepth),
+    fused AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+                     COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                     lex.r_lex, vec.r_vec,
+                     (CASE WHEN lex.r_lex IS NOT NULL
+                           THEN CAST(1 AS DOUBLE) / ($rrfK + lex.r_lex)
+                           ELSE CAST(0 AS DOUBLE) END)
+                     + (CASE WHEN vec.r_vec IS NOT NULL
+                             THEN CAST(1 AS DOUBLE) / ($rrfK + vec.r_vec)
+                             ELSE CAST(0 AS DOUBLE) END) AS rrf
+              FROM lex FULL OUTER JOIN vec
+                ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+    SELECT query_id, doc_id, r_lex, r_vec, rrf, rank FROM (
+      SELECT query_id, doc_id, r_lex, r_vec, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= $lexTopK"""
+
   val defs: Map[String, QueryDef] = Map(
     "q78_embedding_centroids" -> QueryDef(embeddingCentroids _, embeddingCentroidsSql),
     "q168_pq_codes"          -> QueryDef(pqCodes _, pqCodesSql),
     "q171_ivfpq_topk"        -> QueryDef(ivfPqTopKQ _, ivfPqTopKSql),
     "q172_ivfpq_append"      -> QueryDef(ivfPqAppendProbe _, ivfPqAppendProbeSql),
+    "q173_lexical_topk"      -> QueryDef(lexicalTopK _, lexicalTopKSql),
+    "q174_rrf_hybrid"        -> QueryDef(rrfHybridTopK _, rrfHybridTopKSql),
     "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
     "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
