@@ -2337,6 +2337,70 @@ object Extensions {
       FROM fused)
     WHERE rank <= $lexTopK"""
 
+  // --- q175/q176: scalar quantization (SQ8) ----------------------------------
+
+  /** q175: the corpus as SQ8 codes, dimension-exploded (the q78 output
+    * discipline — the driver comparator cannot sort array cells). The
+    * per-dim [min, max] stats ARE the whole model — computed in-query by
+    * one map-side-combined aggregate (64 pairs, broadcast back), so the
+    * oracle reproduces training and encoding with no pinned state at
+    * all. See [[graft.operators.Sq]]. */
+  def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sq
+    val emb = Tables.embeddings(s, d)
+    Sq.encode(emb, Sq.dimStats(emb))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("code"))
+  }
+
+  private val sq8CodesCteSql: String = s"""
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT vec_id, p.dim AS dim, p.x AS x
+           FROM (SELECT vec_id,
+                   unnest(list_transform(range(len(v)),
+                     i -> struct_pack(dim := i, x := v[i+1]))) AS p
+                 FROM c)),
+    st AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
+    codes AS (SELECT vec_id, dim,
+                CASE WHEN vmax = vmin THEN 0
+                     ELSE CAST(round((x - vmin) * CAST(${graft.operators.Sq.levels}
+                            AS DOUBLE) / (vmax - vmin)) AS INT) END AS code
+              FROM ex JOIN st USING (dim))"""
+
+  lazy val sq8CodesSql: String = s"""
+    WITH ${sq8CodesCteSql}
+    SELECT vec_id, dim, code FROM codes"""
+
+  /** q176: symmetric SQ8 top-k — both sides quantized, candidates ranked
+    * by Σ (qcode − ccode)², which is EXACT BIGINT ARITHMETIC end to end:
+    * the one approximate-index gate whose distances carry no floating
+    * point anywhere (no fold-order discipline needed — integers have no
+    * association order). Recall@5 vs brute L2 measured 43/50 = 0.86 at
+    * sf0.01 (SqSpec) at 4× memory reduction — the fidelity point between
+    * raw floats and PQ's 32×; the misses are near-tied neighbors whose
+    * separation is below the per-dim quantization step. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Sq.topK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  lazy val sq8TopKSql: String = s"""
+    WITH ${sq8CodesCteSql},
+    q AS (SELECT vec_id AS query_id, dim, code AS qcode FROM codes
+          WHERE vec_id < 10),
+    d AS (SELECT q.query_id, c2.vec_id AS neighbor_id,
+            CAST(sum(CAST((q.qcode - c2.code) * (q.qcode - c2.code)
+                          AS BIGINT)) AS BIGINT) AS dist
+          FROM q JOIN codes c2 USING (dim)
+          WHERE c2.vec_id <> q.query_id
+          GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, dist, rn FROM (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rn
+      FROM d)
+    WHERE rn <= 5"""
+
   val defs: Map[String, QueryDef] = Map(
     "q78_embedding_centroids" -> QueryDef(embeddingCentroids _, embeddingCentroidsSql),
     "q168_pq_codes"          -> QueryDef(pqCodes _, pqCodesSql),
@@ -2344,6 +2408,8 @@ object Extensions {
     "q172_ivfpq_append"      -> QueryDef(ivfPqAppendProbe _, ivfPqAppendProbeSql),
     "q173_lexical_topk"      -> QueryDef(lexicalTopK _, lexicalTopKSql),
     "q174_rrf_hybrid"        -> QueryDef(rrfHybridTopK _, rrfHybridTopKSql),
+    "q175_sq8_codes"         -> QueryDef(sq8Codes _, sq8CodesSql),
+    "q176_sq8_topk"          -> QueryDef(sq8TopK _, sq8TopKSql),
     "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
     "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
