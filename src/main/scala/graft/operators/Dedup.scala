@@ -284,4 +284,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exact-substring duplicated-SPAN statistics (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): the document-level near-dup families above miss the
+    * boilerplate case — long char-identical runs (licenses, templates,
+    * quoted passages) embedded in otherwise-distinct documents. Per
+    * document this reports every maximal duplicated span: the union of
+    * all `gram`-char windows whose fingerprint occurs in ≥ 2 DISTINCT
+    * documents, merged into islands (overlapping-or-touching windows
+    * coalesce), plus the duplicated-char fraction a removal pass would
+    * reclaim.
+    *
+    * Duplication is DEFINED over the 31-bit polynomial fingerprint
+    * ([[graft.expressions.PolyFingerprint]], the q28/q59 fold) — the
+    * key both engines compute identically, and the standard scalable
+    * stand-in for Lee et al.'s suffix array (fingerprint tables scale as
+    * one shuffle; suffix arrays don't distribute).
+    *
+    * Scale shape: gram fingerprinting is row-local codegen (O(len)
+    * windows per doc, no text materialized past the project); ONE
+    * data-sized shuffle on fp for the distinct-doc count + the dup
+    * semi-join back; the island merge windows on doc_id (running max +
+    * island id — gaps-and-islands, no self-join); short docs rejoin via
+    * a left join so they report zeros instead of vanishing. */
+  def duplicatedSpanStats(docs: DataFrame, gram: Int = 50,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .filter(length(col(textCol)) >= gram)
+      .select(col(idCol),
+        explode(expr(s"sequence(1, length($textCol) - $gram + 1)")).as("p"),
+        col(textCol))
+      .select(col(idCol), col("p"),
+        graft.expressions.PolyFingerprint.fingerprint(
+          expr(s"substring($textCol, p, $gram)"), 64).as("fp"))
+    val dup = grams.groupBy("fp")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val islands = grams.join(dup, "fp")
+      .withColumn("e", col("p") + lit(gram - 1))
+      .withColumn("maxEndBefore",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newIsland",
+        when(col("maxEndBefore").isNull ||
+          col("p") > col("maxEndBefore") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum("newIsland").over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("p").as("s"), max("e").as("t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("t") - col("s") + 1).as("dup_chars"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("len"))
+      .join(islands, Seq(idCol), "left_outer")
+      .select(col(idCol), col("len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_frac",
+        col("dup_chars").cast("double") / col("len").cast("double"))
+  }
 }

@@ -2337,6 +2337,60 @@ object Extensions {
       FROM fused)
     WHERE rank <= $lexTopK"""
 
+  // --- q177: exact-substring duplicated spans --------------------------------
+
+  /** q177: per-document duplicated-SPAN statistics — the Lee et al. (ACL
+    * 2022) exact-substring view the document-level dedup family (q20/q25/
+    * q27/q83) misses: char-identical runs ≥ 50 chars shared across ≥ 2
+    * documents, merged into maximal islands, with the char fraction a
+    * removal pass would reclaim. Duplication is defined over the q28
+    * polynomial fingerprint (the suffix-array stand-in that distributes);
+    * see [[graft.operators.Dedup.duplicatedSpanStats]] for the full
+    * scale-shape notes. The oracle recomputes windows, fingerprints,
+    * distinct-doc counts, and the gaps-and-islands merge — both engines
+    * compute the spans, not just compare counts. */
+  val dupSpanGram = 50
+
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.duplicatedSpanStats(
+      Tables.documents(s, d), gram = dupSpanGram)
+
+  lazy val dupSpansSql: String = s"""
+    WITH g AS (
+      SELECT doc_id, p,
+             ${fingerprintExprSqlOn(s"substr(text, CAST(p AS INT), $dupSpanGram)")} AS fp
+      FROM (SELECT doc_id, text,
+              unnest(range(1, length(text) - $dupSpanGram + 2)) AS p
+            FROM documents WHERE length(text) >= $dupSpanGram)),
+    dupfp AS (SELECT fp FROM g GROUP BY fp
+              HAVING count(DISTINCT doc_id) >= 2),
+    di AS (SELECT g.doc_id, g.p, g.p + ${dupSpanGram - 1} AS e
+           FROM g JOIN dupfp ON g.fp = dupfp.fp),
+    isl AS (SELECT doc_id, p, e,
+              CASE WHEN maxEndBefore IS NULL OR p > maxEndBefore + 1
+                   THEN 1 ELSE 0 END AS newIsland
+            FROM (SELECT doc_id, p, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS maxEndBefore
+                  FROM di)),
+    spans AS (SELECT doc_id, island, min(p) AS s, max(e) AS t
+              FROM (SELECT doc_id, p, e,
+                      sum(newIsland) OVER (PARTITION BY doc_id ORDER BY p
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS island
+                    FROM isl)
+              GROUP BY 1, 2),
+    perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(t - s + 1) AS BIGINT) AS dup_chars
+               FROM spans GROUP BY 1)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / CAST(length(d.text) AS BIGINT) AS dup_frac
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
+
   // --- q175/q176: scalar quantization (SQ8) ----------------------------------
 
   /** q175: the corpus as SQ8 codes, dimension-exploded (the q78 output
@@ -2410,6 +2464,7 @@ object Extensions {
     "q174_rrf_hybrid"        -> QueryDef(rrfHybridTopK _, rrfHybridTopKSql),
     "q175_sq8_codes"         -> QueryDef(sq8Codes _, sq8CodesSql),
     "q176_sq8_topk"          -> QueryDef(sq8TopK _, sq8TopKSql),
+    "q177_dup_spans"         -> QueryDef(dupSpans _, dupSpansSql),
     "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
     "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),

@@ -838,4 +838,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out((8L, 1L)) === ((2L, base * us, 1800L * us)),
       "a gap of exactly 30:00 does NOT split (strict >)")
   }
+
+  test("duplicated spans: windows merge into maximal islands (q177)") {
+    import spark.implicits._
+    // shared is 60 chars: 11 overlapping 50-gram windows in each doc,
+    // which must merge into exactly ONE 60-char span
+    val shared = "X" * 25 + "COMMON-LICENSE-BOILERPLATE" + "Y" * 9
+    assert(shared.length === 60)
+    val docs = Seq(
+      (1L, "a" * 40 + shared + "b" * 30),  // span at p=41..100
+      (2L, shared + "unique tail two " * 5), // span at p=1..60
+      (3L, "entirely unique text " * 8)      // no dup spans
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatedSpanStats(docs, gram = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((130L, 1L, 60L)), "doc 1: one merged 60-char island")
+    assert(out(2L) === ((140L, 1L, 60L)), "doc 2: one merged 60-char island")
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L,
+      "dup-free docs report zeros, not vanish")
+    // within-doc repetition alone is NOT cross-doc duplication
+    val solo = Seq((1L, ("R" * 50) + ("R" * 50)), (2L, "z" * 120))
+      .toDF("doc_id", "text")
+    val soloOut = graft.operators.Dedup.duplicatedSpanStats(solo, gram = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(soloOut(1L) === 0L, "same-doc repeats need >= 2 distinct docs")
+    // two disjoint shared runs in one doc yield two separate islands
+    val twoRuns = Seq(
+      (1L, shared + "m" * 20 + shared),
+      (2L, "q" * 15 + shared + "w" * 40),
+      (3L, shared + "k" * 77)
+    ).toDF("doc_id", "text")
+    val tr = graft.operators.Dedup.duplicatedSpanStats(twoRuns, gram = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(tr(1L) === ((2L, 120L)), "disjoint shared runs stay separate islands")
+  }
 }
