@@ -308,10 +308,13 @@ object Dedup {
     * semi-join back; the island merge windows on doc_id (running max +
     * island id — gaps-and-islands, no self-join); short docs rejoin via
     * a left join so they report zeros instead of vanishing. */
-  def duplicatedSpanStats(docs: DataFrame, gram: Int = 50,
-                          idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    val grams = docs
+  /** The gram-postings table (id, p, fp) — q177's working state, and the
+    * thing an incremental deployment PERSISTS: postings are per-document
+    * deterministic, so a new batch's postings simply append (q178). */
+  def gramPostings(docs: DataFrame, gram: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs
       .filter(length(col(textCol)) >= gram)
       .select(col(idCol),
         explode(expr(s"sequence(1, length($textCol) - $gram + 1)")).as("p"),
@@ -319,6 +322,21 @@ object Dedup {
       .select(col(idCol), col("p"),
         graft.expressions.PolyFingerprint.fingerprint(
           expr(s"substring($textCol, p, $gram)"), 64).as("fp"))
+
+  def duplicatedSpanStats(docs: DataFrame, gram: Int = 50,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    duplicatedSpanStatsFromPostings(
+      gramPostings(docs, gram, idCol, textCol), docs, gram, idCol, textCol)
+
+  /** The stats pass over an existing (possibly storage-backed) postings
+    * table — shared by the one-shot (q177) and incremental (q178) paths,
+    * which is WHY append ≡ rebuild: postings rows are identical either
+    * way, and everything downstream is a function of the postings. */
+  def duplicatedSpanStatsFromPostings(grams: DataFrame, docs: DataFrame,
+                                      gram: Int = 50,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame = {
     val dup = grams.groupBy("fp")
       .agg(count_distinct(col(idCol)).as("nd"))
       .filter(col("nd") >= 2).select("fp")

@@ -2355,6 +2355,32 @@ object Extensions {
     graft.operators.Dedup.duplicatedSpanStats(
       Tables.documents(s, d), gram = dupSpanGram)
 
+  /** q178: the INCREMENTAL q177 — the postings table (doc, p, fp) is the
+    * persisted state, and postings are per-document deterministic, so a
+    * new document batch appends its own postings and every downstream
+    * stat is a function of the stored table: append ≡ rebuild (the
+    * q99/q148/q164/q172 discipline, applied to substring dedup). The
+    * gate builds postings from the even docs, appends the odd docs,
+    * recomputes the stats from STORAGE, and hash-matches q177's oracle
+    * verbatim. Daily cost: tokenize the new batch + one stats pass over
+    * the postings — never re-fingerprint the corpus. */
+  def dupSpansIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(s, d)
+    val dir = indexCacheDir("graft-grams-cache", d, "documents", s"g$dupSpanGram")
+    ivfBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_GRAFT_INDEX_READY").exists()) {
+        Dedup.gramPostings(docs.filter(col("doc_id") % 2 === 0), dupSpanGram)
+          .write.mode("overwrite").parquet(dir)
+        Dedup.gramPostings(docs.filter(col("doc_id") % 2 === 1), dupSpanGram)
+          .write.mode("append").parquet(dir)
+        new java.io.File(s"$dir/_GRAFT_INDEX_READY").createNewFile()
+      }
+    }
+    Dedup.duplicatedSpanStatsFromPostings(
+      s.read.parquet(dir), docs, gram = dupSpanGram)
+  }
+
   lazy val dupSpansSql: String = s"""
     WITH g AS (
       SELECT doc_id, p,
@@ -2465,6 +2491,7 @@ object Extensions {
     "q175_sq8_codes"         -> QueryDef(sq8Codes _, sq8CodesSql),
     "q176_sq8_topk"          -> QueryDef(sq8TopK _, sq8TopKSql),
     "q177_dup_spans"         -> QueryDef(dupSpans _, dupSpansSql),
+    "q178_dup_spans_incremental" -> QueryDef(dupSpansIncremental _, dupSpansSql),
     "q169_pq_adc_topk"       -> QueryDef(pqAdcTopK _, pqAdcTopKSql),
     "q170_pq_rerank_recall"  -> QueryDef(pqRerankRecallAt5 _, pqRerankRecallAt5Sql),
     "q20_dedup_exact"        -> QueryDef(dedupExact _, dedupExactSql),
