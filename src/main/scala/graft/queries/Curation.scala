@@ -729,18 +729,64 @@ object Curation {
     * oracle compute the segmentation, not just compare counts. */
   val bpeEncodeTopK = 100
 
-  def bpeEncodeVocab(s: SparkSession, d: String): DataFrame = {
+  /** The encode + vocabulary-count stage on ANY document frame — shared
+    * by the batch gate (q167) and the streaming replay (q179): encoding
+    * is stateless row-local work and the count is a streamable
+    * aggregate, so the same plan runs under both engines' execution. */
+  def bpeTokenCountsOn(docs: DataFrame): DataFrame = {
     val merges = graft.ml.PinnedBpeMerges.values
-    val agg = Tables.documents(s, d)
+    docs
       .select(explode(
         regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0))).as("w"))
       .select(explode(graft.operators.Bpe.encodeTokens(col("w"), merges)).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-k + rank presentation over a token-count table (batch-side). */
+  private[queries] def bpeVocabRank(counts: DataFrame): DataFrame =
+    counts
       .orderBy(col("cnt").desc, col("token"))
       .limit(bpeEncodeTopK)
-    agg.withColumn("rank",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+
+  def bpeEncodeVocab(s: SparkSession, d: String): DataFrame =
+    bpeVocabRank(bpeTokenCountsOn(Tables.documents(s, d)))
+
+  /** q179: the BPE encoder under STREAMING execution — the q147
+    * discipline applied to the tokenizer: the documents table replays
+    * through `readStream` one file per trigger (4 real micro-batches),
+    * the SAME [[bpeTokenCountsOn]] plan runs in complete mode (row-local
+    * encode + partial aggregation + state-store merge per batch), and
+    * the final vocabulary must hash-match q167's batch oracle VERBATIM —
+    * token counts are batching-independent by construction, which is
+    * exactly what this row gates. The top-100 rank is computed
+    * batch-side from the streamed count table (rank windows don't run
+    * inside streaming queries; the heavy corpus path — tokenize, encode,
+    * count — all executed under the streaming engine). */
+  private val bpeGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bpeReplayLock = new Object
+
+  def bpeStreamingGate(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_bpe_gate_${bpeGateRuns.incrementAndGet()}"
+    val dir = graft.queries.Extensions.indexCacheDir(
+      "graft-docs-replay", d, "documents", "files4b1")
+    bpeReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables.documents(s, d).repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(dir)
+    }
+    val schema = Tables.documents(s, d).schema
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = bpeTokenCountsOn(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    bpeVocabRank(s.table(name))
   }
 
   lazy val bpeEncodeVocabSql: String = s"""
@@ -1465,6 +1511,7 @@ object Curation {
     "q74_token_rarity"      -> QueryDef(tokenRarity _, tokenRaritySql),
     "q75_bpe_top_pairs"     -> QueryDef(bpeTopPairs _, bpeTopPairsSql),
     "q167_bpe_encode"       -> QueryDef(bpeEncodeVocab _, bpeEncodeVocabSql),
+    "q179_bpe_streaming"    -> QueryDef(bpeStreamingGate _, bpeEncodeVocabSql),
     "q77_bigram_lm"         -> QueryDef(bigramLm _, bigramLmSql),
     "q82_lm_quality"        -> QueryDef(lmQualityScore _, lmQualitySql),
     "q83_dup_ngram_frac"    -> QueryDef(dupNgramFraction _, dupNgramFractionSql),
