@@ -40,6 +40,18 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("plan: the persisted tf table serves all lexical consumers (one tokenize pass)") {
+    val plan = graft.queries.Extensions.lexicalTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    // qterms, the candidate join side, dfreq, and dlen all read the
+    // cached tf aggregate — without the persist each would re-tokenize
+    // the corpus (the beyondThreshold lesson, round-10 verdict #3)
+    val cacheScans = plan.split("InMemoryTableScan").length - 1
+    assert(cacheScans >= 3, s"expected >= 3 cache scans of tf, got $cacheScans:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"stats must attach as a broadcast 1-row join, not a cartesian:\n$plan")
+  }
+
   test("rrf recomputes from the emitted ranks; fusion keeps single-modality hits (q174)") {
     import graft.queries.Extensions.rrfK
     val rows = graft.queries.Extensions.rrfHybridTopK(spark, sf).collect()
