@@ -213,6 +213,62 @@ object Relational {
       count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
+  /** q180: the q09 aggregate served from an ORC sink/source round-trip —
+    * the storage-path twin of the q159/q93 "same oracle, new engine
+    * path" discipline: the fact table is written once as ORC (Spark's
+    * other first-class columnar format; sink side) and the identical
+    * aggregation runs over the ORC scan (source side). ORC stores
+    * int64/double/string/timestamp losslessly, so the rows — and the
+    * quantized-exact sums — hash-match q09's parquet-based DuckDB oracle
+    * VERBATIM; a lossy or schema-mangling round-trip would break the
+    * hash, which is exactly what the row gates. Column pruning and the
+    * aggregate pushdown shape carry over to the ORC scan unchanged. */
+  private val orcBuildLock = new Object
+
+  private def q09AggOn(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 4).as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def pricingSummaryOrc(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.queries.Extensions.indexCacheDir(
+      "graft-orc-cache", d, "lineitem", "orc1")
+    orcBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables.lineitem(s, d).write.mode("overwrite").orc(dir)
+    }
+    q09AggOn(s.read.orc(dir))
+  }
+
+  /** q181: the same round-trip law through JSON LINES — the interchange
+    * format ingestion actually meets (API dumps, event logs). The full
+    * table is written as jsonl (doubles serialize shortest-repr, parse
+    * correctly-rounded — lossless both ways) and read back under an
+    * EXPLICIT SUBSET schema: only the six aggregate columns are declared,
+    * so the scan never parses the rest (schema-projected JSON reads are
+    * the difference between ingesting a field and paying for a line). The
+    * aggregation hash-matches q09's parquet oracle verbatim. */
+  def pricingSummaryJson(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.queries.Extensions.indexCacheDir(
+      "graft-json-cache", d, "lineitem", "jsonl1")
+    orcBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables.lineitem(s, d).write.mode("overwrite").json(dir)
+    }
+    val subset = org.apache.spark.sql.types.StructType(
+      Tables.lineitem(s, d).schema.fields.filter(f => Set(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").contains(f.name)))
+    q09AggOn(s.read.schema(subset).json(dir))
+  }
+
   /** T-coverage: top order per customer. Planned through the native
     * [[graft.expressions.TopKRows]] aggregate (k=1) rather than the
     * `row_number` window the oracle states: the window must shuffle and
@@ -611,6 +667,8 @@ object Relational {
     "q07_union_branches"      -> QueryDef(unionBranches _, unionBranchesSql),
     "q08_revenue_by_nation"   -> QueryDef(revenueByNation _, revenueByNationSql),
     "q09_pricing_summary"     -> QueryDef(pricingSummary _, pricingSummarySql),
+    "q180_orc_roundtrip"      -> QueryDef(pricingSummaryOrc _, pricingSummarySql),
+    "q181_json_roundtrip"     -> QueryDef(pricingSummaryJson _, pricingSummarySql),
     "q10_top_order_per_customer" -> QueryDef(topOrderPerCustomer _, topOrderPerCustomerSql),
     "q11_hour_histogram"      -> QueryDef(hourHistogram _, hourHistogramSql),
     "q12_sessionize_gap"      -> QueryDef(sessionizeGap _, sessionizeGapSql),
