@@ -291,4 +291,78 @@ object Graph {
     prev.foreach(_.unpersist(false))
     out
   }
+
+  /** Triangle enumeration over an undirected edge list via degree-ordered
+    * orientation — the classic bound that makes triangle listing feasible
+    * on power-law graphs: direct every edge from its lower-(degree, id)
+    * endpoint to the higher one, and each triangle is generated by EXACTLY
+    * one wedge (at its minimum-rank corner), with per-node wedge fan-out
+    * bounded by the oriented out-degree ≤ O(√m) instead of the raw degree.
+    * Community/cohesion structure over a co-occurrence graph is a standard
+    * curation signal (clustering coefficient, spam-farm detection).
+    *
+    * Input: canonical undirected edges `(s, t)` with `s < t`, distinct.
+    * Output: one row per triangle as the sorted node triple
+    * `(pa < pb < pc)` — pure integer output, hash-exact cross-engine.
+    *
+    * Plan shape: two tiny aggregates (degree), one equi-join to orient,
+    * one self-equi-join on the wedge pivot, one semi-join to close the
+    * wedge. No join is hinted: AQE broadcasts the small sides at runtime
+    * (on a support-pruned co-occurrence graph the oriented edge list is
+    * KBs), and on a corpus-sized graph the same plan degrades to
+    * partitioned hash joins keyed on single node ids — the
+    * orientation, not the join strategy, is what bounds the intermediate
+    * wedge set. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("s"), col("t"))
+    val deg = e.select(col("s").as("n")).unionAll(e.select(col("t").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = e
+      .join(deg.select(col("n").as("s"), col("d").as("ds")), "s")
+      .join(deg.select(col("n").as("t"), col("d").as("dt")), "t")
+      .select(
+        when(struct(col("ds"), col("s")) < struct(col("dt"), col("t")),
+          col("s")).otherwise(col("t")).as("a"),
+        when(struct(col("ds"), col("s")) < struct(col("dt"), col("t")),
+          col("t")).otherwise(col("s")).as("b"))
+    val wedges = o.as("w1").join(o.as("w2"), col("w1.b") === col("w2.a"))
+      .select(col("w1.a").as("x"), col("w1.b").as("y"), col("w2.b").as("z"))
+    wedges
+      .join(o.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+      .select(
+        least(col("x"), col("y"), col("z")).as("pa"),
+        (col("x") + col("y") + col("z") - least(col("x"), col("y"), col("z"))
+          - greatest(col("x"), col("y"), col("z"))).as("pb"),
+        greatest(col("x"), col("y"), col("z")).as("pc"))
+  }
+
+  /** Local clustering coefficient per node: c(v) = 2·tri(v) / (d(v)·(d(v)−1))
+    * — how close each node's neighborhood is to a clique. The standard
+    * cohesion signal layered on [[triangles]]: link-farm / spam-cluster
+    * nodes score near 1, organic hubs near 0.
+    *
+    * Exactness: tri and d are exact integers; the coefficient is ONE IEEE
+    * division of exact integer-valued doubles — bit-identical cross-engine.
+    * Degree-1 nodes (no wedge possible) get coefficient 0 by convention.
+    *
+    * Scale shape: the triangle set (already orientation-bounded) explodes
+    * 3 corners per triangle into one count aggregate; degrees are the same
+    * tiny aggregate [[triangles]] builds; one left join stitches them —
+    * all keyed on single node ids, nothing quadratic beyond the bounded
+    * wedge join inside [[triangles]]. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("s"), col("t"))
+    val deg = e.select(col("s").as("node")).unionAll(e.select(col("t").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val triPerNode = triangles(e)
+      .select(explode(array(col("pa"), col("pb"), col("pc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff",
+        when(col("d") >= 2,
+          (col("tri") * 2L).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -39,6 +39,93 @@ object Curation {
                              WHEN 'zh' THEN ${strataRates("zh")}
                              ELSE $strataDefault END"""
 
+  // --- q183: temperature-rebalanced language sampling -----------------------
+
+  /** √n temperature scale: at sf0.01 English (n=218) keeps ≈ 5/√218 ≈ 34%
+    * while French (n=64) keeps ≈ 62% — the rebalance is visible at every
+    * gate SF without any stratum capping to 100% above sf0.001. */
+  val tempK: Double = 5.0
+
+  /** q183: temperature-rebalanced sample (α = 0.5) over languages — keep
+    * rate k/√n per language, decided by content hash
+    * ([[Sampling.temperatureSample]]). The multilingual-mix upweighting
+    * pass: dominant languages are thinned ∝ 1/√n, rare ones kept nearly
+    * whole, and every keep decision is reproducible cross-engine because
+    * √ is the one libm-free power (IEEE-exact in both engines). */
+  def temperatureSample(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(s, d),
+        strataCol = "lang", contentCol = "text", k = tempK)
+      .select(col("doc_id"), col("lang"))
+
+  val temperatureSampleSql: String = s"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT doc_id, lang
+    FROM documents JOIN counts USING (lang)
+    WHERE (${Extensions.fingerprintExprSql} * ${Sampling.mixC}) % 1000000 <
+      CAST(floor(CAST(1000000 AS DOUBLE) *
+        least(CAST(1 AS DOUBLE),
+              CAST(${tempK.toInt} AS DOUBLE) / sqrt(CAST(n AS DOUBLE))))
+        AS BIGINT)"""
+
+  // --- q184: priority (weight-proportional) sampling ------------------------
+
+  /** Sample size for the priority sample — small enough that the τ window
+    * is trivially driver-scale, large enough to exercise the estimator. */
+  val prioK: Int = 50
+
+  /** q184: Duffield–Lund–Thorup priority sample of documents weighted by
+    * length — the budget-capped corpus subset where long documents are
+    * overrepresented ∝ weight yet totals stay unbiased via the
+    * max(w, τ) estimate ([[Sampling.prioritySample]]). One
+    * TakeOrderedAndProject pass; the oracle replays priorities exactly
+    * (hash-derived uniforms, two IEEE ops per row). */
+  def prioritySample(s: SparkSession, d: String): DataFrame =
+    Sampling.prioritySample(Tables.documents(s, d),
+      keyCol = "doc_id", weightCol = "n_chars", k = prioK)
+
+  val prioritySampleSql: String = s"""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) * CAST(1048576 AS DOUBLE)
+               / CAST((${Extensions.fingerprintExprSqlOn("CAST(doc_id AS VARCHAR)")}
+                        * ${Sampling.mixC}) % 1048576 + 1 AS DOUBLE) AS graft_pr
+      FROM documents),
+    top AS (SELECT * FROM pr ORDER BY graft_pr DESC, doc_id LIMIT ${prioK + 1}),
+    tau AS (SELECT min(graft_pr) AS t FROM top)
+    SELECT doc_id, n_chars AS w,
+           greatest(CAST(n_chars AS DOUBLE), t) AS est_w
+    FROM top, tau
+    WHERE graft_pr > t"""
+
+  // --- q185: per-language weighted sample ------------------------------------
+
+  /** Per-stratum sample size: small enough that every language keeps only
+    * a fraction of its docs at both gate SFs (the window actually cuts). */
+  val gwsK: Int = 15
+
+  /** q185: weighted top-k WITHIN each language — the per-stratum companion
+    * of q184 ([[Sampling.groupPrioritySample]]): every language gets its
+    * own k-row budget, filled weight-proportionally (long docs favored) by
+    * the same hash-derived priorities. The plan is the 100 TB shape for
+    * grouped selection: a PARTIAL WindowGroupLimit below the exchange, so
+    * each scan partition forwards ≤ k rows per language, never the corpus. */
+  def groupWeightedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.groupPrioritySample(Tables.documents(s, d),
+      strataCol = "lang", keyCol = "doc_id", weightCol = "n_chars", k = gwsK)
+
+  val groupWeightedSampleSql: String = s"""
+    WITH pr AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) * CAST(1048576 AS DOUBLE)
+               / CAST((${Extensions.fingerprintExprSqlOn("CAST(doc_id AS VARCHAR)")}
+                        * ${Sampling.mixC}) % 1048576 + 1 AS DOUBLE) AS graft_pr
+      FROM documents),
+    r AS (SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY graft_pr DESC, doc_id) AS rn
+          FROM pr)
+    SELECT lang, doc_id, n_chars FROM r WHERE rn <= $gwsK"""
+
   // --- q62: TF-IDF top terms per document ----------------------------------
 
   /** Top-3 terms per document by a RATIONAL tf-idf: score = tf · N / df,
@@ -1526,5 +1613,8 @@ object Curation {
     "q165_pack_global_offsets" -> QueryDef(packGlobalOffsets _, packGlobalOffsetsSql),
     "q136_k_anonymity"      -> QueryDef(kAnonymize _, kAnonymizeSql),
     "q154_token_lift"       -> QueryDef(tokenLift _, tokenLiftSql),
-    "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql))
+    "q158_source_scorecard" -> QueryDef(sourceScorecard _, sourceScorecardSql),
+    "q183_temperature_sample" -> QueryDef(temperatureSample _, temperatureSampleSql),
+    "q184_priority_sample"  -> QueryDef(prioritySample _, prioritySampleSql),
+    "q185_group_weighted_sample" -> QueryDef(groupWeightedSample _, groupWeightedSampleSql))
 }

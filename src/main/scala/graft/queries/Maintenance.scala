@@ -322,6 +322,110 @@ object MaintenanceQueries {
     SELECT node, pr FROM it$prIterations ORDER BY pr DESC, node LIMIT 50"""
   }
 
+  // --- q182: triangles in the frequent co-purchase graph --------------------
+
+  /** Minimum co-occurrence support for a pair to count as a real edge:
+    * parts sharing ONE order co-occur by chance; parts sharing ≥ 2 orders
+    * are a repeated basket pattern. The threshold is also what makes
+    * triangle listing tractable — it prunes the 1.2 M-edge raw
+    * co-occurrence graph (sf0.1) to ~3.6 K frequent edges BEFORE the
+    * wedge join, the same noise-floor move every frequent-itemset miner
+    * makes (support pruning precedes structure mining). */
+  val triMinSupport = 2
+
+  private def supportGraphDir(d: String): String =
+    Extensions.indexCacheDir("graft-graph-cache", d, "lineitem",
+      s"trisupport${triMinSupport}v1")
+
+  private val supportBuildLock = new Object
+
+  /** Maintained artifact: canonical undirected frequent-co-purchase edges
+    * `(s < t, c ≥ triMinSupport)` — the weighted sibling of
+    * [[copurchaseGraph]] (which drops counts), built by the same
+    * offline-maintenance discipline: the lineitem self-join on the order
+    * key (per-order fanout bounded by basket size, never all-pairs) runs
+    * once per dataset fingerprint; structure queries reuse the parquet. */
+  private[graft] def copurchaseSupportEdges(s: SparkSession, d: String): DataFrame = {
+    val dir = supportGraphDir(d)
+    supportBuildLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val e = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        e.as("a").join(e.as("b"), "l_orderkey")
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("s"), col("b.l_partkey").as("t"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= triMinSupport)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+      }
+    }
+    s.read.parquet(dir)
+  }
+
+  /** q182: every triangle in the frequent co-purchase graph, as sorted
+    * part-key triples — cohesive 3-cliques of repeatedly co-bought parts,
+    * the bundle/community signal layered on the same graph q96 ranks.
+    * Degree-ordered orientation ([[graft.operators.Graph.triangles]])
+    * makes each triangle enumerate exactly once with √m-bounded wedge
+    * fan-out; the oracle replays the identical orientation as row-value
+    * comparisons. Pure integer output — hash-exact by construction. */
+  def copurchaseTriangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.triangles(copurchaseSupportEdges(s, d))
+      .orderBy(col("pa"), col("pb"), col("pc"))
+
+  /** The q182 support-graph + orientation + triangle CTE prefix, shared
+    * verbatim by the triangle and clustering-coefficient oracles so the
+    * two can never desynchronize on the graph definition. Defined BEFORE
+    * every val that interpolates it (strict-val init order — the q139/q150
+    * hazard class). */
+  private val orientedCtesSql: String = s"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT a.l_partkey AS s, b.l_partkey AS t
+              FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $triMinSupport),
+    deg AS (SELECT n, count(*) AS d FROM
+              (SELECT s AS n FROM edges UNION ALL SELECT t FROM edges)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN (ds.d, s) < (dt.d, t) THEN s ELSE t END AS a,
+                 CASE WHEN (ds.d, s) < (dt.d, t) THEN t ELSE s END AS b
+          FROM edges JOIN deg ds ON ds.n = s JOIN deg dt ON dt.n = t),
+    w AS (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+          FROM o w1 JOIN o w2 ON w2.a = w1.b),
+    tri AS (SELECT x, y, z FROM w
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z))"""
+
+  val copurchaseTrianglesSql: String = s"""
+    $orientedCtesSql
+    SELECT least(x, y, z) AS pa,
+           x + y + z - least(x, y, z) - greatest(x, y, z) AS pb,
+           greatest(x, y, z) AS pc
+    FROM tri ORDER BY 1, 2, 3"""
+
+  /** q186: local clustering coefficient per part in the frequent
+    * co-purchase graph ([[graft.operators.Graph.clusteringCoefficient]]) —
+    * which parts sit inside near-clique bundles (coefficient → 1) vs
+    * organically popular hubs (→ 0). One IEEE division of exact integers
+    * per node, so the coefficient column is hash-exact cross-engine. */
+  def copurchaseClustering(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficient(copurchaseSupportEdges(s, d))
+      .orderBy(col("node"))
+
+  val copurchaseClusteringSql: String = s"""
+    $orientedCtesSql,
+    tn AS (SELECT node, count(*) AS tri FROM
+             (SELECT x AS node FROM tri UNION ALL
+              SELECT y FROM tri UNION ALL
+              SELECT z FROM tri)
+           GROUP BY 1)
+    SELECT deg.n AS node, deg.d AS d, COALESCE(tn.tri, 0) AS tri,
+           CASE WHEN deg.d >= 2
+                THEN CAST(2 * COALESCE(tn.tri, 0) AS DOUBLE)
+                       / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS coeff
+    FROM deg LEFT JOIN tn ON tn.node = deg.n
+    ORDER BY node"""
+
   // --- q119: brand-seeded personalized PageRank -----------------------------
 
   /** q119: topic-sensitive authority — the q96 ranking with teleport mass
@@ -512,6 +616,8 @@ object MaintenanceQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
+    "q182_copurchase_triangles" -> QueryDef(copurchaseTriangles _, copurchaseTrianglesSql),
+    "q186_copurchase_clustering" -> QueryDef(copurchaseClustering _, copurchaseClusteringSql),
     "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
     "q120_evolve_merge" -> QueryDef(evolveMerge _, evolveMergeSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),

@@ -54,6 +54,102 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(col("bucket") >= 100 || col("bucket") < 0).count() === 0)
   }
 
+  test("temperature sample keeps ~k/sqrt(n) per stratum, never drops one") {
+    import spark.implicits._
+    // 900-vs-100 imbalance: α=0.5 keep rates 5/30 vs 5/10
+    val df = (1 to 1000).map { i =>
+      (i.toLong, if (i <= 900) "en" else "fr", s"document body $i")
+    }.toDF("doc_id", "lang", "text")
+    val byLang = Sampling.temperatureSample(df, "lang", "text", k = 5.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ≈ 900·(5/30)=150 and 100·(5/10)=50: the DOMINANT stratum is
+    // thinned 3× harder; hash noise at n=1000 stays well inside ±40%
+    assert(byLang("en") > 90 && byLang("en") < 210, s"en: $byLang")
+    assert(byLang("fr") > 30 && byLang("fr") < 70, s"fr: $byLang")
+    // rebalance direction: en/fr sampled ratio ≈ 3, not the raw 9
+    assert(byLang("en").toDouble / byLang("fr") < 5.0, s"ratio: $byLang")
+    // k large enough to cap: every row kept (rate clamps at 1)
+    assert(Sampling.temperatureSample(df, "lang", "text", k = 100.0)
+      .count() === 1000L)
+  }
+
+  test("temperature sample decisions are content-keyed (re-ingest stable)") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, "en", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val kept1 = Sampling.temperatureSample(df, "lang", "text", 4.0)
+      .select("doc_id").as[Long].collect().toSet
+    // same strata counts, re-sharded input ⇒ identical keep set
+    val kept2 = Sampling.temperatureSample(df.repartition(7), "lang", "text", 4.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 === kept2)
+    assert(kept1.nonEmpty && kept1.size < 400)
+  }
+
+  test("priority sample: exactly k rows, estimates bounded and near-unbiased") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"doc $i", (i % 97 + 1).toLong * 10))
+      .toDF("doc_id", "text", "weight")
+    val out = Sampling.prioritySample(df, "doc_id", "weight", k = 60)
+    val rows = out.collect()
+    assert(rows.length === 60, s"expected k rows, got ${rows.length}")
+    // est_w = max(w, τ) ≥ w always
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= r.getLong(1).toDouble, s"estimate below weight: $r")
+    }
+    // the DLT estimator is unbiased: Σ est_w ≈ Σ w (single-draw tolerance)
+    val total = df.agg(sum("weight")).head.getLong(0).toDouble
+    val est = rows.map(_.getDouble(2)).sum
+    assert(est > total * 0.5 && est < total * 2.0, s"est $est vs total $total")
+    // deterministic under re-sharding
+    val again = Sampling.prioritySample(df.repartition(11), "doc_id", "weight", 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getDouble(2))).toSet)
+  }
+
+  test("priority sample favors heavy rows and plans as TakeOrdered, no sort") {
+    import spark.implicits._
+    // two tiers: weight 1000000 vs weight 1 — every heavy row must be kept
+    val df = ((1 to 20).map(i => (i.toLong, 1000000L)) ++
+      (21 to 2000).map(i => (i.toLong, 1L))).toDF("doc_id", "weight")
+    val out = Sampling.prioritySample(df, "doc_id", "weight", k = 30)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert((1L to 20L).toSet.subsetOf(kept), s"heavy rows missing: $kept")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"corpus pass must be a top-k heap, not a sort:\n$plan")
+    assert(!plan.contains("SortExec"), s"no full sort allowed:\n$plan")
+  }
+
+  test("group weighted sample: k per stratum, heavy rows win, partial limit") {
+    import spark.implicits._
+    // two strata; in each, 5 heavy rows (weight 10^6) among 200 light ones
+    val df = (1 to 400).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val w = if (i <= 10) 1000000L else 1L
+      (i.toLong, lang, w)
+    }.toDF("doc_id", "lang", "weight")
+    val out = Sampling.groupPrioritySample(df, "lang", "doc_id", "weight", k = 12)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 12L, "fr" -> 12L))
+    // every heavy row's priority dominates any light row's (10^6 ratio
+    // >> the 2^20 hash spread), so all 5 heavies per stratum are kept
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert((1L to 10L).toSet.subsetOf(kept), s"heavy rows missing: $kept")
+    // deterministic under re-sharding
+    val again = Sampling.groupPrioritySample(
+      df.repartition(13), "lang", "doc_id", "weight", 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+    // scale shape: the per-stratum top-k prunes BELOW the exchange
+    // (partial WindowGroupLimit), and nothing plans a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number(), 12, Partial"),
+      s"group top-k must prune before the shuffle:\n$plan")
+  }
+
   test("stratified sample plans shuffle-free (row-local map + filter)") {
     val plan = Curation.stratifiedSample(spark, sf)
       .queryExecution.executedPlan.toString

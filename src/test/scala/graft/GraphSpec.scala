@@ -142,4 +142,54 @@ class GraphSpec extends AnyFunSuite {
     // the same edges fed both ways are accepted
     assert(Graph.pageRank(sym((1L, 2L), (2L, 3L)), 2).count() === 3L)
   }
+
+  private def und(pairs: (Long, Long)*) =
+    pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("s", "t")
+
+  test("triangles: known shapes enumerate exactly once, sorted") {
+    // K4 = 4 triangles; each listed once as its sorted triple
+    val k4 = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Graph.triangles(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // a 4-cycle has wedges but no triangle
+    assert(Graph.triangles(
+      und((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))).count() === 0L)
+    // triangle + pendant edge: exactly the one triangle
+    val pend = Graph.triangles(und((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pend.toSeq === Seq((1L, 2L, 3L)))
+  }
+
+  test("clustering coefficient: clique = 1, pendant = 0, mixed exact") {
+    // K4: every node d=3, tri=3, coeff = 6/6 = 1
+    val k4 = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cc4 = Graph.clusteringCoefficient(k4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cc4.keySet === Set(1L, 2L, 3L, 4L))
+    cc4.values.foreach { case (d, tri, c) =>
+      assert(d === 3L); assert(tri === 3L); assert(c === 1.0)
+    }
+    // triangle 1-2-3 + pendant 3-9: corners of the triangle with d=2 score
+    // 1, the junction (d=3, tri=1) scores 2/6 = 1/3 EXACTLY (one IEEE
+    // division), the pendant (d=1, no wedge possible) scores 0
+    val cc = Graph.clusteringCoefficient(
+      und((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cc(1L) === ((2L, 1L, 1.0)))
+    assert(cc(2L) === ((2L, 1L, 1.0)))
+    assert(cc(3L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(cc(9L) === ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: orientation bounds the wedge set on a skew hub") {
+    // star hub 0 + one rim edge: raw wedges at the hub are C(40,2) = 780,
+    // but degree-ordering directs every spoke INTO the hub, so the only
+    // wedge is on the rim — count survives, fan-out doesn't explode.
+    val star = (1L to 40L).map(i => (0L, i)) :+ (1L, 2L)
+    val out = Graph.triangles(und(star: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 1L, 2L)))
+  }
 }
