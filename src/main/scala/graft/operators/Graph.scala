@@ -365,4 +365,53 @@ object Graph {
             (col("d") * (col("d") - 1L)).cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * with the random tie-break replaced by smallest-label — the standard
+    * determinization): labels start as node ids; each of K rounds EVERY
+    * node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label. Community detection is
+    * the graph family's third structure signal, distinct from both rank
+    * (q96: who is central) and components (q49: what is connected): LPA
+    * splits a connected graph into densely-knit groups. K is FIXED —
+    * synchronous LPA can oscillate on bipartite-ish structure, so a fixed
+    * round count is what makes the operator a well-defined deterministic
+    * function (and what the unrolled SQL oracle replays verbatim).
+    *
+    * Input: canonical undirected edges `(s, t)`, `s < t`, distinct.
+    * Output: `(node, community)` after exactly K rounds — pure integers,
+    * hash-exact cross-engine (the argmax is a total order on
+    * (count DESC, label ASC); no floats anywhere).
+    *
+    * Scale shape per round: one equi-join of the symmetrized edge list
+    * against the node-sized label vector on `src` (broadcast when
+    * `broadcastLabels` — the part-graph regime where nodes ≪ edges; the
+    * co-partitioned path otherwise), one (dst, label) count aggregate
+    * (map-side combined), one per-node max-struct argmax aggregate —
+    * votes never exceed the edge count, state never exceeds the node
+    * count. Each round is materialized via [[iterateMaterialized]], the
+    * same bounded-lineage discipline as [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       broadcastLabels: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col("s"), col("t"))
+    val sym = e.select(col("s").as("src"), col("t").as("dst"))
+      .unionAll(e.select(col("t").as("src"), col("s").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bc: DataFrame => DataFrame =
+        if (broadcastLabels) broadcast(_) else identity
+      val lab0 = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+      val out = iterateMaterialized(lab0, iterations, lab => {
+        sym.join(bc(lab.withColumnRenamed("node", "src")), "src")
+          .groupBy(col("dst"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lab"))
+      })
+      out.select(col("node"), col("lab").as("community"))
+    } finally sym.unpersist(false)
+  }
 }

@@ -426,6 +426,49 @@ object MaintenanceQueries {
     FROM deg LEFT JOIN tn ON tn.node = deg.n
     ORDER BY node"""
 
+  /** LPA rounds for q187 — fixed so the operator is a deterministic
+    * function and the oracle can unroll the identical round count. 4
+    * rounds spreads a label across a diameter-8 neighborhood patch; on
+    * the support graph (tight near-clique bundles, q186's finding) the
+    * bulk of memberships stabilize by round 2-3. */
+  val lpIterations = 4
+
+  /** q187: label-propagation communities in the frequent co-purchase
+    * graph ([[graft.operators.Graph.labelPropagation]]) — the bundle
+    * structure q182's triangles witness locally, lifted to whole groups:
+    * after 4 synchronous most-frequent-neighbor-label rounds
+    * (deterministic smallest-label tie-break) each part carries the id of
+    * its densely-co-bought community. Labels broadcast (nodes ≪ edges in
+    * the part-graph regime); the oracle unrolls the SAME 4 rounds as
+    * CTEs with a (count DESC, label ASC) row_number argmax — pure
+    * integers end to end, hash-exact by construction. */
+  def copurchaseCommunities(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+        copurchaseSupportEdges(s, d), lpIterations, broadcastLabels = true)
+      .orderBy(col("node"))
+
+  val copurchaseCommunitiesSql: String = {
+    val rounds = (1 to lpIterations).map { i =>
+      s"""v$i AS (SELECT sym.dst AS node, l${i - 1}.lab, count(*) AS c
+           FROM sym JOIN l${i - 1} ON l${i - 1}.node = sym.src GROUP BY 1, 2),
+    l$i AS (SELECT node, lab FROM (
+              SELECT node, lab, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM v$i)
+            WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT a.l_partkey AS s, b.l_partkey AS t
+              FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $triMinSupport),
+    sym AS (SELECT s AS src, t AS dst FROM edges
+            UNION ALL SELECT t, s FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+    $rounds
+    SELECT node, lab AS community FROM l$lpIterations ORDER BY node"""
+  }
+
   // --- q119: brand-seeded personalized PageRank -----------------------------
 
   /** q119: topic-sensitive authority — the q96 ranking with teleport mass
@@ -618,6 +661,7 @@ object MaintenanceQueries {
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
     "q182_copurchase_triangles" -> QueryDef(copurchaseTriangles _, copurchaseTrianglesSql),
     "q186_copurchase_clustering" -> QueryDef(copurchaseClustering _, copurchaseClusteringSql),
+    "q187_copurchase_communities" -> QueryDef(copurchaseCommunities _, copurchaseCommunitiesSql),
     "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
     "q120_evolve_merge" -> QueryDef(evolveMerge _, evolveMergeSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),

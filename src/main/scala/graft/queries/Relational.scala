@@ -657,8 +657,151 @@ object Relational {
     WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
     GROUP BY l_returnflag"""
 
+  /** q188: weekly cohort retention matrix over events — each user joins
+    * the cohort of their FIRST active week; cell (cohort_wk, weeks_since)
+    * counts how many of that cohort were active that many weeks later,
+    * plus the retention fraction. The product-analytics staple, shaped
+    * for scale: ONE data-sized shuffle (the per-user aggregate — min week
+    * + distinct active weeks in a single ObjectHashAggregate pass over a
+    * user-keyed exchange), then an explode and a cells-sized aggregate;
+    * after the explode each (user, week) appears exactly once, so a plain
+    * count IS the distinct-user count and no count-distinct expansion
+    * runs. The per-user frame is persisted lazily — cohort sizes and the
+    * matrix are two consumers of one scan (the beyondThreshold lesson).
+    * Weeks are exact integer arithmetic from a fixed epoch; retention is
+    * one IEEE division of integer-valued doubles — hash-exact. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / 7)
+        .as("wk"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("wk").as("cohort_wk"), collect_set("wk").as("wks"))
+      .persist()
+    val sizes = perUser.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_users"))
+    perUser
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("weeks_since"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") /
+          col("cohort_users").cast("double")).as("retention"))
+  }
+
+  val cohortRetentionSql: String = """
+    WITH ev AS (SELECT user_id,
+                  CAST(floor(datediff('day', DATE '2024-01-01',
+                                      CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+                FROM events),
+    pu AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+    uw AS (SELECT DISTINCT user_id, wk FROM ev),
+    act AS (SELECT pu.cohort_wk, uw.wk - pu.cohort_wk AS weeks_since,
+                   count(*) AS active_users
+            FROM uw JOIN pu USING (user_id) GROUP BY 1, 2),
+    cs AS (SELECT cohort_wk, count(*) AS cohort_users FROM pu GROUP BY 1)
+    SELECT act.cohort_wk, act.weeks_since, act.active_users, cs.cohort_users,
+           CAST(act.active_users AS DOUBLE) / CAST(cs.cohort_users AS DOUBLE)
+             AS retention
+    FROM act JOIN cs USING (cohort_wk)"""
+
+  /** q189: the TPC-H Q21 join shape adapted to this schema — suppliers
+    * who were the SOLE late shipper on a shared order ("late" =
+    * shipped > 60 days after the order date; Q21's receipt/commit pair
+    * isn't in the testdata). Two correlated subqueries against the same
+    * fact — EXISTS another supplier on the order, NOT EXISTS another
+    * LATE supplier — become one left-semi and one left-anti self-join in
+    * the plan, every join keyed on the order key (co-partitioned: the
+    * late set, the supplier-per-order set, and both correlates shuffle
+    * on l_orderkey once each, and AQE broadcasts the supplier dim). The
+    * (numwait DESC, suppkey) order is total, so the LIMIT frontier is
+    * deterministic. */
+  def loneLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val spo = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val late = li
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val lone = late.as("l1")
+      .join(spo.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      .as("l1")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    lone
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(100)
+  }
+
+  val loneLateSupplierSql: String = """
+    WITH spo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    lone AS (SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+             WHERE EXISTS (SELECT 1 FROM spo l2
+                           WHERE l2.l_orderkey = l1.l_orderkey
+                             AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM late l3
+                               WHERE l3.l_orderkey = l1.l_orderkey
+                                 AND l3.l_suppkey <> l1.l_suppkey))
+    SELECT s.s_name, l.l_suppkey, count(*) AS numwait
+    FROM lone l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, l_suppkey
+    LIMIT 100"""
+
+  private val partWriteLock = new Object
+
+  /** q190: hive-partitioned storage layout — orders written
+    * `partitionBy(o_orderpriority)` once per dataset fingerprint, then the
+    * urgent slice's monthly order counts and exact-cents revenue served
+    * from the layout. The read's priority predicate is a PARTITION filter:
+    * the scan lists the one matching directory and reads zero bytes of
+    * the other four (LayoutSpec asserts PartitionFilters carries it and
+    * the in-file schema no longer holds the partition column) — the
+    * directory-level sibling of q180/q181's format round-trips, and the
+    * justification is identical: the oracle is the plain-parquet q190
+    * aggregate, so a layout that loses or mangles rows breaks the hash. */
+  def priorityLayoutRevenue(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.queries.Extensions.indexCacheDir(
+      "graft-part-cache", d, "orders", "prio1")
+    partWriteLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables.orders(s, d).write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+  }
+
+  val priorityLayoutRevenueSql: String = s"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q01_featurize_invoices"  -> QueryDef(featurized _, featurizeSql),
+    "q188_cohort_retention"   -> QueryDef(cohortRetention _, cohortRetentionSql),
+    "q189_lone_late_supplier" -> QueryDef(loneLateSupplier _, loneLateSupplierSql),
+    "q190_priority_layout"    -> QueryDef(priorityLayoutRevenue _, priorityLayoutRevenueSql),
     "q02_valid_features"      -> QueryDef(validFeatures _, validFeaturesSql),
     "q03_error_classify"      -> QueryDef(errorClassify _, errorClassifySql),
     "q04_cancel_tumbling"     -> QueryDef(cancelTumbling _, cancelTumblingSql),

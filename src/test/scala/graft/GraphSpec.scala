@@ -183,6 +183,37 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(9L) === ((1L, 0L, 0.0)))
   }
 
+  test("label propagation: bridged cliques split at the bridge (q187 semantics)") {
+    // two 3-cliques joined by bridge 3-4; hand-unrolled synchronous LPA
+    // with min-label tie-break stabilizes by round 4 at {1,2,3}→1, {4,5,6}→3
+    val g = und((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val out = Graph.labelPropagation(g, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("label propagation: synchronous rounds are exact (path oscillation pinned)") {
+    // path 1-2-3 oscillates under synchronous updates — the fixed round
+    // count is what makes the operator deterministic, so pin both phases
+    val path = und((1L, 2L), (2L, 3L))
+    def run(k: Int) = Graph.labelPropagation(path, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(run(2) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("label propagation: identical labels across partitionings and broadcast modes") {
+    val edges = und((1L to 30L).map(i => (i, i % 30 + 1)) ++
+      (1L to 10L).map(i => (i, i + 15L)): _*)
+      .filter(col("s") < col("t")).distinct()
+    def run(df: org.apache.spark.sql.DataFrame, bc: Boolean) =
+      Graph.labelPropagation(df, 3, broadcastLabels = bc).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val base = run(edges, bc = false)
+    assert(run(edges.repartition(13), bc = false) === base)
+    assert(run(edges.repartition(1), bc = true) === base)
+  }
+
   test("triangles: orientation bounds the wedge set on a skew hub") {
     // star hub 0 + one rim edge: raw wedges at the hub are C(40,2) = 780,
     // but degree-ordering directs every spoke INTO the hub, so the only

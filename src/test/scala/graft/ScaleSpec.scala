@@ -26,6 +26,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("q190: the priority-layout read is directory-pruned, not row-filtered") {
+    val q = graft.queries.Relational.priorityLayoutRevenue(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+      s"q190's priority predicate must ride PartitionFilters:\n$plan")
+    // the partition column lives in the directory name, not the files:
+    // the scan's read schema must not contain it
+    assert(!plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp,o_orderpriority"),
+      "partition column should not be read from file data")
+    assert(q.count() > 0)
+  }
+
   test("materialized IVF index: partition-pruned probes match in-memory IVF") {
     implicit val s = spark
     val emb = Tables.embeddings(spark, sf)
