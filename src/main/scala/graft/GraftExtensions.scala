@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.expressions.{BloomWords, BoundedLevenshtein, CmsCells, DotProduct, HllRegisters, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
+import graft.expressions.{BloomWords, BoundedLevenshtein, CmsCells, DotProduct, HllRegisters, JaroWinkler, MinHashSignature, PolyFingerprint, TopKRows, TopKStrRows, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users can call
@@ -100,6 +100,12 @@ object GraftExtensions {
         BoundedLevenshtein(
           Cast(es(0), StringType), Cast(es(1), StringType),
           posIntConst(es(2), "tau"))
+      }),
+    ("graft_jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => {
+        checkArity("graft_jaro_winkler", es, 2, 2)
+        JaroWinkler(Cast(es(0), StringType), Cast(es(1), StringType))
       }),
     ("graft_zorder",
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
