@@ -1778,6 +1778,43 @@ object Extensions {
       FROM pairs)
     WHERE rn = 1"""
 
+  /** q194: attribution COVERAGE — the left-outer twin of q66: every
+    * purchase keeps a row, unattributed ones count 0 clicks, and the
+    * result is the coverage histogram (n_clicks → how many purchases).
+    * Drives [[graft.streaming.StreamJoin.attributionPairsOuter]], the
+    * SAME operator that runs as a watermarked left-outer stream-stream
+    * join — the join type where streaming semantics bite (an unmatched
+    * purchase emits its null row only when the click watermark passes
+    * its interval; StreamJoinSpec replays exactly that and asserts
+    * batch ≡ matured stream). Batch plan: one user-keyed equi-join with
+    * the range predicate as a join residual, then two count aggregates
+    * (per-purchase, then the histogram — the second is cells-sized).
+    * Pure integers, hash-exact. */
+  def attributionCoverage(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val pairs = graft.streaming.StreamJoin.attributionPairsOuter(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+    pairs
+      .groupBy(col("purchase_id"))
+      .agg(count(col("click_id")).as("n_clicks"))
+      .groupBy(col("n_clicks"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  val attributionCoverageSql: String = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    pairs AS (SELECT p.purchase_id, c.click_id
+              FROM p LEFT JOIN c ON p.user_id = c.user_id
+              AND c.click_ts <= p.purchase_ts
+              AND c.click_ts > p.purchase_ts - INTERVAL 24 HOUR),
+    per AS (SELECT purchase_id, count(click_id) AS n_clicks
+            FROM pairs GROUP BY 1)
+    SELECT n_clicks, count(*) AS n_purchases FROM per GROUP BY 1"""
+
   /** q70: event-time RANGE-frame rolling aggregate — each click's trailing
     * 24 h spend by the same user. The frame is defined on TIME (epoch µs),
     * not row count, so duplicate-timestamp peers enter together in both
@@ -2530,6 +2567,7 @@ object Extensions {
     "q128_leakage_safe_split" -> QueryDef(leakageSafeSplit _, leakageSafeSplitSql),
     "q60_profile_orders"     -> QueryDef(profileOrders _, profileOrdersSql),
     "q66_attribution_window" -> QueryDef(attributionWindow _, attributionWindowSql),
+    "q194_attribution_coverage" -> QueryDef(attributionCoverage _, attributionCoverageSql),
     "q70_rolling_user_spend" -> QueryDef(rollingUserSpend _, rollingUserSpendSql),
     "q87_event_sessions"     -> QueryDef(eventSessions _, eventSessionsSql),
     "q129_session_window_native" -> QueryDef(SessionWindowGate.sessionWindowNative _,

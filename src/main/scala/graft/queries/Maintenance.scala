@@ -36,6 +36,85 @@ object MaintenanceQueries {
            c_mktsegment
     FROM customer WHERE c_custkey % 13 != 5"""
 
+  // --- q192: versioned table, time travel -----------------------------------
+
+  private val versionBuildLock = new Object
+
+  /** The deterministic 3-commit log over orders (all in exact cents, so
+    * the merged state is pure integers):
+    *  - v0 base: (key, prio, status, cents = floor(price·100));
+    *  - v1: tombstones for keys ≡ 0 (mod 13); upserts for the remaining
+    *    keys ≡ 0 (mod 7) — status 'R', cents + 1000;
+    *  - v2: upserts for keys ≡ 0 (mod 5) — status 'V2', cents + 500 —
+    *    including keys v1 deleted (re-insert after delete is the
+    *    semantics worth exercising).
+    * Both engines can state the final as-of-v2 row for every key in
+    * closed form, which is exactly what the oracle does. */
+  private def versionedOrdersDir(s: SparkSession, d: String): String = {
+    val root = Extensions.indexCacheDir("graft-version-cache", d, "orders", "log3v1")
+    versionBuildLock.synchronized {
+      if (!new java.io.File(s"$root/_GRAFT_LOG_READY").exists()) {
+        // a crashed partial build leaves commits without the READY marker;
+        // errorifexists would then wedge every rebuild — clear it first
+        val rootFile = new java.io.File(root)
+        if (rootFile.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(rootFile).deleteRecursively()
+        }
+        val base = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * lit(1e2)).cast("long").as("cents"),
+          lit("u").as("_op"))
+        graft.operators.Versioned.commit(base, root, "o_orderkey", 0)
+        val v1 = base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("_op", lit("d"))
+          .unionByName(base
+            .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 7 === 0)
+            .withColumn("status", lit("R"))
+            .withColumn("cents", col("cents") + 1000L))
+        graft.operators.Versioned.commit(v1, root, "o_orderkey", 1)
+        val v2 = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("status", lit("V2"))
+          .withColumn("cents", col("cents") + 500L)
+        graft.operators.Versioned.commit(v2, root, "o_orderkey", 2)
+        new java.io.File(s"$root/_GRAFT_LOG_READY").createNewFile()
+      }
+    }
+    root
+  }
+
+  /** q192: time travel over the commit log — the as-of-v2 state summed
+    * per (priority, status). [[graft.operators.Versioned.readAt]] is one
+    * union of delta scans plus ONE key-grouped max-by-version aggregate
+    * (no per-commit join chain, no window sort), so a K-commit log costs
+    * the same single shuffle as a plain dedup; the oracle recomputes the
+    * final state in closed form from the commit rules above. Pure
+    * integer output. */
+  def timeTravelSummary(s: SparkSession, d: String): DataFrame = {
+    val root = versionedOrdersDir(s, d)
+    graft.operators.Versioned.readAt(s, root, "o_orderkey", 2)
+      .groupBy(col("prio"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  val timeTravelSummarySql: String = """
+    WITH fs AS (
+      SELECT o_orderpriority AS prio,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'V2'
+                  WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0 THEN 'R'
+                  ELSE o_orderstatus END AS status,
+             CAST(floor(o_totalprice * 1e2) AS BIGINT) +
+             CASE WHEN o_orderkey % 5 = 0 THEN 500
+                  WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0 THEN 1000
+                  ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 5 = 0 OR o_orderkey % 13 <> 0)
+    SELECT prio, status, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM fs GROUP BY 1, 2"""
+
   /** q89: CDC between the two snapshots — one 'I'/'D'/'U' row per changed
     * key with old/new values for every attribute. One full-outer key join;
     * see [[graft.operators.Maintenance.snapshotDiff]]. */
@@ -469,6 +548,62 @@ object MaintenanceQueries {
     SELECT node, lab AS community FROM l$lpIterations ORDER BY node"""
   }
 
+  /** q193 keep bar: directed rules with confidence ≥ 0.1 — the standard
+    * post-support screen (support pruning already happened at graph
+    * build: c ≥ [[triMinSupport]]). 0.1 sits just under the fixture's
+    * p99 at the gate SFs (98–477 rules survive; max conf 0.14 at sf0.1
+    * — baskets are wide, so absolute confidences run low). */
+  val ruleMinConf = 0.1
+
+  /** q193: association rules from the same maintained support artifact —
+    * every directed rule ant→cons with support count, confidence
+    * c(A,B)/n(A) and lift conf/(n(B)/N): the market-basket reading of
+    * the co-purchase graph (Agrawal et al. 1993's output surface, over
+    * pre-mined level-2 itemsets). Plan: the edges artifact scanned once,
+    * both per-part order counts joined BROADCAST (parts ≪ orders), the
+    * order total a broadcast 1-row scalar — zero data-sized shuffles
+    * beyond the artifact build it shares with q182/q186/q187. All
+    * divisions are IEEE on exact-integer-valued doubles in a pinned
+    * order, so conf and lift hash-exact cross-engine. */
+  def associationRules(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val np = e.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))
+    val tot = e.agg(countDistinct("l_orderkey").as("nn"))
+    val edges = copurchaseSupportEdges(s, d)
+    val dir = edges.select(col("s").as("ant"), col("t").as("cons"), col("c"))
+      .unionAll(edges.select(col("t").as("ant"), col("s").as("cons"), col("c")))
+    val conf = col("c").cast("double") / col("na").cast("double")
+    dir
+      .join(broadcast(np.select(col("p").as("ant"), col("n").as("na"))), "ant")
+      .join(broadcast(np.select(col("p").as("cons"), col("n").as("nc"))), "cons")
+      .crossJoin(broadcast(tot))
+      .filter(conf >= ruleMinConf)
+      .select(col("ant"), col("cons"), col("c").as("support_cnt"),
+        conf.as("conf"),
+        (conf / (col("nc").cast("double") / col("nn").cast("double")))
+          .as("lift"))
+  }
+
+  val associationRulesSql: String = s"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT a.l_partkey AS s, b.l_partkey AS t, count(*) AS c
+              FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $triMinSupport),
+    np AS (SELECT l_partkey AS p, count(*) AS n FROM e GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS nn FROM e),
+    dir AS (SELECT s AS ant, t AS cons, c FROM edges
+            UNION ALL SELECT t, s, c FROM edges)
+    SELECT ant, cons, c AS support_cnt,
+           CAST(c AS DOUBLE) / CAST(na.n AS DOUBLE) AS conf,
+           (CAST(c AS DOUBLE) / CAST(na.n AS DOUBLE)) /
+             (CAST(nc.n AS DOUBLE) / CAST(nn AS DOUBLE)) AS lift
+    FROM dir
+    JOIN np na ON na.p = ant
+    JOIN np nc ON nc.p = cons
+    CROSS JOIN tot
+    WHERE CAST(c AS DOUBLE) / CAST(na.n AS DOUBLE) >= $ruleMinConf"""
+
   // --- q119: brand-seeded personalized PageRank -----------------------------
 
   /** q119: topic-sensitive authority — the q96 ranking with teleport mass
@@ -662,6 +797,8 @@ object MaintenanceQueries {
     "q182_copurchase_triangles" -> QueryDef(copurchaseTriangles _, copurchaseTrianglesSql),
     "q186_copurchase_clustering" -> QueryDef(copurchaseClustering _, copurchaseClusteringSql),
     "q187_copurchase_communities" -> QueryDef(copurchaseCommunities _, copurchaseCommunitiesSql),
+    "q192_time_travel" -> QueryDef(timeTravelSummary _, timeTravelSummarySql),
+    "q193_association_rules" -> QueryDef(associationRules _, associationRulesSql),
     "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
     "q120_evolve_merge" -> QueryDef(evolveMerge _, evolveMergeSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),

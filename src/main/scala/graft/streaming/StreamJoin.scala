@@ -30,7 +30,26 @@ object StreamJoin {
     * for the batch twin (watermarks are a no-op on batch plans). */
   def attributionPairs(purchases: DataFrame, clicks: DataFrame,
                        lookback: String = "24 hours",
-                       delay: String = "40 seconds"): DataFrame = {
+                       delay: String = "40 seconds"): DataFrame =
+    attributionJoin(purchases, clicks, lookback, delay, "inner")
+
+  /** LEFT-OUTER variant: every purchase survives, unattributed ones with
+    * null click columns. On streams this is the join type with real
+    * engine semantics attached — an unmatched purchase can only be
+    * EMITTED (with nulls) once the click-side watermark has passed its
+    * interval, because until then a matching click may still arrive; the
+    * state store holds it exactly that long. The batch twin is a plain
+    * left outer join, which is how the q194 gate oracles it;
+    * StreamJoinSpec replays the streaming form and asserts the matured
+    * result equals the batch twin, nulls included. */
+  def attributionPairsOuter(purchases: DataFrame, clicks: DataFrame,
+                            lookback: String = "24 hours",
+                            delay: String = "40 seconds"): DataFrame =
+    attributionJoin(purchases, clicks, lookback, delay, "left_outer")
+
+  private def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                              lookback: String, delay: String,
+                              joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
@@ -42,7 +61,7 @@ object StreamJoin {
     p.join(c, expr(
       s"""user_id = click_user
           AND click_ts <= purchase_ts
-          AND click_ts > purchase_ts - INTERVAL $lookback"""))
+          AND click_ts > purchase_ts - INTERVAL $lookback"""), joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("click_value"))
   }

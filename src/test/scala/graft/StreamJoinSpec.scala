@@ -56,6 +56,48 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed LEFT-OUTER interval join: matured nulls equal the batch twin (q194)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rnd = new scala.util.Random(19)
+    // half the users never click — their purchases must surface as null rows
+    val purchases = (1 to 40).map(i => ev(i, rnd.nextInt(10), rnd.nextInt(200)))
+    val clicks = (1 to 40).map(i => ev(1000L + i, rnd.nextInt(5), rnd.nextInt(200)))
+
+    val pIn = MemoryStream[AttrEv]
+    val cIn = MemoryStream[AttrEv]
+    val q = StreamJoin.attributionPairsOuter(pIn.toDF(), cIn.toDF(),
+        lookback = "60 seconds", delay = "30 seconds")
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append")
+      .start()
+    try {
+      pIn.addData(rnd.shuffle(purchases.toList))
+      cIn.addData(rnd.shuffle(clicks.toList))
+      q.processAllAvailable()
+      // outer rows for unmatched purchases emit only once the CLICK
+      // watermark has passed their interval — push both watermarks far
+      // beyond every fixture timestamp, then drop the sentinels
+      pIn.addData(ev(9998L, 99, 100000))
+      cIn.addData(ev(9999L, 99, 100000))
+      q.processAllAvailable()
+
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("purchase_id") < 9000)
+        .select(col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val got = pairSet(spark.table("attr_outer"))
+      val want = pairSet(StreamJoin.attributionPairsOuter(
+        purchases.toDF(), clicks.toDF(), lookback = "60 seconds"))
+      assert(want.exists(_._2 == -1L), "fixture must leave purchases unattributed")
+      assert(want.exists(_._2 > 0L), "fixture must attribute some purchases")
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("watermark + interval bound evicts join state (no unbounded growth)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Versioned
+
+/** Versioned keyed table (q192): time-travel reads, tombstone and
+  * re-insert semantics, the compaction law, and the one-shuffle plan. */
+class VersionedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("vlog").toString + "/log"
+
+  private def log3(): String = {
+    val root = freshRoot()
+    // v0: keys 1..4
+    Versioned.commit(Seq((1L, "a", "u"), (2L, "b", "u"), (3L, "c", "u"),
+      (4L, "d", "u")).toDF("k", "val", "_op"), root, "k", 0)
+    // v1: update 2, delete 3
+    Versioned.commit(Seq((2L, "B", "u"), (3L, "c", "d"))
+      .toDF("k", "val", "_op"), root, "k", 1)
+    // v2: re-insert 3 (after delete), insert 5, delete 1
+    Versioned.commit(Seq((3L, "C", "u"), (5L, "e", "u"), (1L, "a", "d"))
+      .toDF("k", "val", "_op"), root, "k", 2)
+    root
+  }
+
+  private def state(root: String, v: Int): Map[Long, String] =
+    Versioned.readAt(spark, root, "k", v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("time travel: every version reconstructs exactly") {
+    val root = log3()
+    assert(state(root, 0) === Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(state(root, 1) === Map(1L -> "a", 2L -> "B", 4L -> "d"))
+    assert(state(root, 2) === Map(2L -> "B", 3L -> "C", 4L -> "d", 5L -> "e"))
+  }
+
+  test("compaction law: compacted base at v0 equals the original at vN") {
+    val root = log3()
+    val compacted = freshRoot()
+    Versioned.compact(spark, root, "k", 2, compacted)
+    assert(state(compacted, 0) === state(root, 2))
+    // and the compacted log keeps evolving: one more delta on top
+    Versioned.commit(Seq((4L, "D", "u")).toDF("k", "val", "_op"),
+      compacted, "k", 1)
+    assert(state(compacted, 1) === state(root, 2) + (4L -> "D"))
+  }
+
+  test("a commit with duplicate keys fails loudly") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((1L, "a", "u"), (1L, "b", "u"))
+        .toDF("k", "val", "_op"), root, "k", 0)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("plan: readAt is one aggregate exchange, no join chain, no window") {
+    val root = log3()
+    val plan = Versioned.readAt(spark, root, "k", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"readAt must not plan a per-commit join chain:\n$plan")
+    assert(!plan.contains("Window"), s"readAt must not plan a window:\n$plan")
+    val exchanges = plan.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"readAt should shuffle once on the key:\n$plan")
+  }
+
+  test("q192 gate query matches its closed-form oracle shape at sf0.001") {
+    val out = graft.queries.MaintenanceQueries
+      .timeTravelSummary(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // V2 rows exist (the re-insert-after-delete class is non-empty)
+    assert(out.exists(_.getString(1) == "V2"))
+  }
+}
