@@ -414,4 +414,53 @@ object Graph {
       out.select(col("node"), col("lab").as("community"))
     } finally sym.unpersist(false)
   }
+
+  /** Transitive ancestor closure of a FOREST by pointer doubling — the
+    * hierarchy primitive (org rollups, category trees, thread ancestry)
+    * that SQL states as a recursive CTE and a distributed engine should
+    * NOT run as depth-many sequential joins: with J_d(n) = n's
+    * 2^d-ancestor, each round extends the closure by composing it with
+    * the jump table and squares the jump (J_{d+1} = J_d ∘ J_d), so a
+    * depth-D hierarchy closes in ⌈log2 D⌉+1 rounds of two equi-joins —
+    * 14 levels cost 5 rounds, not 14 barriers. Rounds are materialized
+    * with the bounded-lineage discipline of [[pageRank]]; the closure
+    * grows to Σ depths (n·avg-depth rows, the output itself), the jump
+    * table only ever shrinks.
+    *
+    * Input: `(node, parent)` rows for every NON-ROOT node — functional
+    * (one parent per node) and acyclic; roots appear only on the parent
+    * side. Output: `(node, ancestor)` including node = ancestor (self).
+    * Forest-ness makes every (node, offset) ancestor distinct, so the
+    * per-round union needs no dedup shuffle — unionAll is exact. */
+  def ancestorClosure(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("node"), col("parent"))
+    val nodes = e.select(col("node"))
+      .unionAll(e.select(col("parent").as("node"))).distinct()
+    var anc = nodes.select(col("node"), col("node").as("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var jump = e.select(col("node"), col("parent").as("j"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    anc.count()
+    var jumpRows = jump.count()
+    while (jumpRows > 0) {
+      val grown = anc.unionAll(
+        jump.join(anc.select(col("node").as("j"), col("a")), "j")
+          .select(col("node"), col("a")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      grown.count()
+      val squared = jump.select(col("node"), col("j").as("_mid"))
+        .join(jump.select(col("node").as("_mid"), col("j")), "_mid")
+        .select(col("node"), col("j"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      jumpRows = squared.count()
+      anc.unpersist(false)
+      jump.unpersist(false)
+      anc = grown
+      jump = squared
+    }
+    val out = anc.localCheckpoint(true)
+    anc.unpersist(false)
+    jump.unpersist(false)
+    out
+  }
 }

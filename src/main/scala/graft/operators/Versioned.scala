@@ -59,6 +59,49 @@ object Versioned {
         .map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** Change data feed: the NET row-level changes between `state@fromV`
+    * and `state@toV`, classified I/U/D with old and new values — what a
+    * downstream incremental consumer replays instead of diffing two full
+    * snapshots. Cost shape: the delta tail `fromV+1..toV` (delta-sized)
+    * collapsed to latest-per-key, plus ONE reconstruction of
+    * `state@fromV` (at scale, serve that from a [[compact]]ed checkpoint
+    * at `fromV` — then the whole feed costs deltas + one key join, never
+    * two full-table scans), one key-equi join to classify. No-op
+    * rewrites (an upsert re-stating the current values) are dropped, so
+    * the feed law holds exactly: `changeFeed(a, b)` carries the same
+    * keys/values as a full-outer diff of the two reconstructed states
+    * (VersionedSpec proves it on every version pair of its fixture). */
+  def changeFeed(spark: SparkSession, root: String, key: String,
+                 fromV: Int, toV: Int): DataFrame = {
+    require(0 <= fromV && fromV < toV, s"need 0 <= fromV < toV: $fromV, $toV")
+    val tail = (fromV + 1 to toV).map { v =>
+      spark.read.parquet(s"$root/v=$v").withColumn("_v", lit(v))
+    }.reduce(_.unionByName(_))
+    val payloadCols = tail.columns.filter(c => c != key && c != "_v").sorted
+    val latest = tail
+      .groupBy(col(key))
+      .agg(max(struct((col("_v") +: payloadCols.map(col)): _*)).as("_m"))
+      .select(col(key) +: payloadCols.map(c => col(s"_m.$c").as(c)): _*)
+    val valueCols = payloadCols.filter(_ != "_op")
+    val old = readAt(spark, root, key, fromV)
+      .select(col(key) +: valueCols.map(c => col(c).as(s"_old_$c")): _*)
+      .withColumn("_old_present", lit(true))
+    val newVals = struct(valueCols.map(col): _*)
+    val oldVals = struct(valueCols.map(c => col(s"_old_$c")): _*)
+    val present = coalesce(col("_old_present"), lit(false))
+    latest.join(old, Seq(key), "left_outer")
+      .withColumn("op",
+        when(col("_op") === "d" && present, lit("D"))
+          .when(col("_op") === "u" && !present, lit("I"))
+          .when(col("_op") === "u" && present && !(newVals <=> oldVals), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(
+        col(key) +: col("op") +:
+          (valueCols.map(c => col(s"_old_$c").as(s"old_$c")) ++
+            valueCols.map(c =>
+              when(col("op") =!= "D", col(c)).as(s"new_$c"))): _*)
+  }
+
   /** Rewrite commits `0..version` as the single base commit of a NEW log
     * at `newRoot` — the checkpoint/OPTIMIZE move. Readers of the new log
     * at version 0 see exactly `readAt(root, version)`. */

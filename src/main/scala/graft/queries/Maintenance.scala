@@ -548,6 +548,53 @@ object MaintenanceQueries {
     SELECT node, lab AS community FROM l$lpIterations ORDER BY node"""
   }
 
+  /** q195: the change data feed over the q192 commit log — net I/U/D
+    * changes per version span, summarized per (span, op, status
+    * transition) with exact cents totals. Serves from
+    * [[graft.operators.Versioned.changeFeed]]: the delta tail collapsed
+    * latest-per-key plus ONE reconstruction of the from-state (the
+    * checkpoint-servable half), one key join to classify — never a diff
+    * of two full snapshots. The oracle states every change in closed
+    * form from the commit rules; the spec-side law (feed ≡ full-outer
+    * state diff, no-ops dropped) is proven on every version pair in
+    * VersionedSpec. Spans 0→1 and 1→2 together exercise D, U, I and the
+    * re-insert-after-delete class. */
+  def changeFeedSummary(s: SparkSession, d: String): DataFrame = {
+    val root = versionedOrdersDir(s, d)
+    def span(a: Int, b: Int, tag: String) =
+      graft.operators.Versioned.changeFeed(s, root, "o_orderkey", a, b)
+        .withColumn("span", lit(tag))
+    span(0, 1, "0-1").unionByName(span(1, 2, "1-2"))
+      .groupBy(col("span"), col("op"), col("old_status"), col("new_status"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("old_cents"), lit(0L))).as("sum_old_cents"),
+        sum(coalesce(col("new_cents"), lit(0L))).as("sum_new_cents"))
+  }
+
+  val changeFeedSummarySql: String = """
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                         CAST(floor(o_totalprice * 1e2) AS BIGINT) AS c
+                  FROM orders),
+    chg AS (
+      SELECT '0-1' AS span, 'D' AS op, st AS old_status,
+             CAST(NULL AS VARCHAR) AS new_status,
+             c AS old_cents, CAST(NULL AS BIGINT) AS new_cents
+      FROM base WHERE k % 13 = 0
+      UNION ALL
+      SELECT '0-1', 'U', st, 'R', c, c + 1000
+      FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+      UNION ALL
+      SELECT '1-2', 'I', NULL, 'V2', NULL, c + 500
+      FROM base WHERE k % 5 = 0 AND k % 13 = 0
+      UNION ALL
+      SELECT '1-2', 'U', CASE WHEN k % 7 = 0 THEN 'R' ELSE st END, 'V2',
+             CASE WHEN k % 7 = 0 THEN c + 1000 ELSE c END, c + 500
+      FROM base WHERE k % 5 = 0 AND k % 13 <> 0)
+    SELECT span, op, old_status, new_status, count(*) AS n,
+           CAST(sum(coalesce(old_cents, 0)) AS BIGINT) AS sum_old_cents,
+           CAST(sum(coalesce(new_cents, 0)) AS BIGINT) AS sum_new_cents
+    FROM chg GROUP BY 1, 2, 3, 4"""
+
   /** q193 keep bar: directed rules with confidence ≥ 0.1 — the standard
     * post-support screen (support pruning already happened at graph
     * build: c ≥ [[triMinSupport]]). 0.1 sits just under the fixture's
@@ -603,6 +650,38 @@ object MaintenanceQueries {
     JOIN np nc ON nc.p = cons
     CROSS JOIN tot
     WHERE CAST(c AS DOUBLE) / CAST(na.n AS DOUBLE) >= $ruleMinConf"""
+
+  /** q198: hierarchy rollup — subtree size and exact-cents balance for
+    * every node of the deterministic customer tree parent(k) = ⌊k/2⌋
+    * (root 0): the recursive-CTE workload, answered WITHOUT recursion
+    * depth = join count. [[graft.operators.Graph.ancestorClosure]]
+    * closes the ~14-level tree in ⌈log2 D⌉ pointer-doubling rounds; the
+    * oracle IS the recursive CTE (DuckDB walks the same halving chain),
+    * so the gate proves the log-round decomposition exact against the
+    * depth-recursive formulation. One key join stitches balances on, one
+    * aggregate rolls up. Pure integers. */
+  def hierarchyRollup(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      floor(col("c_acctbal") * lit(1e2)).cast("long").as("cents"))
+    val edges = cust.filter(col("c_custkey") > 0)
+      .select(col("c_custkey").as("node"),
+        expr("c_custkey DIV 2").as("parent"))
+    graft.operators.Graph.ancestorClosure(edges)
+      .join(cust.select(col("c_custkey").as("node"), col("cents")), "node")
+      .groupBy(col("a").as("ancestor"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val hierarchyRollupSql: String = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS a FROM customer
+      UNION ALL
+      SELECT node, a // 2 FROM anc WHERE a > 0)
+    SELECT anc.a AS ancestor, count(*) AS n_desc,
+           CAST(sum(CAST(floor(c.c_acctbal * 1e2) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM anc JOIN customer c ON c.c_custkey = anc.node
+    GROUP BY 1"""
 
   // --- q119: brand-seeded personalized PageRank -----------------------------
 
@@ -799,6 +878,8 @@ object MaintenanceQueries {
     "q187_copurchase_communities" -> QueryDef(copurchaseCommunities _, copurchaseCommunitiesSql),
     "q192_time_travel" -> QueryDef(timeTravelSummary _, timeTravelSummarySql),
     "q193_association_rules" -> QueryDef(associationRules _, associationRulesSql),
+    "q195_change_feed" -> QueryDef(changeFeedSummary _, changeFeedSummarySql),
+    "q198_hierarchy_rollup" -> QueryDef(hierarchyRollup _, hierarchyRollupSql),
     "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
     "q120_evolve_merge" -> QueryDef(evolveMerge _, evolveMergeSql),
     "q108_bucket_repair"  -> QueryDef(bucketRepairSet _, bucketRepairSetSql),

@@ -641,6 +641,58 @@ object Relational {
            ${dsumSql("o_totalprice", 2)} AS total
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
 
+  /** q196: GROUPING SETS — the third member of the multi-granularity
+    * family (ROLLUP q34, CUBE q42), with an EXPLICIT mixed set list
+    * ((prio, status), (prio), (status), ()) and the grouping_id
+    * disambiguator (Spark's bit order mirrored in the oracle as
+    * grouping(prio)·2 + grouping(status)). One Expand + one aggregate —
+    * the planner's n-sets-in-one-pass shape, not four scans unioned. */
+  def groupingSetsRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+
+  val groupingSetsRevenueSql: String = s"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n, ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())"""
+
+  /** q199: cumulative distinct users by day — the running-audience curve
+    * computed WITHOUT any cumulative-distinct state: a user contributes
+    * at exactly their first-seen day (one user-keyed min aggregate), so
+    * the curve is a running sum over the days-sized per-day new-user
+    * counts. The window sorts ~hundreds of day rows, never the corpus —
+    * the standard rewrite that makes "distinct users to date" feasible
+    * at 100 TB. Pure integers. */
+  def cumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    firstDay
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val cumulativeUsersSql: String = """
+    WITH fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                FROM events GROUP BY 1),
+    pd AS (SELECT day, count(*) AS new_users FROM fu GROUP BY 1)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+    FROM pd"""
+
   /** Date-range predicate that pushes to the parquet scan (PushedFilters).
     * Ship-mode style slice of lineitem by shipdate window. */
   def shipdateSlice(s: SparkSession, d: String): DataFrame =
@@ -829,6 +881,8 @@ object Relational {
     "q40_json_props_sum"      -> QueryDef(jsonPropsSum _, jsonPropsSumSql),
     "q41_shipdate_slice"      -> QueryDef(shipdateSlice _, shipdateSliceSql),
     "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql),
+    "q196_grouping_sets"      -> QueryDef(groupingSetsRevenue _, groupingSetsRevenueSql),
+    "q199_cumulative_users"   -> QueryDef(cumulativeUsers _, cumulativeUsersSql),
     "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql),
     "q121_unpivot_revenue"    -> QueryDef(unpivotRevenue _, unpivotRevenueSql),
     "q56_median_order_price"  -> QueryDef(medianOrderPrice _, medianOrderPriceSql))

@@ -375,6 +375,51 @@ object ScaleJoins {
       FROM cand)
     WHERE cand_rank <= $negCandK"""
 
+  // --- q197: co-bucketed fact-fact join --------------------------------------
+
+  private val bucketBuildLock = new Object
+
+  /** q197: the q180/q181 "same oracle, new engine path" discipline
+    * applied to BUCKETED LAYOUT — revenue by order status served from a
+    * lineitem⋈orders join whose both sides are written
+    * `bucketBy(8, orderkey).sortBy(orderkey)` managed tables: the join
+    * zips co-located buckets with NO Exchange on either side
+    * (BucketingSpec pins the exchange-free SortMergeJoin on this exact
+    * query), which at 100 TB is the difference between moving both
+    * fact tables per join and moving nothing. The oracle is the plain
+    * declarative join — a layout that loses or duplicates rows breaks
+    * the hash. Tables rebuild per session (in-memory catalog owns the
+    * bucketing metadata); the build is the offline-maintenance cost the
+    * serving query amortizes. */
+  def bucketedRevenue(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val liT = s"graft_li_bkt_$tag"
+    val oT = s"graft_o_bkt_$tag"
+    bucketBuildLock.synchronized {
+      if (!s.catalog.tableExists(liT))
+        graft.operators.Bucketing.writeBucketed(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          liT, "l_orderkey", 8)
+      if (!s.catalog.tableExists(oT))
+        graft.operators.Bucketing.writeBucketed(
+          Tables.orders(s, d)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          oT, "l_orderkey", 8)
+    }
+    graft.operators.Bucketing.bucketedJoin(s, liT, oT, "l_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .as("revenue"))
+  }
+
+  val bucketedRevenueSql: String = s"""
+    SELECT o_orderstatus, count(*) AS n,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1"""
+
   // --- q191: Jaro-Winkler linkage --------------------------------------------
 
   /** q191 keep bar: 0.88 sits in a real gap of the fixture's score
@@ -420,6 +465,7 @@ object ScaleJoins {
 
   val defs: Map[String, QueryDef] = Map(
     "q191_jw_linkage"       -> QueryDef(jwLinkage _, jwLinkageSql),
+    "q197_bucketed_revenue" -> QueryDef(bucketedRevenue _, bucketedRevenueSql),
     "q140_negative_candidates" -> QueryDef(negativeCandidates _, negativeCandidatesSql),
     "q105_fuzzy_resolve"    -> QueryDef(fuzzyResolve _, fuzzyResolveSql),
     "q125_auto_join_skewed" -> QueryDef(autoSkewedRevenue _, autoSkewedRevenueSql),

@@ -28,4 +28,19 @@ class BucketingSpec extends AnyFunSuite {
       col("l_orderkey") === col("o_orderkey"))
     assert(joined.count() === plain.count())
   }
+
+  test("q197: the gate query's join is exchange-free on both fact sides") {
+    val q = graft.queries.ScaleJoins.bucketedRevenue(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val joinBlock = plan.split("SortMergeJoin")
+    assert(joinBlock.length >= 2, s"expected a SortMergeJoin:\n$plan")
+    // below the join: bucketed scans, no hash-partitioning exchange; the
+    // only exchange in the whole plan is the tiny status aggregate's
+    assert(joinBlock.last.split('\n')
+      .count(_.contains("Exchange hashpartitioning")) === 0,
+      s"bucketed join children must not shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.toLowerCase.contains("bucket"),
+      s"expected bucketed scans:\n$plan")
+    assert(q.count() > 0)
+  }
 }

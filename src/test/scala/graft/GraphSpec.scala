@@ -214,6 +214,26 @@ class GraphSpec extends AnyFunSuite {
     assert(run(edges.repartition(1), bc = true) === base)
   }
 
+  test("ancestor closure: forest closes exactly; log-round doubling (q198)") {
+    // forest: 1←{2,3}, 2←{4,5}, 4←8; separate tree 6←7
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (8L, 4L), (7L, 6L))
+      .toDF("node", "parent")
+    val got = Graph.ancestorClosure(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parent = edges.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def path(n: Long): Seq[Long] =
+      n +: parent.get(n).map(path).getOrElse(Seq.empty)
+    val want = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+      .flatMap(n => path(n).map(a => (n, a))).toSet
+    assert(got === want)
+    // deep chain: 0←1←2←…←20 — 21 levels must close fully (5 rounds)
+    val chain = (1L to 20L).map(i => (i, i - 1)).toDF("node", "parent")
+    val cl = Graph.ancestorClosure(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantChain = (0L to 20L).flatMap(n => (0L to n).map(a => (n, a))).toSet
+    assert(cl === wantChain)
+  }
+
   test("triangles: orientation bounds the wedge set on a skew hub") {
     // star hub 0 + one rim edge: raw wedges at the hub are C(40,2) = 780,
     // but degree-ordering directs every spoke INTO the hub, so the only

@@ -49,6 +49,45 @@ class VersionedSpec extends AnyFunSuite {
     assert(state(compacted, 1) === state(root, 2) + (4L -> "D"))
   }
 
+  test("change feed: I/U/D classification with old and new values") {
+    val root = log3()
+    def feed(a: Int, b: Int) = Versioned.changeFeed(spark, root, "k", a, b)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(feed(0, 1) === Set(
+      (2L, "U", Some("b"), Some("B")), (3L, "D", Some("c"), None)))
+    assert(feed(1, 2) === Set(
+      (1L, "D", Some("a"), None), (3L, "I", None, Some("C")),
+      (5L, "I", None, Some("e"))))
+    assert(feed(0, 2) === Set(
+      (1L, "D", Some("a"), None), (2L, "U", Some("b"), Some("B")),
+      (3L, "U", Some("c"), Some("C")), (5L, "I", None, Some("e"))))
+  }
+
+  test("change feed law: equals the diff of reconstructed states; no-ops drop") {
+    val root = log3()
+    // v3: a NO-OP re-upsert of 4 (same value) plus a genuine update of 5 —
+    // the no-op must not surface in any feed ending at 3
+    Versioned.commit(Seq((4L, "d", "u"), (5L, "E", "u"))
+      .toDF("k", "val", "_op"), root, "k", 3)
+    for (a <- 0 to 2; b <- a + 1 to 3) {
+      val sa = state(root, a); val sb = state(root, b)
+      val want: Set[(Long, String, Option[String], Option[String])] =
+        (sa.keySet ++ sb.keySet).flatMap { k =>
+          (sa.get(k), sb.get(k)) match {
+            case (None, Some(n)) => Some((k, "I", None, Some(n)))
+            case (Some(o), None) => Some((k, "D", Some(o), None))
+            case (Some(o), Some(n)) if o != n => Some((k, "U", Some(o), Some(n)))
+            case _ => None
+          }
+        }
+      val got = Versioned.changeFeed(spark, root, "k", a, b).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3)))).toSet
+      assert(got === want, s"feed($a, $b)")
+    }
+  }
+
   test("a commit with duplicate keys fails loudly") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {
