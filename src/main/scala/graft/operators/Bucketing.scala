@@ -14,14 +14,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed + sorted managed table. */
+  /** Write `df` as a bucketed + sorted managed table.
+    *
+    * A killed JVM can leave the managed location on disk while the
+    * in-memory catalog is fresh; CTAS then refuses with
+    * LOCATION_ALREADY_EXISTS. If the table has no catalog entry, its
+    * warehouse directory is stale debris — clear it before writing. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-                    mode: SaveMode = SaveMode.Overwrite): Unit =
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     df.write.mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on the same key with the same bucket count.
     * Broadcast is disabled for the call so the planner demonstrates the

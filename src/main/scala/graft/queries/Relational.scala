@@ -641,6 +641,92 @@ object Relational {
            ${dsumSql("o_totalprice", 2)} AS total
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
 
+  /** q200: event-type transition matrix — Markov first-order counts and
+    * probabilities over each user's time-ordered event stream (the
+    * product-analytics "what happens after X" view). One user-keyed
+    * window (ordered by (ts, event_id) — a TOTAL order, so duplicate
+    * timestamps can't flip transitions between engines) emits lag-1
+    * pairs; a 25-cell aggregate counts them; the row-probability is one
+    * IEEE division against a per-prev-type window sum over the
+    * cells-sized frame. One data shuffle on user_id, everything after
+    * is cells-sized. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+  }
+
+  val eventTransitionsSql: String = """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    counts AS (SELECT prev_type, next_type, count(*) AS n
+               FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) /
+             CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM counts"""
+
+  /** q201: the TIME-BOUNDED funnel — q102's staged progression with each
+    * step required within 48 h of the previous (the form product funnels
+    * actually ship: an unbounded funnel credits conversions weeks
+    * apart). Same per-stage min-timestamp joins, each with the upper
+    * bound added; every stage stays keyed on user_id, so all four joins
+    * reuse one partitioning. */
+  def funnelBounded(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def stage(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
+    val first = stage("signup").groupBy("user_id").agg(min("ts").as("t"))
+    def next(prev: DataFrame, t: String) =
+      stage(t).join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .filter(col("ts") > col("pt") &&
+          col("ts") <= col("pt") + expr("INTERVAL 48 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val s2 = next(first, "view")
+    val s3 = next(s2, "click")
+    val s4 = next(s3, "purchase")
+    val counts = Seq("1_signup" -> first, "2_view" -> s2,
+      "3_click" -> s3, "4_purchase" -> s4).map { case (name, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    }.reduce(_ unionByName _)
+    counts.withColumn("conversion",
+      col("users").cast("double") /
+        lag(col("users"), 1).over(Window.orderBy("stage")).cast("double"))
+  }
+
+  val funnelBoundedSql: String = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t
+             AND e.ts <= s1.t + INTERVAL 48 HOUR GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t
+             AND e.ts <= s2.t + INTERVAL 48 HOUR GROUP BY 1),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t
+             AND e.ts <= s3.t + INTERVAL 48 HOUR GROUP BY 1),
+    counts AS (
+      SELECT '1_signup' AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT '2_view', count(*) FROM s2
+      UNION ALL SELECT '3_click', count(*) FROM s3
+      UNION ALL SELECT '4_purchase', count(*) FROM s4)
+    SELECT stage, users,
+           CAST(users AS DOUBLE)
+             / CAST(lag(users) OVER (ORDER BY stage) AS DOUBLE) AS conversion
+    FROM counts"""
+
   /** q196: GROUPING SETS — the third member of the multi-granularity
     * family (ROLLUP q34, CUBE q42), with an EXPLICIT mixed set list
     * ((prio, status), (prio), (status), ()) and the grouping_id
@@ -883,6 +969,8 @@ object Relational {
     "q42_cube_orders"         -> QueryDef(cubeOrders _, cubeOrdersSql),
     "q196_grouping_sets"      -> QueryDef(groupingSetsRevenue _, groupingSetsRevenueSql),
     "q199_cumulative_users"   -> QueryDef(cumulativeUsers _, cumulativeUsersSql),
+    "q200_event_transitions"  -> QueryDef(eventTransitions _, eventTransitionsSql),
+    "q201_funnel_bounded"     -> QueryDef(funnelBounded _, funnelBoundedSql),
     "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql),
     "q121_unpivot_revenue"    -> QueryDef(unpivotRevenue _, unpivotRevenueSql),
     "q56_median_order_price"  -> QueryDef(medianOrderPrice _, medianOrderPriceSql))

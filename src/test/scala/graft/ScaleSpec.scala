@@ -38,6 +38,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes the partitioned fact scan") {
+    // the runtime sibling of q190's static pruning: the fact side is
+    // partitioned on priority, the filter lives on a DIM table, and the
+    // fact scan must consume it as a DPP subquery instead of reading all
+    // five directories
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(dir)
+    import spark.implicits._
+    // the dim must be a FILE source: a LocalRelation's filter is folded
+    // by ConvertToLocalRelation before the DPP rule looks for a
+    // selective predicate, and no DPP subquery is inserted
+    val dimDir = java.nio.file.Files.createTempDirectory("dppdim").toString
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop"))
+      .toDF("o_orderpriority", "verdict").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val q = fact.join(dim.filter(col("verdict") === "keep"), "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a dynamic-pruning subquery on the fact scan:\n$plan")
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(q.collect()(0).getLong(0) === expected && expected > 0)
+  }
+
   test("materialized IVF index: partition-pruned probes match in-memory IVF") {
     implicit val s = spark
     val emb = Tables.embeddings(spark, sf)

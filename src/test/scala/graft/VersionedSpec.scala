@@ -88,6 +88,22 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC apply law: old state + change feed = new state") {
+    // the consumer contract: a downstream copy at version a that applies
+    // the feed (delete D keys, upsert I/U values) lands exactly at b
+    val root = log3()
+    for (a <- 0 to 1; b <- a + 1 to 2) {
+      val feed = Versioned.changeFeed(spark, root, "k", a, b).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3))))
+      val applied = feed.foldLeft(state(root, a)) {
+        case (st, (k, "D", _)) => st - k
+        case (st, (k, _, Some(v))) => st + (k -> v)
+        case (st, _) => st
+      }
+      assert(applied === state(root, b), s"apply($a -> $b)")
+    }
+  }
+
   test("a commit with duplicate keys fails loudly") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {
