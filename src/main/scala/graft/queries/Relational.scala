@@ -682,17 +682,23 @@ object Relational {
     * actually ship: an unbounded funnel credits conversions weeks
     * apart). Same per-stage min-timestamp joins, each with the upper
     * bound added; every stage stays keyed on user_id, so all four joins
-    * reuse one partitioning. */
+    * reuse one partitioning. Each stage frame has TWO consumers (the
+    * next stage's join and its own count branch), so each is persisted —
+    * without it the union's four branches re-derive every prefix and the
+    * events table is scanned 10 times instead of 4 (the beyondThreshold
+    * lesson, caught on this query's first .explain). */
   def funnelBounded(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     def stage(t: String) =
       ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
     val first = stage("signup").groupBy("user_id").agg(min("ts").as("t"))
+      .persist()
     def next(prev: DataFrame, t: String) =
       stage(t).join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
         .filter(col("ts") > col("pt") &&
           col("ts") <= col("pt") + expr("INTERVAL 48 HOURS"))
         .groupBy("user_id").agg(min("ts").as("t"))
+        .persist()
     val s2 = next(first, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")
@@ -726,6 +732,57 @@ object Relational {
            CAST(users AS DOUBLE)
              / CAST(lag(users) OVER (ORDER BY stage) AS DOUBLE) AS conversion
     FROM counts"""
+
+  /** q202: the SINGLE-SHUFFLE funnel — the same time-bounded funnel as
+    * q201 under the SAME oracle (the q180/q181/q197 "same oracle, new
+    * engine path" discipline), re-expressed as one user-keyed
+    * collect+fold instead of a four-stage join chain. Why: q201's
+    * declarative chain shuffles each stage and its union branches share
+    * nothing without explicit persists; this shape scans events ONCE
+    * (PushedFilters: In(event_type, [4 types])), shuffles ONCE on
+    * user_id, and computes each user's furthest stage with a
+    * higher-order `aggregate` fold over the time-sorted event list —
+    * greedy first-qualifying-event per stage ≡ q201's min-timestamp
+    * chain because the list is traversed in (ts, event_id) order.
+    * Everything after the fold is ≤5 rows. Per-user lists are bounded
+    * by per-user event counts — the standard funnel trade (one shuffle +
+    * in-memory per-user sort) that every product-analytics engine makes;
+    * a pathological single-user firehose would need the sessionizer's
+    * streaming state path instead. */
+  def funnelFold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("signup", "view", "click", "purchase")
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+    val init = struct(lit(0).as("stage"),
+      lit(null).cast("timestamp").as("t"))
+    def step(acc: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) = {
+      def advance(k: Int, t: String) =
+        acc("stage") === (k - 1) && e("event_type") === t &&
+          (if (k == 1) lit(true)
+           else e("ts") > acc("t") &&
+             e("ts") <= acc("t") + expr("INTERVAL 48 HOURS"))
+      types.zipWithIndex.foldLeft(acc) { case (out, (t, i)) =>
+        when(advance(i + 1, t),
+          struct(lit(i + 1).as("stage"), e("ts").as("t"))).otherwise(out)
+      }
+    }
+    val folded = perUser.select(
+      aggregate(col("evs"), init, step).getField("stage").as("stage_reached"))
+    val byStage = folded.groupBy("stage_reached").agg(count(lit(1)).as("n"))
+    val stageDim = types.zipWithIndex
+      .map { case (t, i) => (i + 1, s"${i + 1}_$t") }.toDF("k", "stage")
+    stageDim.join(byStage, col("stage_reached") >= col("k"), "left")
+      .groupBy("k", "stage").agg(coalesce(sum("n"), lit(0L)).as("users"))
+      .withColumn("conversion",
+        col("users").cast("double") /
+          lag(col("users"), 1).over(Window.orderBy("stage")).cast("double"))
+      .drop("k")
+  }
 
   /** q196: GROUPING SETS — the third member of the multi-granularity
     * family (ROLLUP q34, CUBE q42), with an EXPLICIT mixed set list
@@ -971,6 +1028,7 @@ object Relational {
     "q199_cumulative_users"   -> QueryDef(cumulativeUsers _, cumulativeUsersSql),
     "q200_event_transitions"  -> QueryDef(eventTransitions _, eventTransitionsSql),
     "q201_funnel_bounded"     -> QueryDef(funnelBounded _, funnelBoundedSql),
+    "q202_funnel_fold"        -> QueryDef(funnelFold _, funnelBoundedSql),
     "q55_pivot_revenue"       -> QueryDef(pivotRevenue _, pivotRevenueSql),
     "q121_unpivot_revenue"    -> QueryDef(unpivotRevenue _, unpivotRevenueSql),
     "q56_median_order_price"  -> QueryDef(medianOrderPrice _, medianOrderPriceSql))

@@ -26,6 +26,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("q202: funnel fold scans events once and shuffles user-keyed data once") {
+    val q = graft.queries.Relational.funnelFold(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole funnel reads the fact table once, with the 4-type filter
+    // pushed into the scan...
+    assert(plan.split("Scan parquet").length - 1 === 1,
+      s"expected exactly one events scan:\n$plan")
+    assert(plan.contains("In(event_type"),
+      s"the stage-type filter must reach the scan as PushedFilters:\n$plan")
+    // ...and moves data-sized rows through exactly one exchange (the
+    // user-keyed one); every other exchange carries <= 5 stage rows
+    assert(plan.split("hashpartitioning\\(user_id").length - 1 === 1,
+      s"expected exactly one user-keyed exchange:\n$plan")
+    // same-oracle law: the fold output equals q201's join-chain output
+    val chain = graft.queries.Relational.funnelBounded(spark, sf)
+      .orderBy("stage").collect().toSeq
+    val fold = q.orderBy("stage").collect().toSeq
+    assert(fold === chain)
+  }
+
   test("q190: the priority-layout read is directory-pruned, not row-filtered") {
     val q = graft.queries.Relational.priorityLayoutRevenue(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
