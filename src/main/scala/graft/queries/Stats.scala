@@ -1051,7 +1051,327 @@ object Stats {
     FROM counts CROSS JOIN tot JOIN p ON counts.digit = p.digit"""
   }
 
+  // --- q203: per-group least-squares trend ----------------------------------
+
+  /** q203: per-priority DAILY-REVENUE TREND — closed-form least squares
+    * (slope + intercept of daily revenue vs day index) per order
+    * priority, the "is this segment growing" primitive every BI layer
+    * ships as regr_slope/regr_intercept. Built EXACTLY: native
+    * regr_slope is a double sum (order-dependent, gate-breaking), so the
+    * five regression sums (n, Σx, Σx², Σy, Σxy) are exact integers —
+    * cents quantized with the [[graft.functions.Exact]] floor trick,
+    * day indices exact ints, products widened to DECIMAL(38,0) (DuckDB:
+    * HUGEINT) — and slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). The division
+    * CANNOT be one big-int→double cast: the numerators reach ~1e20,
+    * past 2^53, where Spark's BigDecimal→double and DuckDB's
+    * hugeint→double round DIFFERENTLY (measured: last-ulp intercept
+    * drift at sf0.01). Instead a quotient/remainder split — shift the
+    * numerator positive by B·den (B = 1e15), truncating integer
+    * division (unambiguous for positive operands in every engine),
+    * remainder by back-multiplication — keeps every value that crosses
+    * into double under 2^53: q ≤ ~1e15, r < den, and den = nΣx²−(Σx)²
+    * is CALENDAR-bounded (days don't grow with data volume), so the
+    * exactness argument holds at 100 TB, not just at gate SF. Shape:
+    * the join's daily aggregate map-side combines to groups×days rows,
+    * the regression pass is one aggregate over that tiny frame — two
+    * shuffles total, the second days-sized. Identical at any
+    * parallelism, which is the 100 TB property. */
+  def revenueTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val decCal = DecimalType(14, 0)  // calendar-bounded: days/Σx/Σx² need ≤ 11 digits
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+        .cast(DecimalType(27, 0)).as("cents"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+        .cast("long").as("x"))
+    val daily = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("x"))
+      .agg(sum(col("cents")).cast(DecimalType(27, 0)).as("y"))
+    val sums = daily.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("days"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+      sum(col("x").cast(decCal) * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+    val withNum = sums
+      .withColumn("den", (col("days").cast(decCal) * col("sxx").cast(decCal) -
+        col("sx").cast(decCal) * col("sx").cast(decCal)).cast(DecimalType(20, 0)))
+      .withColumn("nums", col("days").cast(decCal) * col("sxy") -
+        col("sx").cast(decCal) * col("sy"))
+      .withColumn("numi", col("sy") * col("sxx").cast(decCal) -
+        col("sx").cast(decCal) * col("sxy"))
+      // shift positive so truncating div == floor div in every engine
+      .withColumn("nsp", col("nums") +
+        lit("1000000000000000").cast(DecimalType(16, 0)) * col("den"))
+      .withColumn("nip", col("numi") +
+        lit("1000000000000000").cast(DecimalType(16, 0)) * col("den"))
+      .withColumn("qs", expr("nsp div den"))
+      .withColumn("rs", col("nsp") - col("qs").cast(DecimalType(20, 0)) * col("den"))
+      .withColumn("qi", expr("nip div den"))
+      .withColumn("ri", col("nip") - col("qi").cast(DecimalType(20, 0)) * col("den"))
+    def rebuilt(q: String, r: String) =
+      (col(q).cast("double") - lit(1.0e15) +
+        col(r).cast("double") / col("den").cast("double")) / lit(100.0)
+    withNum.select(col("o_orderpriority"), col("days"),
+      rebuilt("qs", "rs").as("slope"),
+      rebuilt("qi", "ri").as("intercept"))
+  }
+
+  val revenueTrendSql: String = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0)
+                      AS HUGEINT)) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    s AS (
+      SELECT o_orderpriority, count(*) AS days,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(y) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM daily GROUP BY 1),
+    n AS (
+      SELECT o_orderpriority, days,
+             days * sxx - sx * sx AS den,
+             days * sxy - sx * sy + CAST(1000000000000000 AS HUGEINT)
+               * (days * sxx - sx * sx) AS nsp,
+             sy * sxx - sx * sxy + CAST(1000000000000000 AS HUGEINT)
+               * (days * sxx - sx * sx) AS nip
+      FROM s),
+    qr AS (
+      SELECT o_orderpriority, days, den,
+             nsp // den AS qs, nsp - (nsp // den) * den AS rs,
+             nip // den AS qi, nip - (nip // den) * den AS ri
+      FROM n)
+    SELECT o_orderpriority, days,
+           (CAST(qs AS DOUBLE) - 1e15
+              + CAST(rs AS DOUBLE) / CAST(den AS DOUBLE)) / 100.0 AS slope,
+           (CAST(qi AS DOUBLE) - 1e15
+              + CAST(ri AS DOUBLE) / CAST(den AS DOUBLE)) / 100.0 AS intercept
+    FROM qr"""
+
+  // --- q204: calendar spine + forward fill ----------------------------------
+
+  /** q204: CALENDAR GAP-FILL + FORWARD-FILL — the time-series resample
+    * primitive: per priority, one row for EVERY day in [min, max] of
+    * that group's activity, with absent days zero-filled and a
+    * forward-filled "last active day's revenue" column. Shape for
+    * scale: the spine is built by exploding per-group (min, max) ranges
+    * — groups×days rows, NEVER fact-sized; the left join back to the
+    * daily aggregate is keyed on (group, day); the ffill window sorts
+    * days per group, not the corpus. All values exact integer cents, so
+    * the gate is pure-integer. The first spine day is the group's min
+    * ACTIVE day, so the forward fill never sees a leading null. */
+  def calendarFill(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+        .cast(org.apache.spark.sql.types.DecimalType(27, 0)).as("c"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+        .cast("long").as("x"))
+    val daily = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("x"))
+      .agg(sum(col("c")).cast("long").as("cents"))
+      .persist()  // two consumers: the spine bounds and the fill join
+    val spine = daily.groupBy("o_orderpriority")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .select(col("o_orderpriority"), explode(sequence(col("lo"), col("hi"))).as("x"))
+    spine.join(daily, Seq("o_orderpriority", "x"), "left")
+      .select(col("o_orderpriority"), col("x"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        last(col("cents"), ignoreNulls = true)
+          .over(Window.partitionBy(col("o_orderpriority")).orderBy(col("x"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("ffill_cents"))
+  }
+
+  val calendarFillSql: String = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS HUGEINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    bounds AS (SELECT o_orderpriority, min(x) AS lo, max(x) AS hi
+               FROM daily GROUP BY 1),
+    spine AS (SELECT o_orderpriority, unnest(generate_series(lo, hi)) AS x
+              FROM bounds)
+    SELECT s.o_orderpriority, s.x,
+           coalesce(d.cents, 0) AS cents,
+           last_value(d.cents IGNORE NULLS)
+             OVER (PARTITION BY s.o_orderpriority ORDER BY s.x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ffill_cents
+    FROM spine s LEFT JOIN daily d
+      ON s.o_orderpriority = d.o_orderpriority AND s.x = d.x"""
+
+  // --- q205: Pareto concentration -------------------------------------------
+
+  /** q205: REVENUE CONCENTRATION (the Pareto/80-20 report) — per region,
+    * how many customers does it take to cover 80% of order revenue, and
+    * what share do they actually hold. The keep-predicate is EXACT
+    * integer arithmetic (5·running_before < 4·total in cents — no float
+    * in the cut), ties broken by custkey, so the customer set is
+    * deterministic; the only IEEE op is the final share division.
+    * Shape: dims broadcast onto orders, one customer-keyed aggregate,
+    * then the ranking window sorts CUSTOMERS within region — dimension-
+    * sized, never fact-sized — and the report is regions-sized. */
+  def paretoConcentration(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+    val perCust = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_custkey"), col("cents"))
+    val w = Window.partitionBy(col("r_name"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perCust
+      .withColumn("running", sum(col("cents")).over(w))
+      .withColumn("total",
+        sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+    ranked
+      .filter((col("running") - col("cents")) * lit(5L) < col("total") * lit(4L))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("pareto_customers"),
+        (max(col("running")).cast("double") / max(col("total")).cast("double"))
+          .as("pareto_share"))
+  }
+
+  val paretoConcentrationSql: String = """
+    WITH pc AS (
+      SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                             AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    rc AS (
+      SELECT r_name, o_custkey, cents
+      FROM pc JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey),
+    ranked AS (
+      SELECT r_name, cents,
+             sum(cents) OVER (PARTITION BY r_name
+               ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+             sum(cents) OVER (PARTITION BY r_name) AS total
+      FROM rc)
+    SELECT r_name, count(*) AS pareto_customers,
+           CAST(max(running) AS DOUBLE) / CAST(max(total) AS DOUBLE)
+             AS pareto_share
+    FROM ranked
+    WHERE (running - cents) * 5 < total * 4
+    GROUP BY 1"""
+
+  // --- q206: longest activity streak ----------------------------------------
+
+  /** q206: LONGEST CONSECUTIVE-DAY STREAK distribution — for each user
+    * the longest run of consecutive active days, reported as a
+    * (streak_length → n_users) distribution. The classic gaps-and-
+    * islands problem, shaped for one shuffle: a user-keyed
+    * collect_set(day) aggregate (map-side combined), then the longest
+    * run is a higher-order `aggregate` fold over the sorted day array —
+    * no second shuffle, no window, no row_number. The oracle IS the
+    * textbook gaps-and-islands SQL (day − row_number island key), so
+    * the hash equality proves the fold ≡ the window formulation. All
+    * integers. At 100 TB the per-user day-set is calendar-bounded
+    * (≤ days in the corpus window), not activity-bounded. */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d).select(col("user_id"),
+      datediff(col("ts").cast("date"), to_date(lit("2024-01-01")))
+        .cast("long").as("day"))
+    val perUser = days.groupBy("user_id")
+      .agg(sort_array(collect_set(col("day"))).as("ds"))
+    // fold state: (prev day, current run, best run)
+    val init = struct(lit(-2L).as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val folded = perUser.select(col("user_id"),
+      aggregate(col("ds"), init, (acc, x) => {
+        val run = when(x === acc("prev") + lit(1L), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      }).getField("best").as("longest_streak"))
+    folded.groupBy("longest_streak").agg(count(lit(1)).as("n_users"))
+  }
+
+  val activityStreaksSql: String = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+      FROM events),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days),
+    runs AS (SELECT user_id, island, count(*) AS run
+             FROM islands GROUP BY 1, 2),
+    longest AS (SELECT user_id, max(run) AS longest_streak
+                FROM runs GROUP BY 1)
+    SELECT longest_streak, count(*) AS n_users
+    FROM longest GROUP BY 1"""
+
+  // --- q207: trailing moving aggregate over the gap-filled spine ------------
+
+  /** q207: 7-DAY TRAILING MOVING AVERAGE of daily revenue per priority,
+    * computed over the q204 calendar spine so the frame is a true
+    * 7-day window even across inactive days (a rows-frame over raw
+    * daily rows silently skips gaps — the bug this composition
+    * avoids). The moving sum is exact integer cents over a
+    * rows-bounded frame; the mean is one IEEE division by the window
+    * row count (≤ 7, exact). The window sorts days per group —
+    * spine-sized, never fact-sized. */
+  def movingRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("x"))
+      .rowsBetween(-6, Window.currentRow)
+    calendarFill(s, d)
+      .select(col("o_orderpriority"), col("x"), col("cents"),
+        sum(col("cents")).over(w).as("ma_sum"),
+        count(lit(1)).over(w).as("ma_n"))
+      .withColumn("ma7",
+        col("ma_sum").cast("double") / col("ma_n").cast("double") / lit(100.0))
+      .drop("ma_sum", "ma_n")
+  }
+
+  val movingRevenueSql: String = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS HUGEINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    bounds AS (SELECT o_orderpriority, min(x) AS lo, max(x) AS hi
+               FROM daily GROUP BY 1),
+    spine AS (SELECT o_orderpriority, unnest(generate_series(lo, hi)) AS x
+              FROM bounds),
+    filled AS (
+      SELECT s.o_orderpriority, s.x, coalesce(d.cents, 0) AS cents
+      FROM spine s LEFT JOIN daily d
+        ON s.o_orderpriority = d.o_orderpriority AND s.x = d.x)
+    SELECT o_orderpriority, x, cents,
+           CAST(sum(cents) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) / 100.0 AS ma7
+    FROM filled
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY x
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q203_revenue_trend"     -> QueryDef(revenueTrend _, revenueTrendSql),
+    "q206_activity_streaks"  -> QueryDef(activityStreaks _, activityStreaksSql),
+    "q207_moving_revenue"    -> QueryDef(movingRevenue _, movingRevenueSql),
+    "q204_calendar_fill"     -> QueryDef(calendarFill _, calendarFillSql),
+    "q205_pareto"            -> QueryDef(paretoConcentration _, paretoConcentrationSql),
     "q152_chisq_drift"       -> QueryDef(chisqDrift _, chisqDriftSql),
     "q157_benford_audit"     -> QueryDef(benfordAudit _, benfordAuditSql),
     "q155_ks_drift"          -> QueryDef(ksDrift _, ksDriftSql),

@@ -247,6 +247,86 @@ class StatsSpec extends AnyFunSuite {
       4L -> (4L, 1.0)))           // largest
   }
 
+  test("q203: regression matches a driver-side BigDecimal least squares") {
+    // oracle-independent law: the distributed q/r-split slope/intercept
+    // equal an exact BigDecimal regression over the same daily frame
+    import java.math.{BigDecimal => JBD, MathContext}
+    val daily = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+          .cast("long").as("c"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+          .cast("long").as("x")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "x").agg(sum("c").as("y"))
+      .collect().groupBy(_.getString(0))
+    val got = Stats.revenueTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    daily.foreach { case (pri, rows) =>
+      val n = JBD.valueOf(rows.length.toLong)
+      def s(f: org.apache.spark.sql.Row => Long) =
+        rows.map(r => JBD.valueOf(f(r))).reduce(_ add _)
+      val sx = s(_.getLong(1)); val sy = s(_.getLong(2))
+      val sxx = rows.map(r => JBD.valueOf(r.getLong(1)).pow(2)).reduce(_ add _)
+      val sxy = rows.map(r => JBD.valueOf(r.getLong(1))
+        .multiply(JBD.valueOf(r.getLong(2)))).reduce(_ add _)
+      val den = n.multiply(sxx).subtract(sx.multiply(sx))
+      val mc = new MathContext(50)
+      val slope = n.multiply(sxy).subtract(sx.multiply(sy))
+        .divide(den, mc).doubleValue / 100.0
+      val icept = sy.multiply(sxx).subtract(sx.multiply(sxy))
+        .divide(den, mc).doubleValue / 100.0
+      val (days, gs, gi) = got(pri)
+      assert(days === rows.length.toLong)
+      assert(math.abs(gs - slope) <= math.ulp(slope).max(1e-12), s"$pri slope")
+      assert(math.abs(gi - icept) <= 2 * math.ulp(icept).max(1e-9), s"$pri icept")
+    }
+  }
+
+  test("q204: spine is complete and forward fill carries the last active day") {
+    val rows = Stats.calendarFill(spark, sf)
+      .orderBy("o_orderpriority", "x").collect()
+    rows.groupBy(_.getString(0)).foreach { case (pri, rs) =>
+      val xs = rs.map(_.getLong(1))
+      assert(xs.length.toLong === xs.max - xs.min + 1, s"$pri spine has gaps")
+      var lastActive = -1L
+      rs.foreach { r =>
+        val (c, f) = (r.getLong(2), r.getLong(3))
+        if (c > 0) lastActive = c
+        assert(f === lastActive, s"$pri x=${r.getLong(1)} ffill")
+      }
+      assert(rs.head.getLong(2) > 0, s"$pri spine must start on an active day")
+    }
+  }
+
+  test("q205: the kept set is the MINIMAL prefix covering 80% of revenue") {
+    val got = Stats.paretoConcentration(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (k, share) =>
+      assert(k > 0 && share >= 0.8 && share <= 1.0)
+    }
+    // minimality on one region, recomputed from the raw ranking
+    val perCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100.0).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("c"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "o_custkey", "c").collect()
+      .groupBy(_.getString(0))
+    perCust.foreach { case (region, rs) =>
+      val sorted = rs.map(r => (r.getLong(2), r.getLong(1))).sortBy(t => (-t._1, t._2))
+      val total = sorted.map(_._1).sum
+      val k = got(region)._1.toInt
+      val kept = sorted.take(k).map(_._1).sum
+      assert(5L * kept >= 4L * total, s"$region kept set under 80%")
+      assert(5L * (kept - sorted(k - 1)._1) < 4L * total, s"$region not minimal")
+    }
+  }
+
   test("q103 plan: no global ORDER BY partition — data-sized windows partition by bin") {
     val plan = Stats.lengthPctRank(spark, sf).queryExecution.executedPlan.toString
     // the scale contract: every single-partition exchange feeds only the
