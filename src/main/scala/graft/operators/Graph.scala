@@ -415,6 +415,46 @@ object Graph {
     } finally sym.unpersist(false)
   }
 
+  /** Single-source BFS HOP DISTANCE after exactly `rounds` synchronous
+    * min-plus relaxations — the shortest-path semiring on the same
+    * iteration chassis as [[labelPropagation]] (count-argmax) and
+    * [[pageRank]] (weighted sum). Distances are exact: after K rounds
+    * every node at ≤ K hops carries its true hop count (relaxation is
+    * monotone), nodes further out are absent — so a FIXED K makes the
+    * operator a deterministic function an oracle can unroll round by
+    * round, the q187 discipline.
+    *
+    * Input: canonical undirected edges `(s, t)`, `s < t`, distinct; the
+    * source is the smallest node id (deterministic, engine-independent).
+    * Output: `(node, dist)` for nodes within K hops. Pure integers.
+    *
+    * Scale shape per round: one equi-join of the symmetrized edges
+    * against the ≤ nodes-sized frontier vector (broadcast in the
+    * nodes ≪ edges regime), one min aggregate — the distance vector
+    * never exceeds the node count, and rounds are materialized with the
+    * bounded-lineage discipline shared by the whole family. */
+  def hopDistance(edges: DataFrame, rounds: Int,
+                  broadcastDist: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.select(col("s"), col("t"))
+    val sym = e.select(col("s").as("src"), col("t").as("dst"))
+      .unionAll(e.select(col("t").as("src"), col("s").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bc: DataFrame => DataFrame =
+        if (broadcastDist) broadcast(_) else identity
+      val d0 = e.agg(min(col("s")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+      iterateMaterialized(d0, rounds, dist => {
+        dist.unionAll(
+          sym.join(bc(dist.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist")))
+          .groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+      })
+    } finally sym.unpersist(false)
+  }
+
   /** Transitive ancestor closure of a FOREST by pointer doubling — the
     * hierarchy primitive (org rollups, category trees, thread ancestry)
     * that SQL states as a recursive CTE and a distributed engine should

@@ -871,7 +871,51 @@ object MaintenanceQueries {
     M.snapshotDiff(scoped(oldSnap(s, d)), scoped(newSnap(s, d)), Seq("c_custkey"))
   }
 
+  /** BFS rounds for q208 — fixed so the operator is a deterministic
+    * function and the oracle can unroll the identical round count (the
+    * q187 discipline). 4 relaxations reach the 4-hop neighborhood of
+    * the source; on the support graph that covers the giant component's
+    * core. */
+  val bfsRounds = 4
+
+  /** q208: single-source HOP DISTANCES in the frequent co-purchase
+    * graph ([[graft.operators.Graph.hopDistance]]) — the shortest-path
+    * semiring completing the graph family (rank q96, components q49,
+    * triangles q182, communities q187, closure q198). Source = smallest
+    * part key in the edge set (deterministic cross-engine); exactly
+    * [[bfsRounds]] synchronous min-plus rounds, distance vector
+    * broadcast in the nodes ≪ edges regime. The oracle unrolls the
+    * SAME rounds as min-union CTEs — pure integers, hash-exact by
+    * construction. */
+  def copurchaseHops(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hopDistance(
+        copurchaseSupportEdges(s, d), bfsRounds, broadcastDist = true)
+      .orderBy(col("node"))
+
+  val copurchaseHopsSql: String = {
+    val rounds = (1 to bfsRounds).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT sym.dst, d${i - 1}.dist + 1
+             FROM sym JOIN d${i - 1} ON d${i - 1}.node = sym.src)
+           GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT a.l_partkey AS s, b.l_partkey AS t
+              FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= $triMinSupport),
+    sym AS (SELECT s AS src, t AS dst FROM edges
+            UNION ALL SELECT t, s FROM edges),
+    d0 AS (SELECT min(s) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+    $rounds
+    SELECT node, dist FROM d$bfsRounds ORDER BY node"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q208_copurchase_hops" -> QueryDef(copurchaseHops _, copurchaseHopsSql),
     "q96_copurchase_rank" -> QueryDef(copurchaseRank _, copurchaseRankSql),
     "q182_copurchase_triangles" -> QueryDef(copurchaseTriangles _, copurchaseTrianglesSql),
     "q186_copurchase_clustering" -> QueryDef(copurchaseClustering _, copurchaseClusteringSql),

@@ -234,6 +234,26 @@ class GraphSpec extends AnyFunSuite {
     assert(cl === wantChain)
   }
 
+  test("hop distance: K rounds reach exactly the K-hop ball (q208 semantics)") {
+    // path 1-2-3-4-5-6-7 plus a shortcut 1-4, plus an unreachable pair
+    // 10-11. source = min node = 1. with K=4: dist(7) = min(6, via
+    // shortcut 1-4-5-6-7 = 4); node beyond the ball and the island are
+    // ABSENT, not infinite.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (1L, 4L), (10L, 11L)).toDF("s", "t")
+    for (bc <- Seq(true, false)) {
+      val got = Graph.hopDistance(edges, 4, broadcastDist = bc).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
+        5L -> 2L, 6L -> 3L, 7L -> 4L), s"broadcast=$bc")
+    }
+    // K=2 truncates the ball: 6, 7 absent; relaxation is monotone so
+    // the prefix agrees with the K=4 run
+    val k2 = Graph.hopDistance(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("triangles: orientation bounds the wedge set on a skew hub") {
     // star hub 0 + one rim edge: raw wedges at the hub are C(40,2) = 780,
     // but degree-ordering directs every spoke INTO the hub, so the only
