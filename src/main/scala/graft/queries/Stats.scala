@@ -1076,24 +1076,35 @@ object Stats {
     * the regression pass is one aggregate over that tiny frame — two
     * shuffles total, the second days-sized. Identical at any
     * parallelism, which is the 100 TB property. */
-  def revenueTrend(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val decCal = DecimalType(14, 0)  // calendar-bounded: days/Σx/Σx² need ≤ 11 digits
+  import org.apache.spark.sql.types.DecimalType
+  private val decCal = DecimalType(14, 0) // calendar-bounded: days/Σx/Σx² ≤ 11 digits
+
+  /** The per-(group, day) exact frame the regression sums reduce. */
+  private def trendDaily(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"),
       floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
         .cast(DecimalType(27, 0)).as("cents"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
       datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
         .cast("long").as("x"))
-    val daily = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("x"))
       .agg(sum(col("cents")).cast(DecimalType(27, 0)).as("y"))
-    val sums = daily.groupBy("o_orderpriority").agg(
+  }
+
+  /** The five regression sums per group — a SEMIGROUP over disjoint day
+    * sets (every column adds), which is what makes the q209 append path
+    * a merge instead of a rescan. */
+  private def trendSums(daily: DataFrame): DataFrame =
+    daily.groupBy("o_orderpriority").agg(
       count(lit(1)).as("days"),
       sum(col("x")).as("sx"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
       sum(col("x").cast(decCal) * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+
+  /** Closed-form coefficients from the sums, via the q/r split. */
+  private def trendFinish(sums: DataFrame): DataFrame = {
     val withNum = sums
       .withColumn("den", (col("days").cast(decCal) * col("sxx").cast(decCal) -
         col("sx").cast(decCal) * col("sx").cast(decCal)).cast(DecimalType(20, 0)))
@@ -1116,6 +1127,45 @@ object Stats {
     withNum.select(col("o_orderpriority"), col("days"),
       rebuilt("qs", "rs").as("slope"),
       rebuilt("qi", "ri").as("intercept"))
+  }
+
+  def revenueTrend(s: SparkSession, d: String): DataFrame =
+    trendFinish(trendSums(trendDaily(s, d)))
+
+  /** q209: the trend's APPEND path — regression sums for days before
+    * [[trendSplitDay]] persisted once, the newer days' sums computed
+    * alone, the two MERGED per group (disjoint day sets ⇒ all five sums
+    * add — the same semigroup argument as q148/q164), and the merged
+    * coefficients must hash-match the FULL-rebuild oracle. At 100 TB the
+    * daily trend refresh costs the day's delta plus a groups-sized
+    * merge; the corpus is never re-scanned. */
+  val trendSplitDay = 1200L
+  // version tag folded into the cache key (the q148 lesson): bump when
+  // the sums schema or the daily frame's semantics change
+  private[queries] val trendCacheVersion = "t1"
+
+  private def trendStateDir(d: String): String =
+    Extensions.indexCacheDir("graft-trend-state", d, "lineitem",
+      s"xlt$trendSplitDay$trendCacheVersion")
+
+  private val trendStateLock = new Object
+
+  def trendIncremental(s: SparkSession, d: String): DataFrame = {
+    val dir = trendStateDir(d)
+    trendStateLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        trendSums(trendDaily(s, d).filter(col("x") < trendSplitDay))
+          .write.mode("overwrite").parquet(dir)
+    }
+    val oldState = s.read.parquet(dir)
+    val delta = trendSums(trendDaily(s, d).filter(col("x") >= trendSplitDay))
+    val merged = oldState.unionByName(delta).groupBy("o_orderpriority").agg(
+      sum(col("days")).as("days"),
+      sum(col("sx")).as("sx"),
+      sum(col("sxx")).as("sxx"),
+      sum(col("sy")).cast(DecimalType(38, 0)).as("sy"),
+      sum(col("sxy")).cast(DecimalType(38, 0)).as("sxy"))
+    trendFinish(merged)
   }
 
   val revenueTrendSql: String = """
@@ -1368,6 +1418,7 @@ object Stats {
 
   val defs: Map[String, QueryDef] = Map(
     "q203_revenue_trend"     -> QueryDef(revenueTrend _, revenueTrendSql),
+    "q209_trend_incremental" -> QueryDef(trendIncremental _, revenueTrendSql),
     "q206_activity_streaks"  -> QueryDef(activityStreaks _, activityStreaksSql),
     "q207_moving_revenue"    -> QueryDef(movingRevenue _, movingRevenueSql),
     "q204_calendar_fill"     -> QueryDef(calendarFill _, calendarFillSql),

@@ -285,6 +285,16 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q209: trend append path equals the full rebuild exactly") {
+    // the semigroup law: persisted old-day sums + delta sums, merged,
+    // produce BIT-identical coefficients to the one-pass rebuild
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(Stats.trendIncremental(spark, sf)) ===
+      rows(Stats.revenueTrend(spark, sf)))
+  }
+
   test("q204: spine is complete and forward fill carries the last active day") {
     val rows = Stats.calendarFill(spark, sf)
       .orderBy("o_orderpriority", "x").collect()
