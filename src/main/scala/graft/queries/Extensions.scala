@@ -370,6 +370,75 @@ object Extensions {
     s.table(name)
   }
 
+  /** q210: keyed-state TRANSITION EXTRACTION under streaming execution —
+    * the q147 discipline applied to flatMapGroupsWithState: the events
+    * table replays as four TIME-SLICED files (cut along the exact
+    * (ts, event_id) total order the batch window uses, mtimes forcing
+    * the file-source order), [[graft.streaming.Transitions]] carries
+    * each user's last event across micro-batches and emits consecutive
+    * pairs in append mode, and the pair counts + row-normalized
+    * probabilities must hash-match q200's batch-lag oracle. What's
+    * gated: cross-batch state carry ≡ the batch window — per-user state
+    * is ONE event, so the store tracks live users, never history. The
+    * replay slicing is fixture prep (cached per events fingerprint);
+    * the global ntile sort happens there, never in the gated query. */
+  private val transGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val transReplayLock = new Object
+
+  private def transitionsReplayDir(d: String): String =
+    indexCacheDir("graft-transitions-replay", d, "events", "tslices4v1")
+
+  def transitionsStreamingGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = transitionsReplayDir(d)
+    transReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val sliced = ev.withColumn("slice",
+          ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+        Files.createDirectories(Paths.get(dir))
+        val base = System.currentTimeMillis() - 60000L
+        (1 to 4).foreach { i =>
+          val tmp = s"${dir}_tmp$i"
+          sliced.filter(col("slice") === i).drop("slice")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val target = Paths.get(dir, f"slice$i%02d.parquet")
+          Files.move(part.toPath, target)
+          // distinct ascending mtimes pin the micro-batch order
+          target.toFile.setLastModified(base + i * 1000L)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
+        Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+      }
+    }
+    val name = s"graft_trans_gate_${transGateRuns.incrementAndGet()}"
+    import s.implicits._
+    val src = s.readStream
+      .schema(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val pairs = graft.streaming.Transitions.transitionPairs(
+      src.as[graft.streaming.Transitions.Ev])
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+  }
+
   /** q150: the round-10 curation composition — the document intake a
     * training pipeline actually runs, chaining this round's screens with
     * the established ones IN THE SAFE ORDER (cheap row-local screens
@@ -2582,6 +2651,8 @@ object Extensions {
     "q144_encoding_audit"    -> QueryDef(encodingAudit _, encodingAuditSql),
     "q146_topk_native_agg"   -> QueryDef(topkNativeAgg _, topkNativeAggSql),
     "q147_streaming_audit_gate" -> QueryDef(streamingAuditGate _, embeddingAuditSql),
+    "q210_transitions_streaming" -> QueryDef(transitionsStreamingGate _,
+      graft.queries.Relational.eventTransitionsSql),
     "q148_audit_incremental" -> QueryDef(auditIncremental _, embeddingAuditSql),
     "q150_curate_v2"         -> QueryDef(curateV2 _, curateV2Sql))
 }
