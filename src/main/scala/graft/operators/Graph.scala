@@ -473,34 +473,48 @@ object Graph {
     * Forest-ness makes every (node, offset) ancestor distinct, so the
     * per-round union needs no dedup shuffle — unionAll is exact. */
   def ancestorClosure(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("node"), col("parent"))
-    val nodes = e.select(col("node"))
-      .unionAll(e.select(col("parent").as("node"))).distinct()
-    var anc = nodes.select(col("node"), col("node").as("a"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var jump = e.select(col("node"), col("parent").as("j"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    anc.count()
-    var jumpRows = jump.count()
-    while (jumpRows > 0) {
-      val grown = anc.unionAll(
-        jump.join(anc.select(col("node").as("j"), col("a")), "j")
-          .select(col("node"), col("a")))
+    // the closure and jump materializations within a round are
+    // INDEPENDENT (grown reads anc+jump, squared reads jump only), so
+    // each round issues them as two concurrent Spark jobs — the loop's
+    // cost is scheduler barriers, not data (q198 isolated warm at
+    // sf0.1: ~6.5 s -> ~5.2 s; the residual is the per-round job
+    // launch floor times four rounds)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val e = edges.select(col("node"), col("parent"))
+      val nodes = e.select(col("node"))
+        .unionAll(e.select(col("parent").as("node"))).distinct()
+      var anc = nodes.select(col("node"), col("node").as("a"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count()
-      val squared = jump.select(col("node"), col("j").as("_mid"))
-        .join(jump.select(col("node").as("_mid"), col("j")), "_mid")
-        .select(col("node"), col("j"))
+      var jump = e.select(col("node"), col("parent").as("j"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      jumpRows = squared.count()
+      val ancF = Future(anc.count())
+      var jumpRows = jump.count()
+      Await.result(ancF, Duration.Inf)
+      while (jumpRows > 0) {
+        val grown = anc.unionAll(
+          jump.join(anc.select(col("node").as("j"), col("a")), "j")
+            .select(col("node"), col("a")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val squared = jump.select(col("node"), col("j").as("_mid"))
+          .join(jump.select(col("node").as("_mid"), col("j")), "_mid")
+          .select(col("node"), col("j"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val grownF = Future(grown.count())
+        jumpRows = squared.count()
+        Await.result(grownF, Duration.Inf)
+        anc.unpersist(false)
+        jump.unpersist(false)
+        anc = grown
+        jump = squared
+      }
+      val out = anc.localCheckpoint(true)
       anc.unpersist(false)
       jump.unpersist(false)
-      anc = grown
-      jump = squared
-    }
-    val out = anc.localCheckpoint(true)
-    anc.unpersist(false)
-    jump.unpersist(false)
-    out
+      out
+    } finally pool.shutdown()
   }
 }

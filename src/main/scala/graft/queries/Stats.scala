@@ -1416,7 +1416,74 @@ object Stats {
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY x
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
 
+  // --- q211: trailing-window anomaly days -----------------------------------
+
+  /** q211: TRAILING-WINDOW ANOMALY DAYS — days whose revenue sits more
+    * than 2σ from the trailing-28-day mean, per priority, over the q204
+    * calendar spine (so quiet days pull the baseline down, as a real
+    * monitor would see). The reference's anomaly theme (M5/P6 distance >
+    * threshold) re-expressed as pure windowed arithmetic: the 2σ cut is
+    * the INTEGER predicate (n·y − Σy)² > 4·(n·Σy² − (Σy)²) — multiply
+    * through by n² so mean and variance never materialize as floats; the
+    * flag is exact, engine-independent, and needs no Exact-quantization
+    * of a division. Only FULL 28-day windows flag (the warmup prefix is
+    * baseline-only). The reported deviation is one IEEE division of
+    * exact ints. Window sorts days per group — spine-sized. */
+  def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val n = 28
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("x"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val dec = DecimalType(38, 0)
+    calendarFill(s, d)
+      .select(col("o_orderpriority"), col("x"), col("cents"),
+        sum(col("cents").cast(DecimalType(20, 0))).over(w).as("sy"),
+        sum((col("cents").cast(DecimalType(19, 0)) *
+          col("cents").cast(DecimalType(19, 0))).cast(dec)).over(w).as("syy"),
+        count(lit(1)).over(w).as("wn"))
+      .filter(col("wn") === n)
+      .withColumn("dev", col("cents").cast(DecimalType(20, 0)) * lit(n) - col("sy"))
+      .filter((col("dev") * col("dev")).cast(dec) >
+        (col("syy") * lit(n) - col("sy") * col("sy")).cast(dec) * lit(4))
+      .select(col("o_orderpriority"), col("x"), col("cents"),
+        (col("dev").cast("double") / lit(n.toDouble) / lit(100.0))
+          .as("deviation"))
+  }
+
+  val anomalyDaysSql: String = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS HUGEINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    bounds AS (SELECT o_orderpriority, min(x) AS lo, max(x) AS hi
+               FROM daily GROUP BY 1),
+    spine AS (SELECT o_orderpriority, unnest(generate_series(lo, hi)) AS x
+              FROM bounds),
+    filled AS (
+      SELECT s.o_orderpriority, s.x, coalesce(d.cents, 0) AS cents
+      FROM spine s LEFT JOIN daily d
+        ON s.o_orderpriority = d.o_orderpriority AND s.x = d.x),
+    win AS (
+      SELECT o_orderpriority, x, cents,
+             sum(CAST(cents AS HUGEINT)) OVER w AS sy,
+             sum(CAST(cents AS HUGEINT) * cents) OVER w AS syy,
+             count(*) OVER w AS wn
+      FROM filled
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY x
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT o_orderpriority, x, cents,
+           CAST(CAST(cents AS HUGEINT) * 28 - sy AS DOUBLE) / 28.0 / 100.0
+             AS deviation
+    FROM win
+    WHERE wn = 28
+      AND (CAST(cents AS HUGEINT) * 28 - sy) * (CAST(cents AS HUGEINT) * 28 - sy)
+            > 4 * (syy * 28 - sy * sy)"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q211_anomaly_days"      -> QueryDef(anomalyDays _, anomalyDaysSql),
     "q203_revenue_trend"     -> QueryDef(revenueTrend _, revenueTrendSql),
     "q209_trend_incremental" -> QueryDef(trendIncremental _, revenueTrendSql),
     "q206_activity_streaks"  -> QueryDef(activityStreaks _, activityStreaksSql),
