@@ -427,14 +427,18 @@ object Extensions {
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val pairs = graft.streaming.Transitions.transitionPairs(
       src.as[graft.streaming.Transitions.Ev])
-    val q = pairs.writeStream.format("memory").queryName(name)
-      .outputMode("append")
+    // a streaming AGGREGATION chained after the append-mode state
+    // operator: the pair stream never leaves the executors — the sink
+    // holds the 25-cell count matrix, not events-sized rows (and the
+    // gate covers stateful-operator chaining, fMGWS → agg, for free)
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
     s.table(name)
-      .groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
   }
