@@ -1389,6 +1389,137 @@ object Extensions {
       $rows) t(doc_id, format, width, height, n_frames, dim, qlum)"""
   }
 
+  // --- q212: the REAL WAV decode path under the gate --------------------------
+
+  /** q212: the audio sibling of q161 — `decodeFeaturesWav` parsing REAL
+    * RIFF/WAVE containers (`Multimodal.syntheticWavTable`: 16-bit PCM
+    * mono sawtooths encoded on executors, zero fixture bytes in git) and
+    * reducing each to header metadata plus an 8-bucket |PCM| energy grid.
+    * Every gated value is an exact integer (sample counts, rates, summed
+    * amplitudes), so a VALUES oracle pins them; if the chunk walker or
+    * the bucket arithmetic perturbs one sample, the hash breaks.
+    * MultimodalSpec re-derives the grid straight from the waveform
+    * formula — generator→encoder→parser→features must equal the direct
+    * computation. */
+  def wavDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val media = Multimodal.syntheticWavTable(12)
+    Multimodal.decodeFeaturesWav(media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        posexplode(col("energy")))
+      .withColumnRenamed("pos", "win")
+      .withColumnRenamed("col", "qenergy")
+  }
+
+  /** Decoded-audio pins for q212: (doc_id, sample_rate, n_samples, win,
+    * qenergy = Σ|pcm| over the win-th eighth of the sample stream). */
+  private[graft] val wavDecodePins: Seq[(Long, Int, Long, Int, Long)] = Seq(
+    (0L, 8000, 320L, 0, 611680L),
+    (0L, 8000, 320L, 1, 522080L),
+    (0L, 8000, 320L, 2, 432480L),
+    (0L, 8000, 320L, 3, 342880L),
+    (0L, 8000, 320L, 4, 253280L),
+    (0L, 8000, 320L, 5, 163680L),
+    (0L, 8000, 320L, 6, 74080L),
+    (0L, 8000, 320L, 7, 25088L),
+    (1L, 16000, 480L, 0, 869760L),
+    (1L, 16000, 480L, 1, 639360L),
+    (1L, 16000, 480L, 2, 408960L),
+    (1L, 16000, 480L, 3, 178560L),
+    (1L, 16000, 480L, 4, 69248L),
+    (1L, 16000, 480L, 5, 282240L),
+    (1L, 16000, 480L, 6, 512640L),
+    (1L, 16000, 480L, 7, 743040L),
+    (2L, 22050, 640L, 0, 1083200L),
+    (2L, 22050, 640L, 1, 622400L),
+    (2L, 22050, 640L, 2, 171872L),
+    (2L, 22050, 640L, 3, 299200L),
+    (2L, 22050, 640L, 4, 760000L),
+    (2L, 22050, 640L, 5, 1177984L),
+    (2L, 22050, 640L, 6, 939840L),
+    (2L, 22050, 640L, 7, 479040L),
+    (3L, 8000, 800L, 0, 1242400L),
+    (3L, 8000, 800L, 1, 442400L),
+    (3L, 8000, 800L, 2, 359840L),
+    (3L, 8000, 800L, 3, 1157600L),
+    (3L, 8000, 800L, 4, 1311040L),
+    (3L, 8000, 800L, 5, 519200L),
+    (3L, 8000, 800L, 6, 298560L),
+    (3L, 8000, 800L, 7, 1080800L),
+    (4L, 16000, 960L, 0, 1337760L),
+    (4L, 16000, 960L, 1, 320720L),
+    (4L, 16000, 960L, 2, 1196640L),
+    (4L, 16000, 960L, 3, 1453760L),
+    (4L, 16000, 960L, 4, 348720L),
+    (4L, 16000, 960L, 5, 1066080L),
+    (4L, 16000, 960L, 6, 1542880L),
+    (4L, 16000, 960L, 7, 403600L),
+    (5L, 22050, 320L, 0, 580480L),
+    (5L, 22050, 320L, 1, 426880L),
+    (5L, 22050, 320L, 2, 273280L),
+    (5L, 22050, 320L, 3, 119680L),
+    (5L, 22050, 320L, 4, 45888L),
+    (5L, 22050, 320L, 5, 187520L),
+    (5L, 22050, 320L, 6, 341120L),
+    (5L, 22050, 320L, 7, 494720L),
+    (6L, 8000, 480L, 0, 798960L),
+    (6L, 8000, 480L, 1, 424560L),
+    (6L, 8000, 480L, 2, 100320L),
+    (6L, 8000, 480L, 3, 324240L),
+    (6L, 8000, 480L, 4, 698640L),
+    (6L, 8000, 480L, 5, 867824L),
+    (6L, 8000, 480L, 6, 518640L),
+    (6L, 8000, 480L, 7, 149168L),
+    (7L, 16000, 640L, 0, 956800L),
+    (7L, 16000, 640L, 1, 259552L),
+    (7L, 16000, 640L, 2, 476800L),
+    (7L, 16000, 640L, 3, 1112384L),
+    (7L, 16000, 640L, 4, 711040L),
+    (7L, 16000, 640L, 5, 179232L),
+    (7L, 16000, 640L, 6, 722560L),
+    (7L, 16000, 640L, 7, 1108448L),
+    (8L, 22050, 800L, 0, 1044400L),
+    (8L, 22050, 800L, 1, 320176L),
+    (8L, 22050, 800L, 2, 1271776L),
+    (8L, 22050, 800L, 3, 721200L),
+    (8L, 22050, 800L, 4, 491040L),
+    (8L, 22050, 800L, 5, 1337056L),
+    (8L, 22050, 800L, 6, 432000L),
+    (8L, 22050, 800L, 7, 802000L),
+    (9L, 8000, 960L, 0, 1052160L),
+    (9L, 8000, 960L, 1, 800256L),
+    (9L, 8000, 960L, 2, 1263104L),
+    (9L, 8000, 960L, 3, 622080L),
+    (9L, 8000, 960L, 4, 1408512L),
+    (9L, 8000, 960L, 5, 509440L),
+    (9L, 8000, 960L, 6, 1488384L),
+    (9L, 8000, 960L, 7, 462336L),
+    (10L, 16000, 320L, 0, 549280L),
+    (10L, 16000, 320L, 1, 331680L),
+    (10L, 16000, 320L, 2, 114080L),
+    (10L, 16000, 320L, 3, 103648L),
+    (10L, 16000, 320L, 4, 321120L),
+    (10L, 16000, 320L, 5, 538720L),
+    (10L, 16000, 320L, 6, 554144L),
+    (10L, 16000, 320L, 7, 336800L),
+    (11L, 22050, 480L, 0, 728160L),
+    (11L, 22050, 480L, 1, 214464L),
+    (11L, 22050, 480L, 2, 308640L),
+    (11L, 22050, 480L, 3, 806496L),
+    (11L, 22050, 480L, 4, 620640L),
+    (11L, 22050, 480L, 5, 149760L),
+    (11L, 22050, 480L, 6, 416160L),
+    (11L, 22050, 480L, 7, 848928L))
+
+  val wavDecodeSql: String = {
+    val rows = wavDecodePins.map { case (id, rate, n, win, q) =>
+      s"(CAST($id AS BIGINT), CAST($rate AS INTEGER), CAST($n AS BIGINT), " +
+        s"CAST($win AS INTEGER), CAST($q AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""SELECT * FROM (VALUES
+      $rows) t(doc_id, sample_rate, n_samples, win, qenergy)"""
+  }
+
   /** Frame-sampling plumbing as a first-class gate entry: every 5th frame
     * index of each (deterministically decoded) media record. */
   def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
@@ -2624,6 +2755,7 @@ object Extensions {
     "q156_label_tightness"   -> QueryDef(labelTightness _, labelTightnessSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q161_imageio_decode"    -> QueryDef(imageioDecode _, imageioDecodeSql),
+    "q212_wav_decode"        -> QueryDef(wavDecode _, wavDecodeSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),
     "q116_asof_exec"         -> QueryDef(asofPurchaseClickExec _, asofPurchaseClickSql),

@@ -530,6 +530,58 @@ class ExtensionsSpec extends AnyFunSuite {
       "real ImageIO decode drifted from the pinned oracle — re-pin imageDecodePins")
   }
 
+  test("q212: WAV energies equal a direct fold over the waveform formula") {
+    // generator -> RIFF encoder -> chunk-walking parser -> bucket grid
+    // must equal computing the grid straight from the sample formula,
+    // with no codec in between
+    (0L until 12L).foreach { id =>
+      val rec = Multimodal.encodeSyntheticWav(id)
+      val got = Multimodal.decodeOneWav(rec, 8).get
+      val samples = Multimodal.syntheticSamples(id)
+      val want = new Array[Long](8)
+      samples.indices.foreach { k =>
+        want((k.toLong * 8 / samples.length).toInt) += math.abs(samples(k).toLong)
+      }
+      assert(got.n_samples === samples.length.toLong, s"doc $id")
+      assert(got.energy.toSeq === want.toSeq, s"doc $id")
+    }
+  }
+
+  test("q212 pins re-derive: the WAV decoder reproduces the committed VALUES oracle") {
+    val got = graft.queries.Extensions.wavDecode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._4))
+    val want = graft.queries.Extensions.wavDecodePins.sortBy(t => (t._1, t._4))
+    assert(got.length === 96)
+    assert(got.toSeq === want,
+      "real WAV decode drifted from the pinned oracle — re-pin wavDecodePins")
+  }
+
+  test("WAV decode drops malformed and unsupported payloads, never fakes them") {
+    import Multimodal._
+    val good = encodeSyntheticWav(0L)
+    def rec(b: Array[Byte]) =
+      graft.operators.MediaRecord(99L, "wav", b, b.length.toLong)
+    // truncated header / truncated data / wrong magic
+    assert(decodeOneWav(rec(good.content.take(10)), 8).isEmpty)
+    assert(decodeOneWav(rec(good.content.take(60)), 8).isEmpty)
+    val badMagic = good.content.clone(); badMagic(0) = 'X'.toByte
+    assert(decodeOneWav(rec(badMagic), 8).isEmpty)
+    // non-PCM format code (offset 20) and stereo (offset 22) are dropped
+    val nonPcm = good.content.clone(); nonPcm(20) = 3
+    assert(decodeOneWav(rec(nonPcm), 8).isEmpty)
+    val stereo = good.content.clone(); stereo(22) = 2
+    assert(decodeOneWav(rec(stereo), 8).isEmpty)
+    // a data chunk DECLARING more bytes than exist must not allocate
+    val lying = good.content.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue - 8)
+    assert(decodeOneWav(rec(lying), 8).isEmpty)
+    // and the good record still decodes
+    assert(decodeOneWav(good, 8).isDefined)
+  }
+
   test("ImageIO decode handles JPEG and rejects decompression bombs") {
     implicit val s = spark
     import s.implicits._
