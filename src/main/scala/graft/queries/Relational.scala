@@ -992,6 +992,62 @@ object Relational {
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY 1"""
 
+  private val evoWriteLock = new Object
+
+  /** q213: SCHEMA EVOLUTION read — the storage-family row for the drift
+    * every long-lived 100 TB dataset accumulates: generation 1 files
+    * (even order keys) carry three columns, generation 2 (odd keys) adds
+    * `o_orderpriority`, both live in ONE directory, and the query reads
+    * them under `mergeSchema` — gen-1 rows surface the added column as
+    * NULL, which the aggregate folds into an 'unknown' bucket. The
+    * oracle replays the generation split in SQL, so what's gated is the
+    * merged-footer scan's exact null semantics (a reader that dropped
+    * gen-1 rows, or defaulted instead of NULLing, breaks the hash).
+    * Fixture prep writes each generation once per dataset fingerprint;
+    * the two writes land as files in the same directory (the q210
+    * move-the-part-file mechanics). */
+  def schemaEvolutionRead(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = graft.queries.Extensions.indexCacheDir(
+      "graft-evo-cache", d, "orders", "gen2v1")
+    evoWriteLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        Files.createDirectories(Paths.get(dir))
+        val o = Tables.orders(s, d)
+        Seq(
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority")))
+          .zipWithIndex.foreach { case (gen, i) =>
+            val tmp = s"${dir}_tmp$i"
+            gen.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            Files.move(part.toPath, Paths.get(dir, s"gen$i.parquet"))
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(new java.io.File(tmp))
+          }
+        Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+      }
+    }
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("o_orderpriority"), lit("unknown")).as("pri"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+  }
+
+  val schemaEvolutionReadSql: String = s"""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE 'unknown' END AS pri,
+           count(*) AS n_orders,
+           ${dsumSql("o_totalprice", 2)} AS revenue
+    FROM orders
+    GROUP BY 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q01_featurize_invoices"  -> QueryDef(featurized _, featurizeSql),
     "q188_cohort_retention"   -> QueryDef(cohortRetention _, cohortRetentionSql),
@@ -1006,6 +1062,7 @@ object Relational {
     "q08_revenue_by_nation"   -> QueryDef(revenueByNation _, revenueByNationSql),
     "q09_pricing_summary"     -> QueryDef(pricingSummary _, pricingSummarySql),
     "q180_orc_roundtrip"      -> QueryDef(pricingSummaryOrc _, pricingSummarySql),
+    "q213_schema_evolution"   -> QueryDef(schemaEvolutionRead _, schemaEvolutionReadSql),
     "q181_json_roundtrip"     -> QueryDef(pricingSummaryJson _, pricingSummarySql),
     "q10_top_order_per_customer" -> QueryDef(topOrderPerCustomer _, topOrderPerCustomerSql),
     "q11_hour_histogram"      -> QueryDef(hourHistogram _, hourHistogramSql),
