@@ -484,12 +484,24 @@ object Graph {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val e = edges.select(col("node"), col("parent"))
+      val e0 = edges.select(col("node"), col("parent"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val edgeRows = e0.count()
+      // the loop's stages are tiny-task orchestration: size the iteration
+      // partitioning to the DATA (≥ ~500k rows per partition) instead of
+      // inheriting shuffle.partitions — a 15k-node forest runs 1-task
+      // stages, a 10^9-node forest still spreads
+      val parts = math.max(1, math.min(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        (edgeRows / 500000L).toInt + 1))
+      val e = e0.repartition(parts, col("node"))
       val nodes = e.select(col("node"))
         .unionAll(e.select(col("parent").as("node"))).distinct()
       var anc = nodes.select(col("node"), col("node").as("a"))
+        .repartition(parts, col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var jump = e.select(col("node"), col("parent").as("j"))
+        .repartition(parts, col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val ancF = Future(anc.count())
       var jumpRows = jump.count()
@@ -514,6 +526,7 @@ object Graph {
       val out = anc.localCheckpoint(true)
       anc.unpersist(false)
       jump.unpersist(false)
+      e0.unpersist(false)
       out
     } finally pool.shutdown()
   }
