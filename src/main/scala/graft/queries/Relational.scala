@@ -992,6 +992,48 @@ object Relational {
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY 1"""
 
+  /** q214: INTERVAL UNION coverage — each event opens a 30-minute
+    * activity interval; the per-user covered time is the length of the
+    * UNION of those (overlapping) intervals, the sweep-line primitive
+    * behind uptime, attribution windows, and session coverage. The
+    * classic one-pass rewrite: order a user's intervals by start, carry
+    * the running max of prior ends, and each interval contributes
+    * `max(0, end − max(start, prior_max_end))` — overlap never double
+    * counts, gaps contribute nothing. One user-keyed shuffle; the window
+    * sorts each user's events, never the corpus. All arithmetic is exact
+    * integer milliseconds, so the gate is pure integers. */
+  def intervalUnion(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("st"),
+      (unix_millis(col("ts")) + lit(1800000L)).as("en"),
+      col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_max_en", max(col("en")).over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("en") - greatest(col("st"), coalesce(col("prev_max_en"), col("st")))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).as("covered_ms"))
+  }
+
+  val intervalUnionSql: String = """
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS st, epoch_ms(ts) + 1800000 AS en,
+             event_id
+      FROM events),
+    sweep AS (
+      SELECT user_id, st, en,
+             max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_en
+      FROM iv)
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(greatest(0, en - greatest(st, coalesce(prev_max_en, st))))
+                AS BIGINT) AS covered_ms
+    FROM sweep GROUP BY 1"""
+
   private val evoWriteLock = new Object
 
   /** q213: SCHEMA EVOLUTION read — the storage-family row for the drift
@@ -1063,6 +1105,7 @@ object Relational {
     "q09_pricing_summary"     -> QueryDef(pricingSummary _, pricingSummarySql),
     "q180_orc_roundtrip"      -> QueryDef(pricingSummaryOrc _, pricingSummarySql),
     "q213_schema_evolution"   -> QueryDef(schemaEvolutionRead _, schemaEvolutionReadSql),
+    "q214_interval_union"     -> QueryDef(intervalUnion _, intervalUnionSql),
     "q181_json_roundtrip"     -> QueryDef(pricingSummaryJson _, pricingSummarySql),
     "q10_top_order_per_customer" -> QueryDef(topOrderPerCustomer _, topOrderPerCustomerSql),
     "q11_hour_histogram"      -> QueryDef(hourHistogram _, hourHistogramSql),

@@ -295,6 +295,38 @@ class StatsSpec extends AnyFunSuite {
       rows(Stats.revenueTrend(spark, sf)))
   }
 
+  test("q214: interval union merges overlaps, keeps gaps, handles touching ends") {
+    val d = tmpSf()
+    // user 1: overlap + disjoint; user 2: exactly touching intervals
+    val sec = 1000000000L // fixture ts longs are nanos (TESTDATA layout)
+    writeEvents(d, Seq(
+      (1L, 0L, 1L, "a", None, ""), (2L, 900L * sec, 1L, "a", None, ""),
+      (3L, 10000L * sec, 1L, "a", None, ""),
+      (4L, 0L, 2L, "a", None, ""), (5L, 1800L * sec, 2L, "a", None, "")))
+    val got = graft.queries.Relational.intervalUnion(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // oracle-independent: a plain Scala sweep over the loader's own
+    // timestamps (no assumption about the fixture's epoch unit)
+    val byUser = Tables.events(spark, d)
+      .selectExpr("user_id", "unix_millis(ts) AS ms", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = byUser.map { case (u, rows) =>
+      val iv = rows.sortBy(r => (r._2, r._3)).map(r => (r._2, r._2 + 1800000L))
+      var maxEnd = Long.MinValue; var covered = 0L
+      iv.foreach { case (st, en) =>
+        val prev = if (maxEnd == Long.MinValue) st else maxEnd
+        covered += math.max(0L, en - math.max(st, prev))
+        maxEnd = math.max(maxEnd, en)
+      }
+      u -> (rows.length.toLong, covered)
+    }
+    assert(got === want)
+    // closed form on the touching user: two 30-min intervals meeting at
+    // the boundary cover exactly 60 min, not 30 and not 60-minus-overlap
+    assert(got(2L)._2 === 3600000L)
+  }
+
   test("q204: spine is complete and forward fill carries the last active day") {
     val rows = Stats.calendarFill(spark, sf)
       .orderBy("o_orderpriority", "x").collect()
