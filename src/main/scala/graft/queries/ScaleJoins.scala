@@ -463,7 +463,41 @@ object ScaleJoins {
     FROM pairs
     WHERE jaro_winkler_similarity(name_a, name_b) >= $jwThreshold"""
 
+  /** q215: END-TO-END ENTITY RESOLUTION — the linkage family composed
+    * into the pipeline it exists for: prefix blocking → Jaro-Winkler
+    * match edges (q191, the codegen expression pinned bit-for-bit to
+    * DuckDB) → connected components (the q49 pointer-doubling operator)
+    * → canonical entity = the lexicographically smallest name reachable.
+    * What the ONE oracle gates is the COMPOSITION: DuckDB recomputes the
+    * same blocked match graph and walks its transitive closure with a
+    * recursive CTE, so a drift in blocking, matcher, or component
+    * labeling all break the same hash (the q150 composition discipline
+    * applied to record linkage). Matched names only — singletons never
+    * enter the component operator and resolve to themselves trivially. */
+  def entityResolution(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+        jwLinkage(s, d).select(col("name_a").as("id_a"), col("name_b").as("id_b")))
+      .select(col("id").as("name"), col("cluster_id").as("entity"))
+
+  val entityResolutionSql: String = s"""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    pairs AS (SELECT a.p_name AS name_a, b.p_name AS name_b
+              FROM names a JOIN names b
+                ON substr(a.p_name, 1, 3) = substr(b.p_name, 1, 3)
+               AND a.p_name < b.p_name),
+    e AS (SELECT name_a, name_b FROM pairs
+          WHERE jaro_winkler_similarity(name_a, name_b) >= $jwThreshold),
+    sym AS (SELECT name_a AS src, name_b AS dst FROM e
+            UNION SELECT name_b, name_a FROM e),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+    SELECT src AS name, least(src, min(dst)) AS entity
+    FROM reach GROUP BY src"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q215_entity_resolution" -> QueryDef(entityResolution _, entityResolutionSql),
     "q191_jw_linkage"       -> QueryDef(jwLinkage _, jwLinkageSql),
     "q197_bucketed_revenue" -> QueryDef(bucketedRevenue _, bucketedRevenueSql),
     "q140_negative_candidates" -> QueryDef(negativeCandidates _, negativeCandidatesSql),
