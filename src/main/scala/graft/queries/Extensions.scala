@@ -424,7 +424,12 @@ object Extensions {
       .schema(Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+      // two slices per trigger: the carry law needs ≥ 2 micro-batches
+      // (TransitionsSpec pins the boundary sharply at 1-file batches);
+      // each extra batch costs a full state-store commit cycle across
+      // BOTH stateful operators, so the gate runs the minimum that
+      // still crosses a batch boundary
+      .option("maxFilesPerTrigger", 2).parquet(dir)
     val pairs = graft.streaming.Transitions.transitionPairs(
       src.as[graft.streaming.Transitions.Ev])
     // a streaming AGGREGATION chained after the append-mode state
