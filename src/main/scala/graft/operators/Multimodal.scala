@@ -355,16 +355,21 @@ object Multimodal {
           while (bb.remaining() >= 8 && data == null) {
             val cid = str4(); val sz = bb.getInt()
             if (sz < 0 || sz > bb.remaining()) throw new java.io.EOFException
+            // RIFF word alignment: an odd-sized chunk is followed by one
+            // pad byte NOT counted in its size — skip it or the walk
+            // derails on real-world files with odd metadata chunks
+            val pad = sz & 1
             cid match {
               case "fmt " if sz >= 16 =>
                 fmtCode = bb.getShort(); ch = bb.getShort()
                 rate = bb.getInt(); bb.getInt(); bb.getShort()
                 bits = bb.getShort()
-                bb.position(bb.position() + (sz - 16))
+                bb.position(math.min(bb.limit(), bb.position() + (sz - 16) + pad))
               case "data" =>
                 if (sz > maxWavDataBytes) throw new java.io.EOFException
                 data = new Array[Byte](sz); bb.get(data)
-              case _ => bb.position(bb.position() + sz)
+              case _ =>
+                bb.position(math.min(bb.limit(), bb.position() + sz + pad))
             }
           }
           if (fmtCode != 1 || ch != 1 || bits != 16 || rate <= 0 ||

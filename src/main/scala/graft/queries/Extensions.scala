@@ -396,26 +396,19 @@ object Extensions {
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        // persisted: the global ntile sort runs ONCE, not once per slice
         val sliced = ev.withColumn("slice",
           ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-        Files.createDirectories(Paths.get(dir))
-        val base = System.currentTimeMillis() - 60000L
-        (1 to 4).foreach { i =>
-          val tmp = s"${dir}_tmp$i"
-          sliced.filter(col("slice") === i).drop("slice")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(f => f.getName.endsWith(".parquet")).get
-          val target = Paths.get(dir, f"slice$i%02d.parquet")
-          Files.move(part.toPath, target)
-          // distinct ascending mtimes pin the micro-batch order
-          target.toFile.setLastModified(base + i * 1000L)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          .persist()
+        try {
+          val base = System.currentTimeMillis() - 60000L
+          (1 to 4).foreach { i =>
+            // distinct ascending mtimes pin the micro-batch order
+            writeSingleParquet(sliced.filter(col("slice") === i).drop("slice"),
+              dir, f"slice$i%02d.parquet", mtime = Some(base + i * 1000L))
           }
-          rm(new java.io.File(tmp))
-        }
-        Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+          Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+        } finally sliced.unpersist()
       }
     }
     val name = s"graft_trans_gate_${transGateRuns.incrementAndGet()}"
@@ -889,6 +882,30 @@ object Extensions {
     * a parameter change can never probe an incompatible index; band hashes
     * built under different numHashes would simply never collide, silently
     * emitting zero candidates). */
+  /** Write `df` as exactly ONE named parquet file inside `dir` — the
+    * fixture-prep move every file-ordered replay and multi-generation
+    * layout needs. Crash-safe: REPLACE_EXISTING makes a re-run after an
+    * interrupted build converge on the same file instead of failing on
+    * the half-moved one (the `_SUCCESS` marker is still what gates
+    * "built"; this just makes the rebuild idempotent). The temp dir is
+    * `_`-prefixed INSIDE `dir`, which Spark's file listing hides. */
+  private[graft] def writeSingleParquet(df: DataFrame, dir: String,
+      fileName: String, mtime: Option[Long] = None): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val tmp = s"$dir/_build_$fileName"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val target = Paths.get(dir, fileName)
+    Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    mtime.foreach { t => target.toFile.setLastModified(t): Unit }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+  }
+
   private[queries] def indexCacheDir(cache: String, d: String, srcTable: String,
                                      params: String): String = {
     val src = new java.io.File(s"$d/$srcTable.parquet")

@@ -1054,7 +1054,6 @@ object Relational {
       "graft-evo-cache", d, "orders", "gen2v1")
     evoWriteLock.synchronized {
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-        Files.createDirectories(Paths.get(dir))
         val o = Tables.orders(s, d)
         Seq(
           o.filter(col("o_orderkey") % 2 === 0)
@@ -1063,15 +1062,7 @@ object Relational {
             .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
               col("o_orderpriority")))
           .zipWithIndex.foreach { case (gen, i) =>
-            val tmp = s"${dir}_tmp$i"
-            gen.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val part = new java.io.File(tmp).listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            Files.move(part.toPath, Paths.get(dir, s"gen$i.parquet"))
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-            }
-            rm(new java.io.File(tmp))
+            graft.queries.Extensions.writeSingleParquet(gen, dir, s"gen$i.parquet")
           }
         Files.writeString(Paths.get(dir, "_SUCCESS"), "")
       }

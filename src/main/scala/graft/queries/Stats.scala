@@ -1215,15 +1215,11 @@ object Stats {
     * the gate is pure-integer. The first spine day is the group's min
     * ACTIVE day, so the forward fill never sees a leading null. */
   def calendarFill(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
-        .cast(org.apache.spark.sql.types.DecimalType(27, 0)).as("c"))
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-      datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
-        .cast("long").as("x"))
-    val daily = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"), col("x"))
-      .agg(sum(col("c")).cast("long").as("cents"))
+    // ONE definition of "daily revenue": reuse trendDaily so a change to
+    // the quantization or the epoch can't silently split q203/q209 from
+    // q204/q207/q211 (the oracles share the same daily CTE text)
+    val daily = trendDaily(s, d)
+      .select(col("o_orderpriority"), col("x"), col("y").cast("long").as("cents"))
       .persist()  // two consumers: the spine bounds and the fill join
     val spine = daily.groupBy("o_orderpriority")
       .agg(min("x").as("lo"), max("x").as("hi"))

@@ -582,6 +582,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(decodeOneWav(good, 8).isDefined)
   }
 
+  test("WAV decode honors RIFF word alignment: odd-sized chunks carry a pad byte") {
+    import Multimodal._
+    // hand-build a WAV with an odd-sized LIST chunk (5 bytes + 1 pad)
+    // BEFORE fmt/data — a valid real-world layout the synthetic fixtures
+    // never produce; without pad handling the walk derails and a valid
+    // file is wrongly dropped
+    val good = encodeSyntheticWav(3L)
+    val body = good.content.drop(12) // fmt + data chunks
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val total = 4 + junk.length + body.length
+    val bb = java.nio.ByteBuffer.allocate(8 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(total)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put(junk); bb.put(body)
+    val rec = graft.operators.MediaRecord(7L, "wav", bb.array(),
+      bb.array().length.toLong)
+    val got = Multimodal.decodeOneWav(rec, 8)
+    val want = Multimodal.decodeOneWav(good, 8).get
+    assert(got.isDefined, "odd-chunk WAV must decode, not drop")
+    assert(got.get.energy.toSeq === want.energy.toSeq)
+    assert(got.get.n_samples === want.n_samples)
+  }
+
   test("ImageIO decode handles JPEG and rejects decompression bombs") {
     implicit val s = spark
     import s.implicits._

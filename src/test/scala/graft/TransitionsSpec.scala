@@ -22,13 +22,8 @@ class TransitionsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("trans").toString
     val base = System.currentTimeMillis() - 60000L
     Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
-      val tmp = s"${dir}_t$i"
-      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val tgt = java.nio.file.Paths.get(dir, s"f$i.parquet")
-      java.nio.file.Files.move(part.toPath, tgt)
-      tgt.toFile.setLastModified(base + i * 1000L)
+      graft.queries.Extensions.writeSingleParquet(
+        evs.toDS().toDF(), dir, s"f$i.parquet", mtime = Some(base + i * 1000L))
     }
     val name = "trans_spec_gate"
     val src = spark.readStream.schema(f1.toDS().schema)
