@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   *    single GC pause or compilation stall can't masquerade as a
   *    regression. "queries_min" carries the per-query minimum (the
   *    machine-noise floor) for diagnosis;
+  *  - reps are INTERLEAVED round-robin across the registry (rep 1 of
+  *    every query, then rep 2, then rep 3 — round-11 verdict #2), not run
+  *    back-to-back per query: a query's reps land ~a-full-registry-pass
+  *    apart in time, so a multi-second HOST burst inflates at most one of
+  *    its three reps and the median rejects it. BENCH_r11 carried ≥1.8×
+  *    median/min rows (q02 6.72 vs 1.7-1.8 s isolated; q121 7.27 vs
+  *    0.7-0.9) precisely because three consecutive reps all sat inside
+  *    one burst window;
   *  - a failing query contributes its elapsed time AND an entry in the
   *    "errors" object — regressions can't hide inside a green total;
   *  - the machine line carries a "worst" object (top-10 medians as
@@ -149,18 +157,22 @@ object Bench {
     // 104.9 s, a 26% net loss. The variance is the price of a shared warm
     // JVM; per-query medians+mins on the benchdetail line remain the
     // cross-round comparison instrument.
-    val results = ordered.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+    val times = Array.fill(ordered.size)(Vector.empty[Double])
+    val errSeen = Array.fill(ordered.size)(Option.empty[String])
+    (1 to reps).foreach { _ =>
+      ordered.zipWithIndex.foreach { case ((name, fn), i) =>
         val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-          }
-        ((System.nanoTime() - t0) / 1e9, err)
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (errSeen(i).isEmpty)
+            errSeen(i) = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        times(i) :+= (System.nanoTime() - t0) / 1e9
       }
-      (name, median(runs.map(_._1)), runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      (name, median(times(i)), times(i).min, errSeen(i))
     }
     // The driver keeps only the LAST ~2000 bytes of output and parses the
     // JSON line out of that window (BENCH_r{1,2,3}.json all carry

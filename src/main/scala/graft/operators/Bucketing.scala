@@ -14,18 +14,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed + sorted managed table.
+  /** Write `df` as a bucketed + sorted managed table. Table names MUST be
+    * graft-owned (`graft_` prefix) — enforced, because of the cleanup below.
     *
     * A killed JVM can leave the managed location on disk while the
     * in-memory catalog is fresh; CTAS then refuses with
     * LOCATION_ALREADY_EXISTS. If the table has no catalog entry, its
-    * warehouse directory is stale debris — clear it before writing. */
+    * warehouse directory is stale debris — clear it before writing. The
+    * cleanup is scoped to the enforced `graft_` namespace so a concurrent
+    * session sharing the warehouse directory can never lose an unrelated
+    * live table to this recovery path, and the warehouse location is
+    * resolved with Hadoop Path (handles unencoded spaces and plain local
+    * paths where java.net.URI throws). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(table.toLowerCase.startsWith("graft_"),
+      s"writeBucketed owns only graft_-prefixed tables, got: $table")
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      val wh = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
       val loc = new java.io.File(wh, table.toLowerCase)
       if (loc.exists()) {
         def rm(f: java.io.File): Unit = {

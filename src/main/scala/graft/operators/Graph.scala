@@ -506,7 +506,22 @@ object Graph {
       val ancF = Future(anc.count())
       var jumpRows = jump.count()
       Await.result(ancF, Duration.Inf)
+      // ⌈log₂D⌉ rounds suffice for any acyclic Long-keyed hierarchy (depth
+      // ≤ node count < 2^63 ⇒ ≤ 63 doublings); a CYCLE in the input keeps
+      // the jump table non-empty forever, so fail loudly instead of
+      // spinning Spark jobs — the connectedComponents maxIter contract
+      var rounds = 0
+      val maxRounds = 64
       while (jumpRows > 0) {
+        rounds += 1
+        if (rounds > maxRounds) {
+          anc.unpersist(false); jump.unpersist(false); e0.unpersist(false)
+          throw new IllegalStateException(
+            s"ancestorClosure: jump table still non-empty after $maxRounds " +
+              "doubling rounds — the input edge set is cyclic or not " +
+              "functional (one parent per node), violating the forest " +
+              "precondition")
+        }
         val grown = anc.unionAll(
           jump.join(anc.select(col("node").as("j"), col("a")), "j")
             .select(col("node"), col("a")))

@@ -283,6 +283,44 @@ object Multimodal {
     MediaRecord(id, fmt, bytes, bytes.length.toLong)
   }
 
+  /** `n` REAL JPEG payloads — the DOMINANT real-corpus format, and the one
+    * codec family PNG/BMP/GIF never touch: a full DCT encode (quantized
+    * frequency coefficients, chroma subsampling) through the JDK's
+    * built-in JPEGImageWriter, default quality. Rasters are SMOOTH
+    * integer gradients — the payload class DCT represents compactly — so
+    * the decoded pixels are a fixed function of (id, JDK codec): the
+    * codec is lossy, not random. q218 pins the decoded luminance grid the
+    * same way q161 pins the lossless formats (pins regenerate in-spec, so
+    * a JDK codec change breaks the spec loudly, not silently). */
+  def syntheticJpegTable(n: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions(_.map(encodeSyntheticJpeg))
+  }
+
+  private[graft] def encodeSyntheticJpeg(id: Long): MediaRecord = {
+    val i = id.toInt
+    val w = 16 + (i % 3) * 8
+    val h = 8 + (i % 2) * 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // smooth per-channel gradients with an id-dependent phase
+        val r = (x * 255 / (w - 1) + i * 37) % 256
+        val g = (y * 255 / (h - 1) + i * 53) % 256
+        val b = ((x + y) * 255 / (w + h - 2) + i * 71) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    MediaRecord(id, "jpeg", bos.toByteArray, bos.size().toLong)
+  }
+
   // --- audio: REAL RIFF/WAVE codec (pure JVM, zero deps) ---------------------
 
   /** Synthetic 16-bit PCM mono WAV table, encoded on executors — real

@@ -34,17 +34,62 @@ object Versioned {
 
   /** Write `df` (key + payload + `_op`) as commit `version`. Fails if the
     * delta carries duplicate keys — the merge's correctness rests on
-    * at-most-one-row-per-key-per-commit. */
+    * at-most-one-row-per-key-per-commit.
+    *
+    * OPTIMISTIC CONCURRENCY (round-11 verdict #4): the version slot is
+    * claimed by an ATOMIC directory rename — the delta is written to a
+    * private temp dir, then renamed to `v=N` with ATOMIC_MOVE. Two racing
+    * writers of the same version both finish their writes, but exactly ONE
+    * rename lands (a parquet commit dir is never empty, so the loser's
+    * rename fails at the filesystem); the loser gets a clean
+    * ConcurrentModificationException instead of interleaved files. Readers
+    * never observe a partial commit: `v=N` appears in one rename. The log
+    * is also append-only and GAP-FREE by construction — committing v=N
+    * requires v=N-1 to exist. */
   def commit(df: DataFrame, root: String, key: String, version: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val dup = df.groupBy(col(key)).count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L, s"commit v=$version carries duplicate keys")
     require(df.columns.contains("_op"), "commit frame needs an _op column")
-    df.write.mode("errorifexists").parquet(s"$root/v=$version")
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    require(version == 0 || Files.exists(rootPath.resolve(s"v=${version - 1}")),
+      s"commit v=$version would leave a gap: v=${version - 1} does not exist")
+    val target = rootPath.resolve(s"v=$version")
+    def lost() = throw new java.util.ConcurrentModificationException(
+      s"commit v=$version lost the race: another writer committed this version")
+    if (Files.exists(target)) lost()
+    val tmp = rootPath.resolve(s"_tmp_v${version}_${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.FileSystemException =>
+        // the slot was claimed between our check and rename — clean up and
+        // surface the race as the contract exception
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmp.toFile)
+        lost()
+    }
   }
+
+  /** Clean precondition check: every commit dir in `0..version` exists —
+    * a gapped or truncated log fails HERE with the offending version,
+    * not deep inside a parquet scan. */
+  private def requireContiguous(root: String, version: Int): Unit =
+    (0 to version).foreach { v =>
+      require(new java.io.File(s"$root/v=$v").exists(),
+        s"versioned log at $root is not contiguous: v=$v missing " +
+          s"(asked for version $version)")
+    }
 
   /** State as of `version`: latest-commit-wins per key, tombstones drop. */
   def readAt(spark: SparkSession, root: String, key: String,
              version: Int): DataFrame = {
+    requireContiguous(root, version)
     val deltas = (0 to version).map { v =>
       spark.read.parquet(s"$root/v=$v").withColumn("_v", lit(v))
     }
@@ -72,8 +117,29 @@ object Versioned {
     * keys/values as a full-outer diff of the two reconstructed states
     * (VersionedSpec proves it on every version pair of its fixture). */
   def changeFeed(spark: SparkSession, root: String, key: String,
-                 fromV: Int, toV: Int): DataFrame = {
+                 fromV: Int, toV: Int): DataFrame =
+    changeFeedVia(spark, root, key, fromV, toV,
+      readAt(spark, root, key, fromV))
+
+  /** The checkpoint-served change feed: identical output to
+    * [[changeFeed]](root, fromV, toV), but the from-state is reconstructed
+    * from a COMPACTED checkpoint log (one base commit = `readAt(root,
+    * fromV)`, written by [[compact]]) instead of folding `fromV+1` deltas
+    * — the scale shape the changeFeed scaladoc promises: the feed costs
+    * the delta tail plus ONE base scan, regardless of how deep the live
+    * log is. Equality with the uncompacted feed is the q217 gate and a
+    * VersionedSpec law. */
+  def changeFeedFromCheckpoint(spark: SparkSession, checkpointRoot: String,
+                               root: String, key: String,
+                               fromV: Int, toV: Int): DataFrame =
+    changeFeedVia(spark, root, key, fromV, toV,
+      readAt(spark, checkpointRoot, key, 0))
+
+  private def changeFeedVia(spark: SparkSession, root: String, key: String,
+                            fromV: Int, toV: Int,
+                            fromState: DataFrame): DataFrame = {
     require(0 <= fromV && fromV < toV, s"need 0 <= fromV < toV: $fromV, $toV")
+    requireContiguous(root, toV)
     val tail = (fromV + 1 to toV).map { v =>
       spark.read.parquet(s"$root/v=$v").withColumn("_v", lit(v))
     }.reduce(_.unionByName(_))
@@ -83,7 +149,7 @@ object Versioned {
       .agg(max(struct((col("_v") +: payloadCols.map(col)): _*)).as("_m"))
       .select(col(key) +: payloadCols.map(c => col(s"_m.$c").as(c)): _*)
     val valueCols = payloadCols.filter(_ != "_op")
-    val old = readAt(spark, root, key, fromV)
+    val old = fromState
       .select(col(key) +: valueCols.map(c => col(c).as(s"_old_$c")): _*)
       .withColumn("_old_present", lit(true))
     val newVals = struct(valueCols.map(col): _*)

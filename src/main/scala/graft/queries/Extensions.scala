@@ -367,7 +367,22 @@ object Extensions {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.table(name)
+    detachMemorySink(s, name)
+  }
+
+  /** Copy a memory-sink table into a plain local DataFrame and DROP the
+    * named temp view, so repeated gate runs in one session don't
+    * accumulate unbounded in-memory result tables (each run registers a
+    * fresh counter-suffixed sink). Sink tables here are report-sized
+    * (audit rows, count matrices), so the copy is a metadata-scale
+    * collect. */
+  private[queries] def detachMemorySink(s: SparkSession, name: String): DataFrame = {
+    val t = s.table(name)
+    val out = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(t.collect(): _*)), t.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** q210: keyed-state TRANSITION EXTRACTION under streaming execution —
@@ -424,7 +439,8 @@ object Extensions {
       // still crosses a batch boundary
       .option("maxFilesPerTrigger", 2).parquet(dir)
     val pairs = graft.streaming.Transitions.transitionPairs(
-      src.as[graft.streaming.Transitions.Ev])
+      src.as[graft.streaming.Transitions.Ev],
+      idleHorizon = None) // bounded replay: see Transitions scaladoc
     // a streaming AGGREGATION chained after the append-mode state
     // operator: the pair stream never leaves the executors — the sink
     // holds the 25-cell count matrix, not events-sized rows (and the
@@ -436,7 +452,7 @@ object Extensions {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.table(name)
+    detachMemorySink(s, name)
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
   }
@@ -1404,6 +1420,44 @@ object Extensions {
 
   val imageioDecodeSql: String = {
     val rows = imageDecodePins.map { case (id, fmt, w, h, nf, dim, q) =>
+      s"(CAST($id AS BIGINT), '$fmt', CAST($w AS INTEGER), CAST($h AS INTEGER), " +
+        s"CAST($nf AS INTEGER), CAST($dim AS INTEGER), CAST($q AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""SELECT * FROM (VALUES
+      $rows) t(doc_id, format, width, height, n_frames, dim, qlum)"""
+  }
+
+  // --- q218: the REAL JPEG (DCT) decode path under the gate -------------------
+
+  /** q218: q161's discipline extended to JPEG — the dominant real-corpus
+    * image format, and the codec family the lossless trio never
+    * exercises: `decodeFeaturesImageIO` runs the JDK's full DCT decode
+    * (dequantize → IDCT → chroma upsample) over REAL JPEG containers
+    * encoded on executors ([[Multimodal.syntheticJpegTable]]: smooth
+    * gradient rasters, the payload class DCT holds compactly). The codec
+    * is LOSSY but a fixed function of the JDK — decoded pixels are
+    * deterministic in-sandbox — so the quantized luminance grid pins as a
+    * VALUES oracle exactly like q161; the companion spec regenerates the
+    * pins every run, so a JDK codec change breaks loudly. */
+  def jpegDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val media = Multimodal.syntheticJpegTable(6)
+    Multimodal.decodeFeaturesImageIO(media).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames"),
+        posexplode(expr(
+          "transform(feature, f -> CAST(round(CAST(f AS DOUBLE) * 1048576.0) AS BIGINT))")))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "qlum")
+  }
+
+  /** Decoded-raster pins for q218 (same layout as [[imageDecodePins]]).
+    * Regenerated and asserted bit-equal by ExtensionsSpec. */
+  private[graft] val jpegDecodePins: Seq[(Long, String, Int, Int, Int, Int, Long)] =
+    JpegDecodePins.pins
+
+  val jpegDecodeSql: String = {
+    val rows = jpegDecodePins.map { case (id, fmt, w, h, nf, dim, q) =>
       s"(CAST($id AS BIGINT), '$fmt', CAST($w AS INTEGER), CAST($h AS INTEGER), " +
         s"CAST($nf AS INTEGER), CAST($dim AS INTEGER), CAST($q AS BIGINT))"
     }.mkString(",\n      ")
@@ -2777,6 +2831,7 @@ object Extensions {
     "q156_label_tightness"   -> QueryDef(labelTightness _, labelTightnessSql),
     "q32_multimodal_features" -> QueryDef(multimodalFeatures _, multimodalFeaturesSql),
     "q161_imageio_decode"    -> QueryDef(imageioDecode _, imageioDecodeSql),
+    "q218_jpeg_decode"       -> QueryDef(jpegDecode _, jpegDecodeSql),
     "q212_wav_decode"        -> QueryDef(wavDecode _, wavDecodeSql),
     "q46_multimodal_frame_sample" -> QueryDef(multimodalFrameSample _, multimodalFrameSampleSql),
     "q47_asof_purchase_click" -> QueryDef(asofPurchaseClick _, asofPurchaseClickSql),

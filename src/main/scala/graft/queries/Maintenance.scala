@@ -85,6 +85,12 @@ object MaintenanceQueries {
     root
   }
 
+  /** Public handle on the q192 log root — specs assert the q220 erasure
+    * laws (all-D feed, legal-hold time travel, destruction-on-compact)
+    * against the same cached log the gates read. */
+  def versionedOrdersRoot(s: SparkSession, d: String): String =
+    versionedOrdersDir(s, d)
+
   /** q192: time travel over the commit log — the as-of-v2 state summed
     * per (priority, status). [[graft.operators.Versioned.readAt]] is one
     * union of delta scans plus ONE key-grouped max-by-version aggregate
@@ -595,6 +601,100 @@ object MaintenanceQueries {
            CAST(sum(coalesce(new_cents, 0)) AS BIGINT) AS sum_new_cents
     FROM chg GROUP BY 1, 2, 3, 4"""
 
+  /** q217: the change feed SERVED FROM A COMPACTED CHECKPOINT — the claim
+    * q195's scaladoc makes ("at scale, serve the from-state from a
+    * compacted checkpoint") executed and gated: the q192 log is compacted
+    * at v=1 into a one-commit checkpoint log, changeFeed(1,2) is served
+    * from that checkpoint plus the live delta tail, and the summary must
+    * equal the closed-form oracle of the UNCOMPACTED feed (q195's 1-2
+    * span). Cost shape gated: the feed reads ONE base scan + one delta,
+    * never the fold of the full live log. */
+  def changeFeedCheckpointSummary(s: SparkSession, d: String): DataFrame = {
+    val root = versionedOrdersDir(s, d)
+    val ck = Extensions.indexCacheDir("graft-version-ck", d, "orders", "ckv1")
+    versionBuildLock.synchronized {
+      if (!new java.io.File(s"$ck/_GRAFT_LOG_READY").exists()) {
+        val ckFile = new java.io.File(ck)
+        if (ckFile.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(ckFile).deleteRecursively()
+        }
+        graft.operators.Versioned.compact(s, root, "o_orderkey", 1, ck)
+        new java.io.File(s"$ck/_GRAFT_LOG_READY").createNewFile()
+      }
+    }
+    graft.operators.Versioned
+      .changeFeedFromCheckpoint(s, ck, root, "o_orderkey", 1, 2)
+      .groupBy(col("op"), col("old_status"), col("new_status"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("old_cents"), lit(0L))).as("sum_old_cents"),
+        sum(coalesce(col("new_cents"), lit(0L))).as("sum_new_cents"))
+  }
+
+  val changeFeedCheckpointSummarySql: String = """
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                         CAST(floor(o_totalprice * 1e2) AS BIGINT) AS c
+                  FROM orders),
+    chg AS (
+      SELECT 'I' AS op, CAST(NULL AS VARCHAR) AS old_status,
+             'V2' AS new_status, CAST(NULL AS BIGINT) AS old_cents,
+             c + 500 AS new_cents
+      FROM base WHERE k % 5 = 0 AND k % 13 = 0
+      UNION ALL
+      SELECT 'U', CASE WHEN k % 7 = 0 THEN 'R' ELSE st END, 'V2',
+             CASE WHEN k % 7 = 0 THEN c + 1000 ELSE c END, c + 500
+      FROM base WHERE k % 5 = 0 AND k % 13 <> 0)
+    SELECT op, old_status, new_status, count(*) AS n,
+           CAST(sum(coalesce(old_cents, 0)) AS BIGINT) AS sum_old_cents,
+           CAST(sum(coalesce(new_cents, 0)) AS BIGINT) AS sum_new_cents
+    FROM chg GROUP BY 1, 2, 3"""
+
+  /** q220: RIGHT-TO-BE-FORGOTTEN ERASURE over the versioned log — the
+    * GDPR/CCPA deletion flow a lakehouse actually runs: the subject's
+    * keys (here: o_orderkey ≡ 3 mod 17, standing in for "one customer's
+    * rows") are erased by COMMITTING TOMBSTONES as the next log version —
+    * an append, not a rewrite: time travel to v2 still serves the
+    * pre-erasure state (legal-hold reads), readAt(v3) serves none of the
+    * erased keys, and changeFeed(2,3) hands downstream consumers exactly
+    * the D-ops they must replay (VersionedSpec/MaintenanceSpec pin both
+    * laws). Cost shape: the erasure delta is subject-sized, the commit is
+    * one atomic rename, and readers pay the same single key-grouped
+    * shuffle as before — at 100 TB you never rewrite the table to forget
+    * one user (compaction later physically drops the tombstoned rows — the
+    * actual-destruction step — via the proven-equal [[q217]] checkpoint
+    * path). Oracle: q192's closed form minus the erased keys. */
+  def gdprErasureSummary(s: SparkSession, d: String): DataFrame = {
+    val root = versionedOrdersDir(s, d)
+    versionBuildLock.synchronized {
+      if (!new java.io.File(s"$root/v=3").exists()) {
+        val doomed = graft.operators.Versioned
+          .readAt(s, root, "o_orderkey", 2)
+          .filter(col("o_orderkey") % 17 === 3)
+          .withColumn("_op", lit("d"))
+        graft.operators.Versioned.commit(doomed, root, "o_orderkey", 3)
+      }
+    }
+    graft.operators.Versioned.readAt(s, root, "o_orderkey", 3)
+      .groupBy(col("prio"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  val gdprErasureSummarySql: String = """
+    WITH fs AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'V2'
+                  WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0 THEN 'R'
+                  ELSE o_orderstatus END AS status,
+             CAST(floor(o_totalprice * 1e2) AS BIGINT) +
+             CASE WHEN o_orderkey % 5 = 0 THEN 500
+                  WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0 THEN 1000
+                  ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 5 = 0 OR o_orderkey % 13 <> 0)
+    SELECT prio, status, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM fs WHERE k % 17 <> 3 GROUP BY 1, 2"""
+
   /** q193 keep bar: directed rules with confidence ≥ 0.1 — the standard
     * post-support screen (support pruning already happened at graph
     * build: c ≥ [[triMinSupport]]). 0.1 sits just under the fixture's
@@ -923,6 +1023,10 @@ object MaintenanceQueries {
     "q192_time_travel" -> QueryDef(timeTravelSummary _, timeTravelSummarySql),
     "q193_association_rules" -> QueryDef(associationRules _, associationRulesSql),
     "q195_change_feed" -> QueryDef(changeFeedSummary _, changeFeedSummarySql),
+    "q217_change_feed_checkpoint" ->
+      QueryDef(changeFeedCheckpointSummary _, changeFeedCheckpointSummarySql),
+    "q220_gdpr_erasure" ->
+      QueryDef(gdprErasureSummary _, gdprErasureSummarySql),
     "q198_hierarchy_rollup" -> QueryDef(hierarchyRollup _, hierarchyRollupSql),
     "q119_brand_seeded_rank" -> QueryDef(brandSeededRank _, brandSeededRankSql),
     "q120_evolve_merge" -> QueryDef(evolveMerge _, evolveMergeSql),

@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.streaming.{PurchaseCsv, Sessionizer}
+import graft.ml.{Anomaly, ReferenceArtifacts}
+import graft.streaming.{PurchaseCsv, Sessionizer, TimedLineEvent}
 
 /** End-to-end STREAM-SEMANTICS oracle: manufacture raw purchase-line CSV
   * from lineitem⋈orders (integer prices so the string round-trip is exact,
@@ -16,14 +18,15 @@ import graft.streaming.{PurchaseCsv, Sessionizer}
   */
 object PipelineReplay {
 
-  def pipelineReplay(s: SparkSession, d: String): DataFrame = {
-    implicit val spark: SparkSession = s
-    import spark.implicits._
-
+  /** The manufactured raw wire lines, keyed by (l_orderkey, l_linenumber)
+    * so callers can slice them deterministically (q216's time-sliced
+    * replay files). Integer prices make the string round-trip exact; every
+    * linenumber-7 line is parse-poisoned. */
+  def manufacturedLines(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
-    val lines = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat_ws(",",
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), concat_ws(",",
         col("l_orderkey").cast("string"),
         col("l_partkey").cast("string"),
         lit("ITEM"),
@@ -33,7 +36,13 @@ object PipelineReplay {
         round(col("l_extendedprice")).cast("long").cast("string"),
         concat(lit("c"), col("o_custkey").cast("string")),
         lit("ES")).as("value"))
-      .as[String]
+  }
+
+  def pipelineReplay(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+
+    val lines = manufacturedLines(s, d).select("value").as[String]
 
     // typed univocity route, not routeRelational: measured 2× faster at
     // this row width (from_csv's CsvToStructs is a non-codegen expression;
@@ -76,6 +85,247 @@ object PipelineReplay {
       CASE WHEN bool_or(l_linenumber = 7) THEN 0 ELSE count(*) END AS line_count
     FROM lineitem GROUP BY l_orderkey"""
 
+  // --- q216: the WHOLE reference pipeline under streaming EXECUTION --------
+
+  /** One raw wire record as the replay files carry it: the ingest
+    * timestamp a Kafka record would bear, plus the raw CSV line. */
+  final case class TimedRawLine(event_ts: java.sql.Timestamp, value: String)
+
+  /** Fixed event-time origin for the replay slices (no wall-clock in the
+    * fixture: the files are cached and the gate must be reproducible). */
+  private val ReplayBaseMs = 1600000000000L
+
+  /** Event-time step between consecutive slices — under the 40 s session
+    * gap, so an invoice whose lines straddle a slice boundary stays ONE
+    * session across the micro-batch boundary (the cross-batch carry this
+    * gate exists to prove). */
+  private val SliceStepMs = 10000L
+
+  private val SentinelInvoice = "FLUSHWM"
+
+  private val streamGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val streamReplayLock = new Object
+
+  private def pipelineReplayDir(d: String): String =
+    Extensions.indexCacheDir("graft-pipe-replay", d, "lineitem", "slices6v1")
+
+  /** q216: the reference's ENTIRE reason to exist — readStream → CSV parse/
+    * route (ST3) → the REAL flatMapGroupsWithState event-time sessionizer
+    * (ST4/ST5, watermark-fired expiry) → classification (ST6/ST7) →
+    * pinned-center anomaly scoring (M4/M5, the committed reference
+    * artifacts) — run as ONE StreamExecution over six time-sliced replay
+    * files (maxFilesPerTrigger=1: six real micro-batches), hash-matched
+    * against q43's batch oracle extended with the q44 scoring columns.
+    * Reference: the whole graph at realtime/InvoicePipeline.scala:157-409.
+    *
+    * Determinism ledger:
+    *  - slices are cut along the (l_orderkey, l_linenumber) total order, so
+    *    each invoice's lines are contiguous; only boundary invoices span
+    *    two slices — their sessions carry state across micro-batches and
+    *    MUST fold identically to the single-batch case (the gated law);
+    *  - slice i carries event time base + (i-1)·10 s: within-invoice
+    *    event-time silence is ≤ 10 s < the 40 s gap, so no session expires
+    *    early, and EVERY session expires across a batch boundary (its
+    *    emit fires when the sentinel files advance the watermark past all
+    *    data-slice timeouts — two sentinel batches, so the timeout sweep
+    *    runs even if the engine skips no-data batches);
+    *  - all emitted fields are arrival-order-independent by construction
+    *    (shared order date/customer per invoice; integer-valued double
+    *    sums are exact), EXCEPT lineCount on poisoned invoices, which
+    *    counts lines accumulated before the poison's batch — batch-timing
+    *    state the batch replay folds to 0 (quirk Q3 empties the session),
+    *    so the projection normalizes error rows to the batch semantics;
+    *  - scoring is chained INSIDE the streaming query (stateless codegen
+    *    polynomial after the stateful operator — the q210 chaining
+    *    discipline), against the committed reference centers + threshold.
+    */
+  def pipelineStreamingGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val dir = pipelineReplayDir(d)
+    streamReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        // the global slice sort runs once (fixture prep, cached per
+        // lineitem fingerprint), never in the gated query
+        val sliced = manufacturedLines(s, d).withColumn("slice",
+          ntile(4).over(Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+          .persist()
+        try {
+          val base = System.currentTimeMillis() - 60000L
+          (1 to 4).foreach { i =>
+            Extensions.writeSingleParquet(
+              sliced.filter(col("slice") === i)
+                .select(lit(new java.sql.Timestamp(
+                  ReplayBaseMs + (i - 1) * SliceStepMs)).as("event_ts"),
+                  col("value")),
+              dir, f"slice$i%02d.parquet", mtime = Some(base + i * 1000L))
+          }
+          // two sentinel batches on a throwaway key drive the watermark
+          // past every data-slice session's timeout; the sentinel's own
+          // session never expires (nothing advances the watermark past it)
+          // and is filtered out of the gate output
+          Seq(5, 6).foreach { i =>
+            Extensions.writeSingleParquet(
+              Seq(TimedRawLine(
+                new java.sql.Timestamp(ReplayBaseMs + (i - 4) * 86400000L),
+                s"$SentinelInvoice,0,ITEM,1,7/19/2011 12:19,100,cWM,ES")).toDF(),
+              dir, f"slice$i%02d.parquet", mtime = Some(base + i * 1000L))
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, "_SUCCESS"), "")
+        } finally sliced.unpersist()
+      }
+    }
+    val name = s"graft_pipe_gate_${streamGateRuns.incrementAndGet()}"
+    val src = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val events = src.as[TimedRawLine].flatMap { raw =>
+      PurchaseCsv.route(raw.value).map(ev =>
+        TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+    }
+    val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
+      events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+    val q = scored.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Extensions.detachMemorySink(s, name)
+  }
+
+  /** q43's oracle extended with the q44 scoring block: time_hour derives
+    * from the order date (a DATE — its hour is structurally 0, exactly
+    * what extractHour reads off the manufactured "M/d/yyyy H:mm" string),
+    * and score/is_anomaly replay the identical squared-distance fold
+    * against the committed reference centers + threshold. */
+  val pipelineStreamingSql: String = {
+    val root = ReferenceArtifacts.DefaultRoot
+    val sq = Anomaly.featureCols.zipWithIndex
+      .map { case (f, i) => s"(b.$f - c[${i + 1}]) * (b.$f - c[${i + 1}])" }
+      .mkString(" + ")
+    s"""
+    WITH base AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS invoice_no,
+        CASE WHEN bool_or(l_linenumber = 7) THEN 'error' ELSE 'valid' END AS status,
+        CASE WHEN bool_or(l_linenumber = 7)
+             THEN 'parse error: For input string: "x"' END AS reason,
+        CASE WHEN NOT bool_or(l_linenumber = 7)
+             THEN CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS DOUBLE) / count(*)
+        END AS avg_unit_price,
+        CASE WHEN NOT bool_or(l_linenumber = 7)
+             THEN CAST(min(CAST(round(l_extendedprice) AS BIGINT)) AS DOUBLE)
+        END AS min_unit_price,
+        CASE WHEN NOT bool_or(l_linenumber = 7)
+             THEN CAST(max(CAST(round(l_extendedprice) AS BIGINT)) AS DOUBLE)
+        END AS max_unit_price,
+        CASE WHEN NOT bool_or(l_linenumber = 7)
+             THEN CAST(hour(CAST(min(o_orderdate) AS TIMESTAMP)) AS DOUBLE)
+        END AS time_hour,
+        CASE WHEN NOT bool_or(l_linenumber = 7)
+             THEN CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        END AS number_items,
+        CASE WHEN bool_or(l_linenumber = 7) THEN 0 ELSE count(*) END AS line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey),
+    ctr AS (SELECT point."values" AS c
+            FROM read_parquet('$root/clustering/data/*.parquet')),
+    sc AS (SELECT b.invoice_no, min($sq) AS score
+           FROM base b CROSS JOIN ctr WHERE b.status = 'valid'
+           GROUP BY b.invoice_no),
+    t AS (SELECT th FROM read_csv('$root/threshold', header=false,
+                                  columns={'th': 'DOUBLE'}))
+    SELECT b.*, sc.score, sc.score > t.th AS is_anomaly
+    FROM base b LEFT JOIN sc USING (invoice_no) CROSS JOIN t"""
+  }
+
+  /** The q216 projection + scoring chain over a sessionized stream —
+    * shared by the single-run gate and the restart gate. */
+  private def scoreSessions(s: SparkSession,
+      sessions: org.apache.spark.sql.Dataset[
+        graft.streaming.InvoiceResult]): DataFrame = {
+    val centers = ReferenceArtifacts.kmeansCenters(s)
+    val thresh = ReferenceArtifacts.kmeansThreshold()
+    val valid = col("status") === "valid"
+    sessions.toDF()
+      .filter(col("invoiceNo") =!= SentinelInvoice)
+      .select(
+        col("invoiceNo").as("invoice_no"),
+        col("status"),
+        col("reason"),
+        when(valid, col("avgUnitPrice")).as("avg_unit_price"),
+        when(valid, col("minUnitPrice")).as("min_unit_price"),
+        when(valid, col("maxUnitPrice")).as("max_unit_price"),
+        when(valid, col("time")).as("time_hour"),
+        when(valid, col("numberItems")).as("number_items"),
+        // error rows: normalize to the batch fold's 0 (see q216 ledger)
+        when(valid, col("lineCount").cast("long")).otherwise(lit(0L))
+          .as("line_count"))
+      .withColumn("score", when(valid, Anomaly.minSqdist(centers)))
+      .withColumn("is_anomaly", when(valid, col("score") > lit(thresh)))
+  }
+
+  /** q222: CHECKPOINT RECOVERY of the whole pipeline — the exactly-once
+    * property q216 presumes, executed: the same six replay files run as
+    * TWO SEPARATE StreamExecutions sharing one checkpoint + one
+    * exactly-once FILE sink. Run 1 sees only the first three data slices
+    * and is stopped with every session still OPEN in the state store
+    * (nothing has advanced the watermark); run 2 is a brand-new query
+    * that RESUMES from the checkpoint, ingests the remaining slices, and
+    * completes every session — so 100% of the output depends on state
+    * recovered across a real stop/restart, and the result must STILL
+    * hash-match q216's oracle. The file sink's _spark_metadata commit log
+    * is what the read-back consults — the exactly-once contract, not
+    * best-effort directory listing. Fresh work dirs per invocation: the
+    * gate re-executes the recovery every run (that is the thing being
+    * gated), only the input fixture is cached. */
+  def pipelineRestartGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val fixture = pipelineReplayDir(d)
+    streamReplayLock.synchronized {
+      if (!new java.io.File(s"$fixture/_SUCCESS").exists()) {
+        // build via the q216 gate's fixture path
+        pipelineStreamingGate(s, d)
+      }
+    }
+    val work = Files.createTempDirectory("graft-restart").toString
+    val srcDir = s"$work/src"; val ck = s"$work/ck"; val out = s"$work/out"
+    Files.createDirectories(Paths.get(srcDir))
+    def stage(names: Seq[String]): Unit = names.foreach { n =>
+      Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    def runOnce(): Unit = {
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val events = src.as[TimedRawLine].flatMap { raw =>
+        PurchaseCsv.route(raw.value).map(ev =>
+          TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+      }
+      val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
+        events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    stage(Seq("slice01.parquet", "slice02.parquet", "slice03.parquet"))
+    runOnce() // sessions accumulate in the store; nothing emits
+    stage(Seq("slice04.parquet", "slice05.parquet", "slice06.parquet"))
+    runOnce() // a NEW execution recovers the store and completes them
+    s.read.parquet(out)
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql))
+    "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
+    "q216_pipeline_streaming" ->
+      QueryDef(pipelineStreamingGate _, pipelineStreamingSql),
+    "q222_pipeline_restart" ->
+      QueryDef(pipelineRestartGate _, pipelineStreamingSql))
 }

@@ -438,16 +438,56 @@ object Relational {
     FROM counts"""
 
   /** Anti join: customers with no orders (NOT EXISTS). */
+  /** Anti join over a DATE-WINDOWED right side: customers with no 1995
+    * order. (Round-11 verdict #7: the unwindowed form gated on 0 rows at
+    * every SF — the testdata gives every customer an order — so the row
+    * proved only that both engines agree on empty; the windowed form
+    * yields real survivors at every gate SF while keeping the identical
+    * anti-join plan, with the date filter pushed below the join.) */
   def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
 
   val customersWithoutOrdersSql: String = """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o_orderdate < TIMESTAMP '1996-01-01')"""
+
+  /** q221: the SQL-STRING surface + correlated-scalar-subquery
+    * DECORRELATION — each customer's maximum-value order(s), written the
+    * way an analyst writes it (a correlated `= (SELECT max(...))`) and
+    * run through `spark.sql` over a registered view. What's gated beyond
+    * the rows: Catalyst's RewriteCorrelatedScalarSubquery must turn the
+    * per-row subquery into ONE aggregate + ONE key equi-join — a naive
+    * engine re-executes the subquery per outer row (O(n²) at 100 TB);
+    * RelationalSpec pins the decorrelated plan (no nested-loop, no
+    * cartesian). Ties (two orders sharing the customer max) are kept by
+    * both engines — set semantics, no arbitrary pick. */
+  def correlatedMaxOrder(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 1e2) AS BIGINT) AS cents
+      FROM graft_orders_v o
+      WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                            FROM graft_orders_v o2
+                            WHERE o2.o_custkey = o.o_custkey)""")
+  }
+
+  val correlatedMaxOrderSql: String = """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 1e2) AS BIGINT) AS cents
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)"""
 
   /** Semi join: parts that appear in some lineitem (EXISTS). */
   def partsWithSales(s: SparkSession, d: String): DataFrame = {
@@ -702,10 +742,18 @@ object Relational {
     val s2 = next(first, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")
-    val counts = Seq("1_signup" -> first, "2_view" -> s2,
-      "3_click" -> s3, "4_purchase" -> s4).map { case (name, df) =>
-      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
-    }.reduce(_ unionByName _)
+    val stages = Seq("1_signup" -> first, "2_view" -> s2,
+      "3_click" -> s3, "4_purchase" -> s4)
+    // the counts union is stage-sized (4 rows): materialize it eagerly
+    // (localCheckpoint truncates lineage, so the result no longer reads
+    // the stage frames) and RELEASE the per-stage persists — without
+    // this, every invocation pins five frames in the block manager for
+    // the session's lifetime (the ancestorClosure release discipline)
+    val counts =
+      try stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      finally stages.foreach { case (_, df) => df.unpersist(false) }
     counts.withColumn("conversion",
       col("users").cast("double") /
         lag(col("users"), 1).over(Window.orderBy("stage")).cast("double"))
@@ -874,7 +922,9 @@ object Relational {
       .persist()
     val sizes = perUser.groupBy("cohort_wk")
       .agg(count(lit(1)).as("cohort_users"))
-    perUser
+    // cells-sized result: checkpoint it eagerly and release the per-user
+    // persist so repeated invocations don't pin frames for the session
+    try perUser
       .select(col("cohort_wk"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
       .agg(count(lit(1)).as("active_users"))
@@ -883,6 +933,8 @@ object Relational {
         col("cohort_users"),
         (col("active_users").cast("double") /
           col("cohort_users").cast("double")).as("retention"))
+      .localCheckpoint(true)
+    finally perUser.unpersist(false)
   }
 
   val cohortRetentionSql: String = """
@@ -1104,6 +1156,8 @@ object Relational {
     "q13_distinct_users_by_type" -> QueryDef(distinctUsersByType _, distinctUsersByTypeSql),
     "q14_customers_without_orders" -> QueryDef(customersWithoutOrders _, customersWithoutOrdersSql),
     "q15_parts_with_sales"    -> QueryDef(partsWithSales _, partsWithSalesSql),
+    "q221_correlated_subquery" ->
+      QueryDef(correlatedMaxOrder _, correlatedMaxOrderSql),
     "q33_approx_distinct_users" -> QueryDef(approxDistinctUsers _, approxDistinctUsersSql),
     "q102_funnel"             -> QueryDef(funnel _, funnelSql),
     "q34_rollup_revenue"      -> QueryDef(rollupRevenue _, rollupRevenueSql),

@@ -1224,13 +1224,18 @@ object Stats {
     val spine = daily.groupBy("o_orderpriority")
       .agg(min("x").as("lo"), max("x").as("hi"))
       .select(col("o_orderpriority"), explode(sequence(col("lo"), col("hi"))).as("x"))
-    spine.join(daily, Seq("o_orderpriority", "x"), "left")
+    // groups×days result: checkpoint eagerly and release the daily persist
+    // (q207/q211 re-invoke this — unreleased persists would accumulate one
+    // pinned frame per call for the session's lifetime)
+    try spine.join(daily, Seq("o_orderpriority", "x"), "left")
       .select(col("o_orderpriority"), col("x"),
         coalesce(col("cents"), lit(0L)).as("cents"),
         last(col("cents"), ignoreNulls = true)
           .over(Window.partitionBy(col("o_orderpriority")).orderBy(col("x"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("ffill_cents"))
+      .localCheckpoint(true)
+    finally daily.unpersist(false)
   }
 
   val calendarFillSql: String = """

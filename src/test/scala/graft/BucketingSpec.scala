@@ -10,11 +10,11 @@ class BucketingSpec extends AnyFunSuite {
 
   test("co-bucketed join plans without any shuffle exchange") {
     Bucketing.writeBucketed(Tables.lineitem(spark, sf)
-      .withColumnRenamed("l_orderkey", "okey"), "li_b", "okey", 4)
+      .withColumnRenamed("l_orderkey", "okey"), "graft_li_b", "okey", 4)
     Bucketing.writeBucketed(Tables.orders(spark, sf)
-      .withColumnRenamed("o_orderkey", "okey"), "o_b", "okey", 4)
+      .withColumnRenamed("o_orderkey", "okey"), "graft_o_b", "okey", 4)
 
-    val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "okey")
+    val joined = Bucketing.bucketedJoin(spark, "graft_li_b", "graft_o_b", "okey")
     val plan = joined.queryExecution.executedPlan.toString
 
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),

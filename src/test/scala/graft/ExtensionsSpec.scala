@@ -530,6 +530,41 @@ class ExtensionsSpec extends AnyFunSuite {
       "real ImageIO decode drifted from the pinned oracle — re-pin imageDecodePins")
   }
 
+  test("q218 pins re-derive: the JPEG (DCT) decode reproduces the committed VALUES oracle") {
+    implicit val s = spark
+    val got = graft.queries.Extensions.jpegDecode(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._6))
+    val want = graft.queries.Extensions.jpegDecodePins.sortBy(t => (t._1, t._6))
+    assert(got.length === 48)
+    assert(got.toSeq === want,
+      "JPEG decode drifted from the pinned oracle — re-run graft.tools.GenJpegPins")
+    // and the decoded rasters really went through the lossy path: the
+    // luminance grid of at least one payload must differ from the ENCODED
+    // raster's grid (a PNG-style exact roundtrip would make this a
+    // lossless gate in disguise)
+    val encGrid = {
+      val r = graft.operators.Multimodal.encodeSyntheticJpeg(0L)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      assert(img.getWidth === 16 && img.getHeight === 8)
+      // recompute the source raster's grid from the generator formula
+      val feature = new Array[Float](8)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val rr = (x * 255 / 15 + 0) % 256
+        val gg = (y * 255 / 7 + 0) % 256
+        val bb = ((x + y) * 255 / 22 + 0) % 256
+        val lum = (rr * 299 + gg * 587 + bb * 114) / 1000
+        feature((y * 16 + x) % 8) += lum / 255.0f
+      }
+      feature.map(f => math.round(f.toDouble * 1048576.0))
+    }
+    val decoded = got.filter(_._1 == 0L).sortBy(_._6).map(_._7)
+    assert(decoded.toSeq !== encGrid.toSeq,
+      "JPEG decode returned the source raster bit-exactly — DCT path not exercised?")
+  }
+
   test("q212: WAV energies equal a direct fold over the waveform formula") {
     // generator -> RIFF encoder -> chunk-walking parser -> bucket grid
     // must equal computing the grid straight from the sample formula,

@@ -233,4 +233,35 @@ class LayoutSpec extends AnyFunSuite {
         s"bucket ${r.getAs[Long]("zbucket")} suppkey leaks its z-cell")
     }
   }
+
+  test("q219 zone maps: data-skipping law — overlapping files alone serve a key-range query") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.queries.LayoutQueries.zonedOrdersDir(spark, sf)
+    val zones = graft.queries.LayoutQueries.zoneMapStats(spark, sf)
+      .select("file_slice", "key_min", "key_max").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(zones.length === 8)
+    // the layout is range-clustered: zones are pairwise disjoint
+    val sorted = zones.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, _, aMax), (_, bMin, _)) =>
+        assert(aMax < bMin, "zone spans overlap - the clustered write leaked")
+      case _ =>
+    }
+    // pick a probe range spanning ~2 zones; serve it from ONLY the files
+    // whose zone overlaps, and from the full scan - identical rows
+    val lo = sorted(2)._2 + 1; val hi = sorted(3)._3 - 1
+    val keep = zones.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+      .map(_._1).sorted
+    assert(keep.length < 8, "probe must prune at least one file")
+    val prunedFiles = keep.map(i => f"$dir/slice$i%02d.parquet")
+    val pruned = spark.read.parquet(prunedFiles: _*)
+      .filter(col("o_orderkey").between(lo, hi))
+      .orderBy("o_orderkey").collect().toSeq
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(lo, hi))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
+  }
 }

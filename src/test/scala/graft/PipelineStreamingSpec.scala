@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.PipelineReplay
+
+/** q216 — the whole reference pipeline under a real StreamExecution:
+  * readStream → parse/route → event-time flatMapGroupsWithState
+  * sessionizer → classification → pinned-center scoring, six micro-batches.
+  * These tests pin the two properties the gate's oracle can't see from the
+  * outside: (1) the stream output equals a single-batch recomputation of
+  * the identical pipeline EXACTLY (cross-batch state carry folds to the
+  * batch semantics), and (2) the replay fixture really does split invoices
+  * across micro-batch files, so property (1) is proved ACROSS batch
+  * boundaries, not vacuously within one. */
+class PipelineStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val streamOut = PipelineReplay.pipelineStreamingGate(spark, sf)
+
+  /** Batch twin: same manufacture, same route, whole-history sessionization,
+    * same projection + scoring — the in-Spark restatement of the DuckDB
+    * oracle. */
+  private lazy val batchTwin = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val lines = PipelineReplay.manufacturedLines(spark, sf)
+      .select("value").as[String]
+    val events = lines.flatMap(graft.streaming.PurchaseCsv.route _)
+    val centers = graft.ml.ReferenceArtifacts.kmeansCenters(spark)
+    val thresh = graft.ml.ReferenceArtifacts.kmeansThreshold()
+    val valid = col("status") === "valid"
+    graft.streaming.Sessionizer.sessionizeBatch(events).toDF()
+      .select(
+        col("invoiceNo").as("invoice_no"), col("status"), col("reason"),
+        when(valid, col("avgUnitPrice")).as("avg_unit_price"),
+        when(valid, col("minUnitPrice")).as("min_unit_price"),
+        when(valid, col("maxUnitPrice")).as("max_unit_price"),
+        when(valid, col("time")).as("time_hour"),
+        when(valid, col("numberItems")).as("number_items"),
+        when(valid, col("lineCount").cast("long")).otherwise(lit(0L))
+          .as("line_count"))
+      .withColumn("score", when(valid, graft.ml.Anomaly.minSqdist(centers)))
+      .withColumn("is_anomaly", when(valid, col("score") > lit(thresh)))
+  }
+
+  test("stream output ≡ batch twin, bit-exact, both directions") {
+    val so = streamOut.cache()
+    val bt = batchTwin.cache()
+    try {
+      assert(so.count() === bt.count())
+      assert(so.count() > 0)
+      assert(so.except(bt).count() === 0, "stream rows missing from batch")
+      assert(bt.except(so).count() === 0, "batch rows missing from stream")
+    } finally { so.unpersist(); bt.unpersist() }
+  }
+
+  test("every invoice emits exactly once (no duplicate sessions from early expiry)") {
+    val dups = streamOut.groupBy("invoice_no").count().filter(col("count") > 1)
+    assert(dups.count() === 0)
+  }
+
+  test("the replay fixture splits invoices across micro-batch files") {
+    // gate ran in the first test → fixture exists; read the slice files
+    // individually (each is one micro-batch under maxFilesPerTrigger=1)
+    val dirField = PipelineReplay.getClass.getDeclaredMethods
+      .find(_.getName.contains("pipelineReplayDir")).get
+    dirField.setAccessible(true)
+    val dir = dirField.invoke(PipelineReplay, sf).asInstanceOf[String]
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("slice0[1-4]\\.parquet")).sortBy(_.getName)
+    assert(files.length === 4)
+    val perSlice = files.zipWithIndex.map { case (f, i) =>
+      spark.read.parquet(f.getAbsolutePath)
+        .select(split(col("value"), ",").getItem(0).as("invoice_no"))
+        .distinct()
+        .withColumn("slice", lit(i))
+    }.reduce(_ unionByName _)
+    val spanning = perSlice.groupBy("invoice_no").count()
+      .filter(col("count") > 1).count()
+    assert(spanning > 0,
+      "no invoice spans two slice files — the cross-batch carry is untested")
+    // and the sentinel batches exist (timeout sweep without no-data batches)
+    val all = new java.io.File(dir).listFiles()
+      .count(_.getName.matches("slice0[1-6]\\.parquet"))
+    assert(all === 6)
+  }
+
+  test("scored columns: anomalies exist and are exactly score > threshold") {
+    val thresh = graft.ml.ReferenceArtifacts.kmeansThreshold()
+    val bad = streamOut.filter(col("status") === "valid" &&
+      col("is_anomaly") =!= (col("score") > lit(thresh)))
+    assert(bad.count() === 0)
+    assert(streamOut.filter(col("status") === "error").count() > 0,
+      "poisoned invoices must flow through the stream as errors")
+  }
+
+  test("q222 restart recovery ≡ q216 single-run stream, bit-exact") {
+    val restart = graft.queries.PipelineReplay
+      .pipelineRestartGate(spark, sf).cache()
+    val single = streamOut.cache()
+    try {
+      assert(restart.count() === single.count())
+      assert(restart.except(single).count() === 0,
+        "restart output has rows the single run lacks")
+      assert(single.except(restart).count() === 0,
+        "restart output lost rows across the stop/restart")
+    } finally { restart.unpersist(); single.unpersist() }
+  }
+}

@@ -28,7 +28,7 @@ class TransitionsSpec extends AnyFunSuite {
     val name = "trans_spec_gate"
     val src = spark.readStream.schema(f1.toDS().schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = Transitions.transitionPairs(src.as[Ev])
+    val q = Transitions.transitionPairs(src.as[Ev], idleHorizon = None)
       .writeStream.format("memory").queryName(name).outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
@@ -38,6 +38,75 @@ class TransitionsSpec extends AnyFunSuite {
     // carried the last file-1 event into the file-2 batch
     assert(got === Seq((1L, "signup", "view"), (1L, "view", "click"),
       (2L, "signup", "view")))
+  }
+
+  test("retry determinism: identical pairs when every stateful task's " +
+    "first attempt is killed (round-11 verdict #6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // At 100 TB task retries are continuous; the whole gate discipline
+    // presumes a state-store-backed operator emits the SAME output on a
+    // retried attempt (store rolls back to the batch's opening version).
+    // Inject a failure into attempt 0 of EVERY task of the stateful result
+    // stage — the map fuses into the flatMapGroupsWithState stage, so the
+    // killed-and-retried task is the one that loaded, updated, and must
+    // roll back the state store. Requires master local[n,2] (maxFailures=2,
+    // SparkTestSession).
+    val in = MemoryStream[Ev]
+    // idleHorizon = None: with a processing-time timer armed, the engine
+    // runs no-data micro-batches CONTINUOUSLY under the default trigger
+    // (shouldRunAnotherBatch is always-true) — each one re-triggering the
+    // injected failure + retry + checkpoint churn; eviction is proven by
+    // the TestGroupState case below, this test isolates store ROLLBACK
+    val pairs = Transitions.transitionPairs(in.toDS(), idleHorizon = None)
+      .map { p =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected first-attempt failure")
+        p
+      }
+    val name = "trans_retry_gate"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1L, ts(10), 100L, "signup"), Ev(1L, ts(20), 101L, "view"),
+        Ev(2L, ts(15), 102L, "signup"))
+      q.processAllAvailable()
+      in.addData(Ev(1L, ts(30), 103L, "click"), Ev(2L, ts(40), 104L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got === Seq((1L, "signup", "view"), (1L, "view", "click"),
+      (2L, "signup", "view")),
+      "retried stateful tasks must reproduce the exact transition multiset")
+    spark.catalog.dropTempView(name)
+  }
+
+  test("idle users are evicted: timeout removes state and emits nothing; " +
+    "active updates re-arm the horizon") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def state(ev: Option[Ev], timedOut: Boolean) = TestGroupState.create[Ev](
+      ev.map(org.apache.spark.api.java.Optional.of[Ev])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Ev]()),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = timedOut)
+    // timed out: carried event dies, no output — the store tracks LIVE
+    // users (the ADVICE-flagged unbounded-state fix)
+    val idle = state(Some(Ev(9L, ts(1), 1L, "signup")), timedOut = true)
+    val out = Transitions.updateTransitions(Some("1 hour"))(9L, Iterator.empty, idle)
+    assert(out.isEmpty && idle.isRemoved)
+    // active: pairs emitted, last event carried, timeout re-armed
+    val live = state(Some(Ev(9L, ts(1), 1L, "signup")), timedOut = false)
+    val pairs = Transitions.updateTransitions(Some("1 hour"))(
+      9L, Iterator(Ev(9L, ts(5), 2L, "view")), live).toSeq
+    assert(pairs === Seq(Transitions.Pair(9L, "signup", "view")))
+    assert(live.get.event_id === 2L)
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "an active update must re-arm the idle-eviction clock")
   }
 
   test("batch twin equals the lag window, ties ordered by event_id") {

@@ -124,6 +124,63 @@ class VersionedSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"readAt should shuffle once on the key:\n$plan")
   }
 
+  test("optimistic concurrency: the second writer of a version loses cleanly") {
+    val root = log3()
+    // v=2 is already committed: a stale writer re-commits it and must get
+    // the contract exception — and the live log is untouched
+    val before = state(root, 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commit(Seq((9L, "z", "u")).toDF("k", "val", "_op"),
+        root, "k", 2)
+    }
+    assert(state(root, 2) === before, "the losing commit must not mutate v=2")
+    // no temp debris left behind
+    val leftover = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_tmp_"))
+    assert(leftover.isEmpty, s"temp dirs leaked: ${leftover.mkString(",")}")
+    // and a RACING pair on the NEXT slot: exactly one wins
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(Future.sequence((1 to 2).map { i =>
+      Future {
+        try { Versioned.commit(Seq((10L + i, "w", "u")).toDF("k", "val", "_op"),
+          root, "k", 3); true }
+        catch { case _: java.util.ConcurrentModificationException => false }
+      }
+    }), Duration.Inf).toList
+    assert(results.count(identity) === 1,
+      s"exactly one racing commit must win, got $results")
+    assert(state(root, 3).size === before.size + 1)
+  }
+
+  test("gapped commits and gapped reads fail loudly") {
+    val root = freshRoot()
+    Versioned.commit(Seq((1L, "a", "u")).toDF("k", "val", "_op"), root, "k", 0)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((2L, "b", "u")).toDF("k", "val", "_op"), root, "k", 2)
+    }
+    assert(e.getMessage.contains("gap"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.readAt(spark, root, "k", 1)
+    }
+    assert(e2.getMessage.contains("not contiguous"))
+  }
+
+  test("checkpoint-served feed ≡ uncompacted feed on every version pair") {
+    val root = log3()
+    for (a <- 0 to 1; b <- a + 1 to 2) {
+      val ck = freshRoot()
+      Versioned.compact(spark, root, "k", a, ck)
+      val live = Versioned.changeFeed(spark, root, "k", a, b).collect()
+        .map(_.toSeq).toSet
+      val served = Versioned
+        .changeFeedFromCheckpoint(spark, ck, root, "k", a, b).collect()
+        .map(_.toSeq).toSet
+      assert(served === live, s"checkpoint feed($a, $b)")
+    }
+  }
+
   test("q192 gate query matches its closed-form oracle shape at sf0.001") {
     val out = graft.queries.MaintenanceQueries
       .timeTravelSummary(spark, "/root/testdata/sf0.001")
@@ -131,5 +188,35 @@ class VersionedSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     // V2 rows exist (the re-insert-after-delete class is non-empty)
     assert(out.exists(_.getString(1) == "V2"))
+  }
+
+  test("q220 erasure laws: feed(2,3) is all-D on the erased keys; v2 still serves them (legal hold)") {
+    val sf = "/root/testdata/sf0.001"
+    // materialize the erasure commit via the gate itself
+    assert(graft.queries.MaintenanceQueries
+      .gdprErasureSummary(spark, sf).count() > 0)
+    val root = graft.queries.MaintenanceQueries.versionedOrdersRoot(spark, sf)
+    val feed = Versioned.changeFeed(spark, root, "o_orderkey", 2, 3)
+      .collect()
+    assert(feed.nonEmpty)
+    assert(feed.forall(_.getAs[String]("op") == "D"),
+      "the erasure version must surface as pure deletions")
+    assert(feed.forall(_.getAs[Long]("o_orderkey") % 17 == 3))
+    // erased keys: gone at v3, still present at v2 (time travel = legal hold)
+    import org.apache.spark.sql.functions.col
+    val at3 = Versioned.readAt(spark, root, "o_orderkey", 3)
+      .filter(col("o_orderkey") % 17 === 3).count()
+    val at2 = Versioned.readAt(spark, root, "o_orderkey", 2)
+      .filter(col("o_orderkey") % 17 === 3).count()
+    assert(at3 === 0L, "erased keys must not be servable at v3")
+    assert(at2 === feed.length.toLong,
+      "pre-erasure version must still serve exactly the erased keys")
+    // and compaction AT v3 physically drops them: the checkpoint base
+    // contains no tombstones and no erased keys - actual destruction
+    val ck = freshRoot()
+    Versioned.compact(spark, root, "o_orderkey", 3, ck)
+    val ckRows = spark.read.parquet(s"$ck/v=0")
+    assert(ckRows.filter(col("o_orderkey") % 17 === 3).count() === 0L)
+    assert(ckRows.filter(col("_op") =!= "u").count() === 0L)
   }
 }
