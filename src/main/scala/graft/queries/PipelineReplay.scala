@@ -115,8 +115,9 @@ object PipelineReplay {
     * (ST4/ST5, watermark-fired expiry) → classification (ST6/ST7) →
     * pinned-center anomaly scoring (M4/M5, the committed reference
     * artifacts) — run as ONE StreamExecution over six time-sliced replay
-    * files (maxFilesPerTrigger=1: six real micro-batches), hash-matched
-    * against q43's batch oracle extended with the q44 scoring columns.
+    * files (maxFilesPerTrigger=2: three data micro-batches plus the
+    * engine's no-data watermark sweep), hash-matched against q43's batch
+    * oracle extended with the q44 scoring columns.
     * Reference: the whole graph at realtime/InvoicePipeline.scala:157-409.
     *
     * Determinism ledger:
@@ -127,9 +128,12 @@ object PipelineReplay {
     *  - slice i carries event time base + (i-1)·10 s: within-invoice
     *    event-time silence is ≤ 10 s < the 40 s gap, so no session expires
     *    early, and EVERY session expires across a batch boundary (its
-    *    emit fires when the sentinel files advance the watermark past all
-    *    data-slice timeouts — two sentinel batches, so the timeout sweep
-    *    runs even if the engine skips no-data batches);
+    *    emit fires when the sentinel file batch advances the watermark
+    *    past all data-slice timeouts and the engine runs its no-data
+    *    timeout-sweep batch (FlatMapGroupsWithStateExec
+    *    .shouldRunAnotherBatch on watermark advance — LOAD-BEARING under
+    *    AvailableNow, and loudly so: if a Spark version stopped running
+    *    it, the gate would emit ZERO rows, not subtly fewer);
     *  - all emitted fields are arrival-order-independent by construction
     *    (shared order date/customer per invoice; integer-valued double
     *    sums are exact), EXCEPT lineCount on poisoned invoices, which
@@ -180,7 +184,7 @@ object PipelineReplay {
     val name = s"graft_pipe_gate_${streamGateRuns.incrementAndGet()}"
     val src = s.readStream
       .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
     val events = src.as[TimedRawLine].flatMap { raw =>
       PurchaseCsv.route(raw.value).map(ev =>
         TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))

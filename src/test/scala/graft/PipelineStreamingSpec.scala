@@ -63,7 +63,7 @@ class PipelineStreamingSpec extends AnyFunSuite {
 
   test("the replay fixture splits invoices across micro-batch files") {
     // gate ran in the first test → fixture exists; read the slice files
-    // individually (each is one micro-batch under maxFilesPerTrigger=1)
+    // individually (batches take them in mtime order, two per trigger)
     val dirField = PipelineReplay.getClass.getDeclaredMethods
       .find(_.getName.contains("pipelineReplayDir")).get
     dirField.setAccessible(true)
@@ -81,6 +81,13 @@ class PipelineStreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count()
     assert(spanning > 0,
       "no invoice spans two slice files — the cross-batch carry is untested")
+    // and specifically across the s2|s3 MICRO-BATCH boundary (batches take
+    // two files per trigger: [s1,s2], [s3,s4] — s1|s2 and s3|s4 joints are
+    // intra-batch, so only the s2→s3 spanner proves the cross-batch carry)
+    val batchSpanning = perSlice.filter(col("slice").isin(1, 2))
+      .groupBy("invoice_no").count().filter(col("count") > 1).count()
+    assert(batchSpanning > 0,
+      "no invoice spans the slice-2|slice-3 micro-batch boundary")
     // and the sentinel batches exist (timeout sweep without no-data batches)
     val all = new java.io.File(dir).listFiles()
       .count(_.getName.matches("slice0[1-6]\\.parquet"))
