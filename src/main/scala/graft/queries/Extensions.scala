@@ -404,7 +404,9 @@ object Extensions {
   private def transitionsReplayDir(d: String): String =
     indexCacheDir("graft-transitions-replay", d, "events", "tslices4v1")
 
-  def transitionsStreamingGate(s: SparkSession, d: String): DataFrame = {
+  /** Build (once per events fingerprint) the 4-file time-sliced events
+    * replay — shared by q210 and q223. */
+  private def ensureTransitionsReplay(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths}
     val dir = transitionsReplayDir(d)
     transReplayLock.synchronized {
@@ -426,6 +428,11 @@ object Extensions {
         } finally sliced.unpersist()
       }
     }
+  }
+
+  def transitionsStreamingGate(s: SparkSession, d: String): DataFrame = {
+    ensureTransitionsReplay(s, d)
+    val dir = transitionsReplayDir(d)
     val name = s"graft_trans_gate_${transGateRuns.incrementAndGet()}"
     import s.implicits._
     val src = s.readStream
@@ -456,6 +463,49 @@ object Extensions {
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
   }
+
+  /** q223: STREAM-STATIC ENRICHMENT JOIN under streaming execution — the
+    * ingest shape every production stream runs (events joined to a
+    * dimension table at arrival: the reference's ST9 broadcast-model
+    * access, generalized to a relational dim): the q210 replay files
+    * stream through a join against the STATIC customer table
+    * (c_custkey = user_id + 1) and a chained streaming aggregation per
+    * (market segment, event type); the final table must hash-match the
+    * plain batch join's oracle. What's gated: per-micro-batch dim joins
+    * compose to exactly the batch join (no dropped or doubled rows at
+    * batch boundaries — the join is stateless, the AGGREGATION carries
+    * the cross-batch state). Scale shape: the dim side is
+    * broadcast-sized, the stream side never shuffles for the join, and
+    * the sink holds the segments×types matrix. */
+  private val enrichGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def streamStaticEnrichGate(s: SparkSession, d: String): DataFrame = {
+    ensureTransitionsReplay(s, d)
+    val name = s"graft_enrich_gate_${enrichGateRuns.incrementAndGet()}"
+    val src = s.readStream
+      .schema(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .schema)
+      .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = src.join(broadcast(dim),
+      src("user_id") + lit(1L) === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    detachMemorySink(s, name)
+  }
+
+  val streamStaticEnrichSql: String = """
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events JOIN customer ON c_custkey = user_id + 1
+    GROUP BY 1, 2"""
 
   /** q150: the round-10 curation composition — the document intake a
     * training pipeline actually runs, chaining this round's screens with
@@ -2867,7 +2917,9 @@ object Extensions {
     "q210_transitions_streaming" -> QueryDef(transitionsStreamingGate _,
       graft.queries.Relational.eventTransitionsSql),
     "q148_audit_incremental" -> QueryDef(auditIncremental _, embeddingAuditSql),
-    "q150_curate_v2"         -> QueryDef(curateV2 _, curateV2Sql))
+    "q150_curate_v2"         -> QueryDef(curateV2 _, curateV2Sql),
+    "q223_stream_static_join" ->
+      QueryDef(streamStaticEnrichGate _, streamStaticEnrichSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully
