@@ -464,6 +464,49 @@ object Extensions {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
   }
 
+  /** q225: the q210 transition semantics rebuilt on TRANSFORM-WITH-STATE —
+    * Spark 4's arbitrary-state API (typed state variables, native TTL,
+    * RocksDB-backed) — and hash-matched against the SAME batch-lag oracle
+    * q210's flatMapGroupsWithState version matches: two independent state
+    * APIs and state-store providers (HDFS-backed vs RocksDB), one truth.
+    * The RocksDB provider requirement is set per-query-start and restored
+    * (transformWithState rejects the default provider); the chained
+    * streaming aggregation + row-normalized probabilities are identical
+    * to q210's. */
+  private val twsGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def transitionsTwsGate(s: SparkSession, d: String): DataFrame = {
+    ensureTransitionsReplay(s, d)
+    val name = s"graft_tws_gate_${twsGateRuns.incrementAndGet()}"
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = s.readStream
+        .schema(Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .schema)
+        .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
+      val pairs = graft.streaming.TransitionsTws.transitionPairs(
+        src.as[graft.streaming.Transitions.Ev])
+      val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+    detachMemorySink(s, name)
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+  }
+
   /** q223: STREAM-STATIC ENRICHMENT JOIN under streaming execution — the
     * ingest shape every production stream runs (events joined to a
     * dimension table at arrival: the reference's ST9 broadcast-model
@@ -2919,7 +2962,9 @@ object Extensions {
     "q148_audit_incremental" -> QueryDef(auditIncremental _, embeddingAuditSql),
     "q150_curate_v2"         -> QueryDef(curateV2 _, curateV2Sql),
     "q223_stream_static_join" ->
-      QueryDef(streamStaticEnrichGate _, streamStaticEnrichSql))
+      QueryDef(streamStaticEnrichGate _, streamStaticEnrichSql),
+    "q225_transitions_tws" -> QueryDef(transitionsTwsGate _,
+      graft.queries.Relational.eventTransitionsSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

@@ -326,10 +326,74 @@ object PipelineReplay {
     s.read.parquet(out)
   }
 
+  /** One-batch fold of a bootstrap window's events into the sessionizer's
+    * state snapshot — exactly [[graft.streaming.Sessionizer
+    * .updateSessionEventTime]]'s semantics for a single batch (quirk Q3:
+    * an error event wins the window and drops its good lines). */
+  def foldInitialState(inv: String, evs: Iterator[TimedLineEvent])
+      : (String, graft.streaming.EventSessionState) = {
+    val seq = evs.toSeq
+    val maxMs = seq.map(_.eventTime.getTime).max
+    seq.collectFirst { case TimedLineEvent(_, _, _, Some(r)) => r } match {
+      case Some(r) =>
+        (inv, graft.streaming.EventSessionState(Nil, Some(r), maxMs))
+      case None =>
+        (inv, graft.streaming.EventSessionState(
+          seq.flatMap(_.purchase).toList, None, maxMs))
+    }
+  }
+
+  /** q224: WARM-START (state bootstrap) of the streaming sessionizer —
+    * the migration pattern production streams need when a stateful job is
+    * first deployed over a live history, or its state schema changes:
+    * slices 1–2 are folded BATCH-side into the sessionizer's state
+    * snapshot and bulk-loaded via the `flatMapGroupsWithState`
+    * initial-state API; only slices 3–6 stream (pathGlobFilter keeps the
+    * source honest). Output must STILL hash-match q216's oracle — i.e.
+    * bootstrap-then-stream ≡ stream-everything. The sharp edge gated:
+    * invoices wholly contained in the bootstrap window have NO streamed
+    * events, so they emit only because the engine invokes the update
+    * function once for initial-state-only keys (arming their event-time
+    * timeout from the snapshot's maxEventMs) — if it didn't, every such
+    * invoice would vanish and the hash would break loudly. */
+  def pipelineBootstrapGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val dir = pipelineReplayDir(d)
+    streamReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) pipelineStreamingGate(s, d)
+    }
+    def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
+      PurchaseCsv.route(raw.value).map(ev =>
+        TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+    }
+    val init = toEvents(
+      s.read.parquet(s"$dir/slice01.parquet", s"$dir/slice02.parquet"))
+      .groupByKey(_.invoiceNo)
+      .mapGroups(foldInitialState _)
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+      .option("pathGlobFilter", "slice0[3-6].parquet")
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
+      toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
+    val name = s"graft_pipe_boot_${streamGateRuns.incrementAndGet()}"
+    val q = scored.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Extensions.detachMemorySink(s, name)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
     "q216_pipeline_streaming" ->
       QueryDef(pipelineStreamingGate _, pipelineStreamingSql),
     "q222_pipeline_restart" ->
-      QueryDef(pipelineRestartGate _, pipelineStreamingSql))
+      QueryDef(pipelineRestartGate _, pipelineStreamingSql),
+    "q224_pipeline_bootstrap" ->
+      QueryDef(pipelineBootstrapGate _, pipelineStreamingSql))
 }

@@ -284,6 +284,31 @@ object Sessionizer {
         updateSessionEventTime(gapMs))
   }
 
+  /** The event-time sessionizer WARM-STARTED from bulk-loaded state — the
+    * state-bootstrap/migration pattern (yesterday's open sessions loaded
+    * as `initialState`, today's lines streamed on top). Same update
+    * function, same expiry clock; the initial snapshot is whatever a
+    * batch fold of the prior window produced. Initial-state-only keys
+    * (sessions with no further events) are emitted too: Spark invokes
+    * the update function once for them in the first micro-batch, where
+    * [[updateSessionEventTime]] arms their event-time timeout from the
+    * snapshot's maxEventMs — pinned by the q224 gate, which would lose
+    * every fully-bootstrapped invoice if that invocation didn't happen. */
+  def sessionizeEventTimeWithInit(
+      events: Dataset[TimedLineEvent],
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[String, EventSessionState],
+      gapMs: Long = DefaultGapMs,
+      watermarkDelay: String = "30 seconds")
+     (implicit spark: SparkSession): Dataset[InvoiceResult] = {
+    import spark.implicits._
+    events
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.invoiceNo)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout, initial)(
+        updateSessionEventTime(gapMs))
+  }
+
   /** Parse + route + sessionize raw CSV lines end-to-end (ST3 → ST4).
     * `relationalParse = true` swaps the typed univocity route for the
     * codegen from_csv route — identical on well-formed and numeric-failure

@@ -126,4 +126,38 @@ class TransitionsSpec extends AnyFunSuite {
     assert(fromState === Seq(("a", "b"), ("b", "c"), ("c", "d")))
     assert(fromState === fromWindow)
   }
+
+  test("q225: transformWithState (RocksDB) emits the same pairs as flatMapGroupsWithState") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val name = "tws_spec_gate"
+      val q = graft.streaming.TransitionsTws.transitionPairs(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        in.addData(Ev(1L, ts(10), 100L, "signup"), Ev(1L, ts(20), 101L, "view"),
+          Ev(2L, ts(15), 102L, "signup"))
+        q.processAllAvailable()
+        in.addData(Ev(1L, ts(30), 103L, "click"), Ev(2L, ts(40), 104L, "view"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      // the exact multiset the GroupState version produced on this feed
+      // (cross-batch carry included)
+      assert(got === Seq((1L, "signup", "view"), (1L, "view", "click"),
+        (2L, "signup", "view")))
+      spark.catalog.dropTempView(name)
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
 }
