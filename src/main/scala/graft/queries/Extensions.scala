@@ -507,6 +507,123 @@ object Extensions {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
   }
 
+  /** q226: NATIVE STREAMING DEDUPLICATION under streaming execution —
+    * `dropDuplicatesWithinWatermark`, the engine-native exact-dedup state
+    * operator (the API sibling of the custom `exactDedupStream`): the
+    * replay stages every slice file TWICE (duplicates arrive in LATER
+    * micro-batches than their originals — two files per trigger, slices
+    * then their copies), so the second copy survives only if the state
+    * store failed to remember the first. The watermark delay is set past
+    * the replay's event-time span, so no duplicate is ever
+    * late-beyond-horizon and the oracle is the plain single-copy
+    * aggregate; production sets the delay to its real duplicate horizon
+    * and the store evicts keys older than it — that eviction contract is
+    * exactly why this API scales where unbounded dropDuplicates does
+    * not. */
+  private val dedupGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val dupReplayLock = new Object
+
+  def streamingDedupNative(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    ensureTransitionsReplay(s, d)
+    val src0 = transitionsReplayDir(d)
+    val dir = indexCacheDir("graft-dup-replay", d, "events", "dup8v1")
+    dupReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        Files.createDirectories(Paths.get(dir))
+        val base = System.currentTimeMillis() - 60000L
+        // originals first (mtimes 1-4), then the duplicate copies (5-8):
+        // with 2 files/trigger the copy of slice i lands 2 batches after i
+        (1 to 4).foreach { i =>
+          val from = Paths.get(src0, f"slice$i%02d.parquet")
+          val orig = Paths.get(dir, f"orig$i%02d.parquet")
+          val dup = Paths.get(dir, f"dupl$i%02d.parquet")
+          Files.copy(from, orig, StandardCopyOption.REPLACE_EXISTING)
+          Files.copy(from, dup, StandardCopyOption.REPLACE_EXISTING)
+          orig.toFile.setLastModified(base + i * 1000L)
+          dup.toFile.setLastModified(base + (4 + i) * 1000L)
+        }
+        Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+      }
+    }
+    val name = s"graft_dedup_gate_${dedupGateRuns.incrementAndGet()}"
+    val src = s.readStream
+      .schema(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val deduped = src
+      .withWatermark("ts", "3650 days") // past the replay span: exact dedup
+      .dropDuplicatesWithinWatermark("event_id")
+    val counts = deduped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    detachMemorySink(s, name)
+  }
+
+  /** Oracle: the single-copy aggregate — correct IFF the stream dropped
+    * every duplicated row across batches. */
+  val streamingDedupNativeSql: String = """
+    SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY 1"""
+
+  /** q227: STREAMING UPSERT SINK INTO THE VERSIONED LOG — the CDC-ingest
+    * composition every lakehouse runs: `foreachBatch` reduces each
+    * micro-batch to one latest-event row per user (max-by (ts, event_id)
+    * struct) and COMMITS it as log version = batchId through
+    * [[graft.operators.Versioned.commit]]'s fenced atomic-rename path —
+    * exactly-once by construction: a replayed batch id hits the
+    * version-slot fence instead of double-applying. The gate reads the
+    * final log state (latest-per-key across commits) and must match the
+    * batch argmax oracle: streaming-upserts-then-merge ≡ one global
+    * window. Last-commit-wins equals the global argmax BECAUSE the replay
+    * respects the (ts, event_id) total order across batches (the q210
+    * fixture property) — the same in-order-ingest assumption every CDC
+    * upsert pipeline rests on. Fresh log per invocation — the commit path
+    * is what's being exercised. */
+  private val upsertGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def streamingUpsertSink(s: SparkSession, d: String): DataFrame = {
+    ensureTransitionsReplay(s, d)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsert-log").toString + "/log"
+    val src = s.readStream
+      .schema(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .schema)
+      .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("_m"))
+          .select(col("user_id"),
+            col("_m.event_id").as("last_event_id"),
+            col("_m.event_type").as("last_type"),
+            lit("u").as("_op"))
+        graft.operators.Versioned.commit(delta, root, "user_id", id.toInt)
+        seen.incrementAndGet(): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.operators.Versioned.readAt(s, root, "user_id", seen.get() - 1)
+  }
+
+  val streamingUpsertSinkSql: String = """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (SELECT user_id, event_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1"""
+
   /** q223: STREAM-STATIC ENRICHMENT JOIN under streaming execution — the
     * ingest shape every production stream runs (events joined to a
     * dimension table at arrival: the reference's ST9 broadcast-model
@@ -2964,7 +3081,11 @@ object Extensions {
     "q223_stream_static_join" ->
       QueryDef(streamStaticEnrichGate _, streamStaticEnrichSql),
     "q225_transitions_tws" -> QueryDef(transitionsTwsGate _,
-      graft.queries.Relational.eventTransitionsSql))
+      graft.queries.Relational.eventTransitionsSql),
+    "q226_streaming_dedup_native" ->
+      QueryDef(streamingDedupNative _, streamingDedupNativeSql),
+    "q227_streaming_upsert_sink" ->
+      QueryDef(streamingUpsertSink _, streamingUpsertSinkSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

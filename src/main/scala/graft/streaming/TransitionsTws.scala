@@ -47,8 +47,13 @@ object TransitionsTws {
   def transitionPairs(events: Dataset[Ev],
                       ttl: TTLConfig = TTLConfig.NONE): Dataset[Pair] = {
     import events.sparkSession.implicits._
+    // TTL state variables require the processing-time clock; without TTL
+    // the operator is clock-free (TimeMode.None)
+    val mode =
+      if (Option(ttl.ttlDuration).isEmpty) TimeMode.None()
+      else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
-      .transformWithState(new TransitionProcessor(ttl), TimeMode.None(),
+      .transformWithState(new TransitionProcessor(ttl), mode,
         OutputMode.Append())
   }
 }

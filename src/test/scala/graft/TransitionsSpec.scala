@@ -128,33 +128,96 @@ class TransitionsSpec extends AnyFunSuite {
   }
 
   test("q225: transformWithState (RocksDB) emits the same pairs as flatMapGroupsWithState") {
+    // file replay + AvailableNow, like the carry test above: under the
+    // default trigger TWS keeps committing no-data micro-batches and
+    // processAllAvailable-based coordination is unreliable; AvailableNow
+    // terminates deterministically (the q225 gate runs the same way)
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val in = MemoryStream[Ev]
+      val f1 = Seq(Ev(1L, ts(10), 100L, "signup"), Ev(1L, ts(20), 101L, "view"),
+        Ev(2L, ts(15), 102L, "signup"))
+      val f2 = Seq(Ev(1L, ts(30), 103L, "click"), Ev(2L, ts(40), 104L, "view"))
+      val dir = java.nio.file.Files.createTempDirectory("tws").toString
+      val base = System.currentTimeMillis() - 60000L
+      Seq(f1, f2).zipWithIndex.foreach { case (evs, i) =>
+        graft.queries.Extensions.writeSingleParquet(
+          evs.toDS().toDF(), dir, s"f$i.parquet", mtime = Some(base + i * 1000L))
+      }
       val name = "tws_spec_gate"
-      val q = graft.streaming.TransitionsTws.transitionPairs(in.toDS())
+      val src = spark.readStream.schema(f1.toDS().schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = graft.streaming.TransitionsTws.transitionPairs(src.as[Ev])
         .writeStream.format("memory").queryName(name).outputMode("append")
-        .start()
-      try {
-        in.addData(Ev(1L, ts(10), 100L, "signup"), Ev(1L, ts(20), 101L, "view"),
-          Ev(2L, ts(15), 102L, "signup"))
-        q.processAllAvailable()
-        in.addData(Ev(1L, ts(30), 103L, "click"), Ev(2L, ts(40), 104L, "view"))
-        q.processAllAvailable()
-      } finally q.stop()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
       val got = spark.table(name).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
-      // the exact multiset the GroupState version produced on this feed
+      // the exact multiset the GroupState version produces on this feed
       // (cross-batch carry included)
       assert(got === Seq((1L, "signup", "view"), (1L, "view", "click"),
         (2L, "signup", "view")))
       spark.catalog.dropTempView(name)
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("q225 TTL: a carry older than the state TTL is evicted across a restart; " +
+    "a generous TTL keeps it") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two AvailableNow executions sharing a checkpoint (the q222
+      // restart pattern) put REAL wall-clock between the carry's write
+      // and its read; TTL state is an expiration timestamp, so it
+      // expires across restarts exactly like within one run
+      def run(ttlMs: Long, sleepMs: Long, tag: String): Seq[(Long, String, String)] = {
+        val work = java.nio.file.Files.createTempDirectory("twsttl").toString
+        val srcDir = s"$work/src"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+        val base = System.currentTimeMillis() - 60000L
+        def stage(n: String, evs: Seq[Ev], m: Long): Unit =
+          graft.queries.Extensions.writeSingleParquet(
+            evs.toDS().toDF(), srcDir, n, mtime = Some(m))
+        def exec(qn: String): Unit = {
+          val src = spark.readStream
+            .schema(Seq.empty[Ev].toDS().schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          val q = graft.streaming.TransitionsTws.transitionPairs(src.as[Ev],
+              ttl = org.apache.spark.sql.streaming.TTLConfig(
+                java.time.Duration.ofMillis(ttlMs)))
+            .writeStream.format("memory").queryName(qn).outputMode("append")
+            .option("checkpointLocation", s"$work/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        stage("f0.parquet", Seq(Ev(1L, ts(10), 100L, "signup")), base)
+        exec(s"tws_ttl_${tag}_r1")
+        Thread.sleep(sleepMs)
+        stage("f1.parquet", Seq(Ev(1L, ts(20), 101L, "view")), base + 1000L)
+        exec(s"tws_ttl_${tag}_r2")
+        val out = spark.table(s"tws_ttl_${tag}_r2").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        spark.catalog.dropTempView(s"tws_ttl_${tag}_r1")
+        spark.catalog.dropTempView(s"tws_ttl_${tag}_r2")
+        out
+      }
+      // control first: generous TTL keeps the carry — proves the harness
+      // would SEE a pair if eviction failed
+      assert(run(ttlMs = 600000L, sleepMs = 10L, tag = "keep") ===
+        Seq((1L, "signup", "view")))
+      // tight TTL + longer wait: the carried signup must be gone
+      assert(run(ttlMs = 300L, sleepMs = 1500L, tag = "drop") === Seq.empty,
+        "TTL-expired carry must not pair")
     } finally prior match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None    => spark.conf.unset(providerKey)
