@@ -46,10 +46,16 @@ object Versioned {
     * never observe a partial commit: `v=N` appears in one rename. The log
     * is also append-only and GAP-FREE by construction — committing v=N
     * requires v=N-1 to exist. */
-  def commit(df: DataFrame, root: String, key: String, version: Int): Unit = {
+  def commit(df: DataFrame, root: String, key: String, version: Int,
+             checkDuplicates: Boolean = true): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dup = df.groupBy(col(key)).count().filter(col("count") > 1).limit(1).count()
-    require(dup == 0L, s"commit v=$version carries duplicate keys")
+    // The duplicate check is a full extra action over the delta; writers
+    // whose plan already guarantees one-row-per-key (e.g. a groupBy(key)
+    // immediately upstream, as in the q227 upsert sink) may skip it.
+    if (checkDuplicates) {
+      val dup = df.groupBy(col(key)).count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0L, s"commit v=$version carries duplicate keys")
+    }
     require(df.columns.contains("_op"), "commit frame needs an _op column")
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
@@ -61,18 +67,25 @@ object Versioned {
     if (Files.exists(target)) lost()
     val tmp = rootPath.resolve(s"_tmp_v${version}_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
     try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     catch {
+      // Only the claimed-slot signatures mean a lost race; any other
+      // FileSystemException (AccessDenied, AtomicMoveNotSupported, …) is a
+      // genuine IO failure and must propagate, not masquerade as a race.
       case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.FileSystemException =>
-        // the slot was claimed between our check and rename — clean up and
-        // surface the race as the contract exception
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
+           _: java.nio.file.DirectoryNotEmptyException =>
         rm(tmp.toFile)
         lost()
+      case _: java.nio.file.FileSystemException if Files.exists(target) =>
+        // the move failed AND the slot is occupied: a concurrent writer won
+        rm(tmp.toFile)
+        lost()
+      case e: Throwable =>
+        rm(tmp.toFile)
+        throw e
     }
   }
 

@@ -872,7 +872,7 @@ object Curation {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    Extensions.awaitBounded(q, name)
     bpeVocabRank(s.table(name))
   }
 

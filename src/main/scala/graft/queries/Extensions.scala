@@ -366,7 +366,7 @@ object Extensions {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    awaitBounded(q, name)
     detachMemorySink(s, name)
   }
 
@@ -376,6 +376,20 @@ object Extensions {
     * fresh counter-suffixed sink). Sink tables here are report-sized
     * (audit rows, count matrices), so the copy is a metadata-scale
     * collect. */
+  /** Bounded replacement for bare `awaitTermination()`: a non-terminating
+    * gate must fail ITS OWN row loudly, never hold the whole artifact
+    * chain (correctness run, bench, sbt test) hostage to one bad plan.
+    * AvailableNow gates at gate SF finish in seconds; 180 s is a ~15×
+    * safety margin. `awaitTermination(ms)` rethrows a failed query's
+    * exception and returns false on timeout; `stop()` in finally tears
+    * down the spinning execution either way. */
+  private[graft] def awaitBounded(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String, timeoutMs: Long = 180000L): Unit =
+    try require(q.awaitTermination(timeoutMs),
+      s"streaming gate '$name' did not terminate within $timeoutMs ms")
+    finally q.stop()
+
   private[queries] def detachMemorySink(s: SparkSession, name: String): DataFrame = {
     val t = s.table(name)
     val out = s.createDataFrame(
@@ -458,7 +472,7 @@ object Extensions {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    awaitBounded(q, name)
     detachMemorySink(s, name)
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
@@ -497,7 +511,7 @@ object Extensions {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      awaitBounded(q, name)
     } finally prior match {
       case Some(v) => s.conf.set(providerKey, v)
       case None    => s.conf.unset(providerKey)
@@ -562,7 +576,7 @@ object Extensions {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    awaitBounded(q, name)
     detachMemorySink(s, name)
   }
 
@@ -577,8 +591,10 @@ object Extensions {
     * micro-batch to one latest-event row per user (max-by (ts, event_id)
     * struct) and COMMITS it as log version = batchId through
     * [[graft.operators.Versioned.commit]]'s fenced atomic-rename path —
-    * exactly-once by construction: a replayed batch id hits the
-    * version-slot fence instead of double-applying. The gate reads the
+    * exactly-once: a REPLAYED batch id (restart between commit and
+    * checkpoint offset write) finds its version slot occupied and skips
+    * idempotently; the fence's ConcurrentModificationException is
+    * reserved for true concurrent writers racing a fresh slot. The gate reads the
     * final log state (latest-per-key across commits) and must match the
     * batch argmax oracle: streaming-upserts-then-merge ≡ one global
     * window. Last-commit-wins equals the global argmax BECAUSE the replay
@@ -587,6 +603,32 @@ object Extensions {
     * upsert pipeline rests on. Fresh log per invocation — the commit path
     * is what's being exercised. */
   private val upsertGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** One micro-batch of the q227 upsert sink: reduce to the latest event
+    * per user and commit as log version = batchId. IDEMPOTENT REPLAY (the
+    * standard foreachBatch contract): a batch replayed after a failure
+    * between Versioned.commit and the checkpoint offset write finds its
+    * version slot already occupied and SKIPS — the fence's
+    * ConcurrentModificationException is reserved for true concurrent
+    * writers racing a fresh slot, not our own retry. Returns true if the
+    * batch committed, false if it was a replay skip (spec-pinned law). */
+  private[graft] def upsertBatch(batch: DataFrame, id: Long,
+                                 root: String): Boolean = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, s"v=$id"))) return false
+    val delta = batch.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("_m"))
+      .select(col("user_id"),
+        col("_m.event_id").as("last_event_id"),
+        col("_m.event_type").as("last_type"),
+        lit("u").as("_op"))
+    // groupBy(user_id) upstream proves one-row-per-key: skip the
+    // duplicate-check action (it would double each batch's work)
+    graft.operators.Versioned.commit(delta, root, "user_id", id.toInt,
+      checkDuplicates = false)
+    true
+  }
 
   def streamingUpsertSink(s: SparkSession, d: String): DataFrame = {
     ensureTransitionsReplay(s, d)
@@ -600,19 +642,12 @@ object Extensions {
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val delta = batch.groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
-            .as("_m"))
-          .select(col("user_id"),
-            col("_m.event_id").as("last_event_id"),
-            col("_m.event_type").as("last_type"),
-            lit("u").as("_op"))
-        graft.operators.Versioned.commit(delta, root, "user_id", id.toInt)
+        upsertBatch(batch, id, root)
         seen.incrementAndGet(): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    awaitBounded(q, "streaming_upsert_sink")
     graft.operators.Versioned.readAt(s, root, "user_id", seen.get() - 1)
   }
 
@@ -657,7 +692,7 @@ object Extensions {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    awaitBounded(q, name)
     detachMemorySink(s, name)
   }
 

@@ -107,7 +107,7 @@ object PipelineReplay {
 
   private val streamReplayLock = new Object
 
-  private def pipelineReplayDir(d: String): String =
+  private[graft] def pipelineReplayDir(d: String): String =
     Extensions.indexCacheDir("graft-pipe-replay", d, "lineitem", "slices6v1")
 
   /** q216: the reference's ENTIRE reason to exist — readStream → CSV parse/
@@ -195,7 +195,7 @@ object PipelineReplay {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    Extensions.awaitBounded(q, name)
     Extensions.detachMemorySink(s, name)
   }
 
@@ -317,7 +317,7 @@ object PipelineReplay {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      Extensions.awaitBounded(q, "pipeline_recovery")
     }
     stage(Seq("slice01.parquet", "slice02.parquet", "slice03.parquet"))
     runOnce() // sessions accumulate in the store; nothing emits
@@ -384,7 +384,7 @@ object PipelineReplay {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    Extensions.awaitBounded(q, name)
     Extensions.detachMemorySink(s, name)
   }
 

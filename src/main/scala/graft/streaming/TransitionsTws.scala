@@ -48,9 +48,12 @@ object TransitionsTws {
                       ttl: TTLConfig = TTLConfig.NONE): Dataset[Pair] = {
     import events.sparkSession.implicits._
     // TTL state variables require the processing-time clock; without TTL
-    // the operator is clock-free (TimeMode.None)
+    // the operator is clock-free (TimeMode.None). TTLConfig.NONE carries
+    // Duration.ZERO (not null), so test for zero-or-null — under
+    // ProcessingTime, shouldRunAnotherBatch is unconditionally true and
+    // Trigger.AvailableNow would loop no-data micro-batches forever.
     val mode =
-      if (Option(ttl.ttlDuration).isEmpty) TimeMode.None()
+      if (ttl.ttlDuration == null || ttl.ttlDuration.isZero) TimeMode.None()
       else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
       .transformWithState(new TransitionProcessor(ttl), mode,

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Extensions, PipelineReplay}
+
+/** First-execution coverage for the round-12 gates that landed with none
+  * (round-12 verdict #3: q223/q224/q226/q227 had "no driver row, no
+  * spec"), plus the hang-guard law that protects the whole artifact
+  * chain (verdict #2): a non-terminating streaming query must fail ITS
+  * row loudly, never hold correctness/bench/sbt-test hostage. */
+class StreamGatesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def assertSame(got: org.apache.spark.sql.DataFrame,
+                         want: org.apache.spark.sql.DataFrame): Unit = {
+    val g = got.cache(); val w = want.cache()
+    try {
+      assert(g.count() === w.count())
+      assert(g.count() > 0)
+      assert(g.except(w).count() === 0, "gate rows missing from batch twin")
+      assert(w.except(g).count() === 0, "batch twin rows missing from gate")
+    } finally { g.unpersist(); w.unpersist() }
+  }
+
+  test("awaitBounded trips on a deliberately non-terminating query " +
+    "and leaves it stopped (round-12 verdict #2 guard law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // default trigger + a memory source nobody completes = a query that
+    // never terminates on its own — the exact failure class that voided
+    // round 12 (q225's infinite no-data micro-batch loop)
+    val in = MemoryStream[Long]
+    val q = in.toDS().writeStream.format("memory")
+      .queryName("hang_guard_probe").outputMode("append").start()
+    val e = intercept[IllegalArgumentException] {
+      Extensions.awaitBounded(q, "hang_guard_probe", timeoutMs = 2000L)
+    }
+    assert(e.getMessage.contains("did not terminate"))
+    assert(!q.isActive, "awaitBounded must stop the query it timed out on")
+    spark.catalog.dropTempView("hang_guard_probe")
+  }
+
+  test("q223: per-micro-batch stream-static joins compose to exactly " +
+    "the batch join (no dropped/doubled rows at batch boundaries)") {
+    val gate = Extensions.streamStaticEnrichGate(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = ev.join(dim, ev("user_id") + lit(1L) === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
+    assertSame(gate, batch)
+  }
+
+  test("q224: bootstrap-then-stream ≡ stream-everything, and " +
+    "initial-state-only invoices DO emit (the sharp edge)") {
+    val boot = PipelineReplay.pipelineBootstrapGate(spark, sf).cache()
+    val full = PipelineReplay.pipelineStreamingGate(spark, sf)
+    try {
+      assertSame(boot, full)
+      // the sharp edge: invoices wholly inside the bootstrap window
+      // (slices 1-2) have NO streamed events — they emit only because the
+      // engine invokes the update fn once for initial-state-only keys
+      val dir = PipelineReplay.pipelineReplayDir(sf)
+      def invoices(names: Seq[String]) = spark.read
+        .parquet(names.map(n => s"$dir/$n"): _*)
+        .select(split(col("value"), ",").getItem(0).as("invoice_no"))
+        .distinct()
+      val bootOnly = invoices(Seq("slice01.parquet", "slice02.parquet"))
+        .except(invoices(Seq("slice03.parquet", "slice04.parquet",
+          "slice05.parquet", "slice06.parquet"))).cache()
+      try {
+        assert(bootOnly.count() > 0,
+          "fixture must contain bootstrap-only invoices or the law is vacuous")
+        assert(bootOnly.join(boot, Seq("invoice_no"), "left_anti").count() === 0,
+          "every bootstrap-only invoice must still emit a session")
+      } finally bootOnly.unpersist()
+    } finally boot.unpersist()
+  }
+
+  test("q226: duplicates arriving batches later are dropped — gate " +
+    "equals the single-copy aggregate") {
+    // the fixture feeds every slice TWICE, the copy landing two
+    // micro-batches after the original (Extensions.streamingDedupNative's
+    // mtime layout), so equality with the single-copy aggregate proves
+    // CROSS-BATCH dedup state, not just within-batch distinct
+    val gate = Extensions.streamingDedupNative(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
+    assertSame(gate, batch)
+  }
+
+  test("q227: streaming upserts then merge ≡ one global argmax") {
+    val gate = Extensions.streamingUpsertSink(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+    assertSame(gate, batch)
+  }
+
+  test("q227: a replayed batch id skips idempotently instead of " +
+    "tripping the version fence (the sharp edge)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsert-replay").toString + "/log"
+    val batch = Seq(
+      (1L, new java.sql.Timestamp(1000L), 10L, "signup"),
+      (2L, new java.sql.Timestamp(2000L), 11L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Extensions.upsertBatch(batch, 0L, root),
+      "first delivery of batch 0 must commit")
+    // the retry scenario: the engine replays batch 0 after a failure
+    // between the commit and the checkpoint offset write — same id, the
+    // slot exists, the sink must SKIP (not throw, not double-apply)
+    assert(!Extensions.upsertBatch(batch, 0L, root),
+      "replayed batch 0 must skip idempotently")
+    val state = graft.operators.Versioned.readAt(spark, root, "user_id", 0)
+    assert(state.count() === 2L, "replay must not double-apply rows")
+  }
+}

@@ -31,7 +31,7 @@ class TransitionsSpec extends AnyFunSuite {
     val q = Transitions.transitionPairs(src.as[Ev], idleHorizon = None)
       .writeStream.format("memory").queryName(name).outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    graft.queries.Extensions.awaitBounded(q, name)
     val got = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
     // (view -> click) and (signup -> view for user 2) ONLY exist if state
@@ -153,7 +153,7 @@ class TransitionsSpec extends AnyFunSuite {
       val q = graft.streaming.TransitionsTws.transitionPairs(src.as[Ev])
         .writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      graft.queries.Extensions.awaitBounded(q, name)
       val got = spark.table(name).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
       // the exact multiset the GroupState version produces on this feed
@@ -189,27 +189,37 @@ class TransitionsSpec extends AnyFunSuite {
             evs.toDS().toDF(), srcDir, n, mtime = Some(m))
         def exec(qn: String): Unit = {
           val src = spark.readStream
-            .schema(Seq.empty[Ev].toDS().schema)
-            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+            .schema(Seq.empty[Ev].toDS().schema).parquet(srcDir)
+          // A real TTL forces TimeMode.ProcessingTime, where
+          // shouldRunAnotherBatch is unconditionally true — under
+          // Trigger.AvailableNow the query NEVER terminates, and
+          // processAllAvailable never returns either (isCurrentBatch-
+          // Constructed stays true, so noNewData is never signalled;
+          // round-12/13 finding). Trigger.Once runs EXACTLY one batch and
+          // terminates regardless — the only deterministic harness for a
+          // processing-time-mode operator.
+          // FILE sink, not memory: the memory sink refuses to resume from
+          // an existing checkpoint ("does not support recovering"), and the
+          // restart IS the point of this harness
           val q = graft.streaming.TransitionsTws.transitionPairs(src.as[Ev],
               ttl = org.apache.spark.sql.streaming.TTLConfig(
                 java.time.Duration.ofMillis(ttlMs)))
-            .writeStream.format("memory").queryName(qn).outputMode("append")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", s"$work/out")
             .option("checkpointLocation", s"$work/ck")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .trigger(org.apache.spark.sql.streaming.Trigger.Once())
             .start()
-          try q.awaitTermination() finally q.stop()
+          graft.queries.Extensions.awaitBounded(q, qn)
         }
         stage("f0.parquet", Seq(Ev(1L, ts(10), 100L, "signup")), base)
         exec(s"tws_ttl_${tag}_r1")
         Thread.sleep(sleepMs)
         stage("f1.parquet", Seq(Ev(1L, ts(20), 101L, "view")), base + 1000L)
         exec(s"tws_ttl_${tag}_r2")
-        val out = spark.table(s"tws_ttl_${tag}_r2").collect()
+        spark.read
+          .schema(org.apache.spark.sql.Encoders.product[Transitions.Pair].schema)
+          .parquet(s"$work/out").collect()
           .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-        spark.catalog.dropTempView(s"tws_ttl_${tag}_r1")
-        spark.catalog.dropTempView(s"tws_ttl_${tag}_r2")
-        out
       }
       // control first: generous TTL keeps the carry — proves the harness
       // would SEE a pair if eviction failed
