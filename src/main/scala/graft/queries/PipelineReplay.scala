@@ -388,6 +388,50 @@ object PipelineReplay {
     Extensions.detachMemorySink(s, name)
   }
 
+  /** q228: the WHOLE q216 pipeline with the sessionizer swapped onto
+    * `transformWithState` ([[graft.streaming.SessionizerTws]] — composed
+    * ListState + ValueState, explicit event-time timers, RocksDB) — same
+    * six-file replay, same chained scoring, same batch oracle. Three
+    * independent state machines now hash-match one truth: the batch fold
+    * (q43), flatMapGroupsWithState (q216), and the Spark-4 state API
+    * (this). TimeMode.EventTime keeps AvailableNow terminating
+    * (shouldRunAnotherBatch fires only on watermark advance — the
+    * round-12 q225 lesson, inverted). */
+  def pipelineTwsGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val dir = pipelineReplayDir(d)
+    streamReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) pipelineStreamingGate(s, d)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"graft_pipe_tws_${streamGateRuns.incrementAndGet()}"
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val events = src.as[TimedRawLine].flatMap { raw =>
+        PurchaseCsv.route(raw.value).map(ev =>
+          TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+      }
+      val scored = scoreSessions(s,
+        graft.streaming.SessionizerTws.sessionizeEventTime(
+          events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+      Extensions.detachMemorySink(s, name)
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
     "q216_pipeline_streaming" ->
@@ -395,5 +439,7 @@ object PipelineReplay {
     "q222_pipeline_restart" ->
       QueryDef(pipelineRestartGate _, pipelineStreamingSql),
     "q224_pipeline_bootstrap" ->
-      QueryDef(pipelineBootstrapGate _, pipelineStreamingSql))
+      QueryDef(pipelineBootstrapGate _, pipelineStreamingSql),
+    "q228_pipeline_tws" ->
+      QueryDef(pipelineTwsGate _, pipelineStreamingSql))
 }

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** The event-time invoice sessionizer rebuilt on `transformWithState` —
+  * Spark 4's arbitrary-state API — with the SAME semantics as
+  * [[Sessionizer.sessionizeEventTime]] (the flatMapGroupsWithState
+  * version the q216 pipeline runs): per invoice, accumulate routed lines,
+  * quirk Q3 (an error event wins its batch and drops that batch's good
+  * lines), expiry when the WATERMARK passes max event time + gap,
+  * classification at emit. Reference state machine:
+  * realtime/InvoicePipeline.scala:192-248.
+  *
+  * What the TWS restatement exercises that the GroupState version can't:
+  * COMPOSED state variables — the line list lives in a native
+  * `ListState` (RocksDB appends, no read-modify-write of a growing blob:
+  * appendValue is O(new lines), where GroupState rewrites the whole
+  * session every batch — the 100 TB win for long sessions) beside a
+  * constant-size `ValueState` for the error/clock metadata — plus
+  * EXPLICIT event-time timers (`registerTimer`/`deleteTimer`; fMGWS
+  * allows exactly one implicit timeout per key). The q228 gate runs the
+  * ENTIRE q216 pipeline with this sessionizer swapped in and must
+  * hash-match the same batch oracle: three state APIs (batch fold, fMGWS,
+  * TWS), one truth.
+  */
+object SessionizerTws {
+
+  /** Constant-size per-session metadata beside the line list: the Q3
+    * error latch and the event clock the timer re-arms from. */
+  final case class SessionMeta(errorReason: Option[String], maxEventMs: Long)
+
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, TimedLineEvent, InvoiceResult] {
+    @transient private var lines: ListState[Purchase] = _
+    @transient private var meta: ValueState[SessionMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lines = getHandle.getListState[Purchase](
+        "lines", Encoders.product[Purchase], TTLConfig.NONE)
+      meta = getHandle.getValueState[SessionMeta](
+        "meta", Encoders.product[SessionMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(invoiceNo: String,
+                                 rows: Iterator[TimedLineEvent],
+                                 timerValues: TimerValues): Iterator[InvoiceResult] = {
+      val evs = rows.toSeq
+      val prev =
+        if (meta.exists()) meta.get() else SessionMeta(None, Long.MinValue)
+      val maxMs = (prev.maxEventMs +: evs.map(_.eventTime.getTime)).max
+      val next = evs.collectFirst {
+        case TimedLineEvent(_, _, _, Some(reason)) => reason
+      } match {
+        // Q3: an error event wins the batch; its good lines drop (earlier
+        // batches' lines stay — identical to updateSessionEventTime)
+        case Some(reason) => SessionMeta(Some(reason), maxMs)
+        case None =>
+          evs.flatMap(_.purchase).foreach(lines.appendValue)
+          prev.copy(maxEventMs = maxMs)
+      }
+      meta.update(next)
+      // re-arm the expiry: TWS timers are explicit, so drop the previous
+      // one first (fMGWS's setTimeoutTimestamp replaces implicitly). The
+      // clamp above the watermark mirrors updateSessionEventTime — a
+      // session whose events arrive already older than watermark − gap
+      // must still get a FUTURE-firing timer, not be rejected.
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(
+        math.max(maxMs + gapMs, timerValues.getCurrentWatermarkInMs() + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(invoiceNo: String,
+                                    timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[InvoiceResult] = {
+      if (!meta.exists()) return Iterator.empty // stale timer, state gone
+      val st = SessionState(lines.get().toList, meta.get().errorReason)
+      lines.clear(); meta.clear()
+      // post-expiry the key has NO state: a late line re-opens a fresh
+      // duplicate session — the reference's ST11 semantics, unchanged
+      Iterator.single(Sessionizer.classify(invoiceNo, st))
+    }
+  }
+
+  /** Event-time sessionization via transformWithState. Requires the
+    * RocksDB state store provider (the API rejects the default HDFS
+    * provider) — callers set `spark.sql.streaming.stateStore
+    * .providerClass` before starting the query. TimeMode.EventTime:
+    * `shouldRunAnotherBatch` fires only on watermark advance, so
+    * Trigger.AvailableNow terminates (unlike ProcessingTime mode — the
+    * round-12 q225 lesson). */
+  def sessionizeEventTime(events: Dataset[TimedLineEvent],
+                          gapMs: Long = Sessionizer.DefaultGapMs,
+                          watermarkDelay: String = "30 seconds"): Dataset[InvoiceResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.invoiceNo)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}

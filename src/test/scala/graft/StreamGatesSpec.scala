@@ -107,6 +107,13 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(gate, batch)
   }
 
+  test("q228: the transformWithState sessionizer reproduces the " +
+    "flatMapGroupsWithState pipeline bit-exactly (three state APIs, one truth)") {
+    val tws = PipelineReplay.pipelineTwsGate(spark, sf)
+    val fmgws = PipelineReplay.pipelineStreamingGate(spark, sf)
+    assertSame(tws, fmgws)
+  }
+
   test("q227: a replayed batch id skips idempotently instead of " +
     "tripping the version fence (the sharp edge)") {
     import spark.implicits._
