@@ -521,6 +521,53 @@ object Extensions {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
   }
 
+  /** q230: streaming FIRST-OCCURRENCE extraction on transformWithState's
+    * MAP STATE ([[graft.streaming.DistinctTws]]) — the third state-variable
+    * shape (q225 ValueState, q228 ListState+timers), completing the
+    * Spark-4 arbitrary-state surface. The replay feeds each (user, type)
+    * pair many times, batches apart; the chained count per type must
+    * equal the batch COUNT(DISTINCT user_id) — correct IFF cross-batch
+    * MapState suppressed every later duplicate and no first occurrence
+    * double-emitted. Scale shape: point containsKey/put per event (never
+    * a Set-blob rewrite), state = one entry per distinct (user, type). */
+  private val distinctTwsRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def distinctTwsGate(s: SparkSession, d: String): DataFrame = {
+    ensureTransitionsReplay(s, d)
+    val name = s"graft_distinct_tws_${distinctTwsRuns.incrementAndGet()}"
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = s.readStream
+        .schema(Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .schema)
+        .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
+      val first = graft.streaming.DistinctTws.firstOccurrences(
+        src.as[graft.streaming.Transitions.Ev])
+      val counts = first.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("distinct_users"))
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+    detachMemorySink(s, name)
+  }
+
+  /** Oracle: the batch distinct count — every later duplicate suppressed,
+    * every first occurrence emitted exactly once. */
+  val distinctTwsSql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1"""
+
   /** q226: NATIVE STREAMING DEDUPLICATION under streaming execution —
     * `dropDuplicatesWithinWatermark`, the engine-native exact-dedup state
     * operator (the API sibling of the custom `exactDedupStream`): the
@@ -3120,7 +3167,9 @@ object Extensions {
     "q226_streaming_dedup_native" ->
       QueryDef(streamingDedupNative _, streamingDedupNativeSql),
     "q227_streaming_upsert_sink" ->
-      QueryDef(streamingUpsertSink _, streamingUpsertSinkSql))
+      QueryDef(streamingUpsertSink _, streamingUpsertSinkSql),
+    "q230_distinct_tws" ->
+      QueryDef(distinctTwsGate _, distinctTwsSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

@@ -432,8 +432,145 @@ object PipelineReplay {
     }
   }
 
+  /** q229: STATE-STORE INTROSPECTION — the checkpointed state read back as
+    * a TABLE via Spark's `statestore` data source (the operational surface
+    * a 100 TB deployment uses to debug, audit, or migrate a stateful job
+    * without replaying it). The q222 stage-1 runs alone: slices 1–3
+    * ingest at one file per micro-batch and the query stops with EVERY
+    * session still open (the sentinel slices that advance the watermark
+    * are never staged); then `spark.read.format("statestore")` loads the
+    * sessionizer's live state — one row per open invoice — and the
+    * projection (error latch, retained-line count, event-clock slice) must
+    * hash-match a closed-form DuckDB restatement of the fold over the
+    * 3-slice prefix. Sharp edges pinned: quirk Q3's drop is BATCH-scoped
+    * (a poisoned invoice retains good lines from other slices — the
+    * oracle reconstructs per-slice drops via the same ntile(4) cut the
+    * fixture used), and maxEventMs advances on error events too. */
+  /** One 3-slice ingest per (session, SF), shared by the state-reader
+    * gates (q229 live state, q231 change feed): the ingest is fixture
+    * prep — the gated surface is the READ-BACK — so it is cached like
+    * every other replay fixture. */
+  private val stateCkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureStateCheckpoint(s: SparkSession, d: String): String =
+    stateCkCache.computeIfAbsent(d, { _ =>
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val fixture = pipelineReplayDir(d)
+      streamReplayLock.synchronized {
+        if (!new java.io.File(s"$fixture/_SUCCESS").exists())
+          pipelineStreamingGate(s, d)
+      }
+      val work = Files.createTempDirectory("graft-stateread").toString
+      val srcDir = s"$work/src"; val ck = s"$work/ck"; val out = s"$work/out"
+      Files.createDirectories(Paths.get(srcDir))
+      Seq("slice01.parquet", "slice02.parquet", "slice03.parquet").foreach { n =>
+        Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val events = src.as[TimedRawLine].flatMap { raw =>
+        PurchaseCsv.route(raw.value).map(ev =>
+          TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+      }
+      val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
+        events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, "state_introspect_ingest")
+      ck
+    })
+
+  def stateIntrospectGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureStateCheckpoint(s, d)
+    val state = s.read.format("statestore").option("path", ck).load()
+    state.select(
+      col("key.value").as("invoice_no"),
+      col("value.groupState.errorReason").isNotNull.as("has_error"),
+      size(col("value.groupState.lines")).cast("long").as("line_count"),
+      ((col("value.groupState.maxEventMs") - lit(ReplayBaseMs)) / lit(SliceStepMs)
+        + lit(1)).cast("long").as("max_slice"))
+  }
+
+  /** Closed-form fold of the 3-slice prefix: the same ntile(4) cut the
+    * fixture used reconstructs which batch each line rode in, so Q3's
+    * batch-scoped drop is computable relationally. */
+  val stateIntrospectSql: String = """
+    WITH sliced AS (
+      SELECT l_orderkey, l_linenumber,
+             ntile(4) OVER (ORDER BY l_orderkey, l_linenumber) AS slice
+      FROM lineitem),
+    pois AS (SELECT l_orderkey, slice AS pslice FROM sliced
+             WHERE l_linenumber = 7),
+    pre AS (SELECT s.l_orderkey, s.l_linenumber, s.slice, p.pslice
+            FROM sliced s LEFT JOIN pois p USING (l_orderkey)
+            WHERE s.slice <= 3)
+    SELECT CAST(l_orderkey AS VARCHAR) AS invoice_no,
+           max(CASE WHEN l_linenumber = 7 THEN 1 ELSE 0 END) = 1 AS has_error,
+           CAST(sum(CASE WHEN l_linenumber <> 7
+                          AND (pslice IS NULL OR pslice > 3 OR slice <> pslice)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS line_count,
+           CAST(max(slice) AS BIGINT) AS max_slice
+    FROM pre GROUP BY 1"""
+
+  /** q231: the state store's CHANGE FEED — `readChangeFeed=true` replays
+    * the sessionizer state's per-micro-batch evolution (which invoices
+    * were touched in which batch, and the post-batch retained-line
+    * count) as a table, without re-running the stream. The operational
+    * twin of q195's data-side CDF, on STATE: at 100 TB this is how a
+    * deployment audits what a stateful job did batch by batch. The
+    * oracle reconstructs the feed in closed form from the ntile(4) cut:
+    * an invoice gets an `update` row in batch b iff it has a line in
+    * slice b+1, and its post-batch count folds Q3's batch-scoped drops
+    * cumulatively. */
+  def stateChangeFeedGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureStateCheckpoint(s, d)
+    s.read.format("statestore")
+      .option("path", ck)
+      .option("readChangeFeed", true)
+      .option("changeStartBatchId", 0)
+      .load()
+      .select(
+        col("batch_id").cast("long").as("batch_id"),
+        col("change_type"),
+        col("key.value").as("invoice_no"),
+        size(col("value.groupState.lines")).cast("long").as("line_count"))
+  }
+
+  val stateChangeFeedSql: String = """
+    WITH sliced AS (
+      SELECT l_orderkey, l_linenumber,
+             ntile(4) OVER (ORDER BY l_orderkey, l_linenumber) AS slice
+      FROM lineitem),
+    pois AS (SELECT l_orderkey, slice AS pslice FROM sliced
+             WHERE l_linenumber = 7),
+    tagged AS (SELECT s.l_orderkey, s.l_linenumber, s.slice, p.pslice
+               FROM sliced s LEFT JOIN pois p USING (l_orderkey)
+               WHERE s.slice <= 3)
+    SELECT CAST(b.b - 1 AS BIGINT) AS batch_id,
+           'update' AS change_type,
+           CAST(t.l_orderkey AS VARCHAR) AS invoice_no,
+           CAST(sum(CASE WHEN t.l_linenumber <> 7
+                          AND t.slice <> coalesce(t.pslice, 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS line_count
+    FROM (VALUES (1), (2), (3)) AS b(b)
+    JOIN tagged t ON t.slice <= b.b
+    GROUP BY b.b, t.l_orderkey
+    HAVING max(CASE WHEN t.slice = b.b THEN 1 ELSE 0 END) = 1"""
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
+    "q229_state_introspect" ->
+      QueryDef(stateIntrospectGate _, stateIntrospectSql),
+    "q231_state_change_feed" ->
+      QueryDef(stateChangeFeedGate _, stateChangeFeedSql),
     "q216_pipeline_streaming" ->
       QueryDef(pipelineStreamingGate _, pipelineStreamingSql),
     "q222_pipeline_restart" ->

@@ -114,6 +114,64 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(tws, fmgws)
   }
 
+  test("q229: open sessions read back from the state store equal the " +
+    "closed-form fold of the ingested prefix (batch-scoped Q3 drops included)") {
+    val gate = PipelineReplay.stateIntrospectGate(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    val sliced = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("slice", ntile(4).over(w))
+    val pois = sliced.filter(col("l_linenumber") === 7)
+      .select(col("l_orderkey"), col("slice").as("pslice"))
+    val pre = sliced.join(pois, Seq("l_orderkey"), "left")
+      .filter(col("slice") <= 3)
+    val keep = col("l_linenumber") =!= 7 &&
+      (col("pslice").isNull || col("pslice") > 3 || col("slice") =!= col("pslice"))
+    val want = pre.groupBy(col("l_orderkey"))
+      .agg(
+        (max(when(col("l_linenumber") === 7, 1).otherwise(0)) === 1).as("has_error"),
+        sum(when(keep, 1L).otherwise(0L)).as("line_count"),
+        max(col("slice")).cast("long").as("max_slice"))
+      .select(col("l_orderkey").cast("string").as("invoice_no"),
+        col("has_error"), col("line_count"), col("max_slice"))
+    assertSame(gate, want)
+    // non-vacuity: the error latch is live in the open state
+    assert(gate.filter(col("has_error")).count() > 0,
+      "fixture must hold at least one poisoned open session")
+  }
+
+  test("q231: the state change feed replays per-batch evolution — " +
+    "touched invoices only, cumulative Q3-folded counts") {
+    val gate = PipelineReplay.stateChangeFeedGate(spark, sf).cache()
+    try {
+      // every change row is an update (nothing expires in the 3-slice
+      // prefix), batches 0..2 all present
+      assert(gate.filter(col("change_type") =!= "update").count() === 0)
+      assert(gate.select(col("batch_id")).distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+      // the feed's last update per invoice equals the live state q229 reads
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("invoice_no")).orderBy(col("batch_id").desc)
+      val lastPerInvoice = gate.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("invoice_no"), col("line_count"))
+      val live = PipelineReplay.stateIntrospectGate(spark, sf)
+        .select(col("invoice_no"), col("line_count"))
+      assert(lastPerInvoice.except(live).count() === 0)
+      assert(live.except(lastPerInvoice).count() === 0)
+    } finally gate.unpersist()
+  }
+
+  test("q230: first-occurrence emissions on MapState count to exactly " +
+    "the batch distinct (cross-batch duplicates suppressed, no double emits)") {
+    val gate = Extensions.distinctTwsGate(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"))
+    assertSame(gate, batch)
+  }
+
   test("q227: a replayed batch id skips idempotently instead of " +
     "tripping the version fence (the sharp edge)") {
     import spark.implicits._
