@@ -520,6 +520,86 @@ object PipelineReplay {
            CAST(max(slice) AS BIGINT) AS max_slice
     FROM pre GROUP BY 1"""
 
+  /** The q229 ingest rebuilt on the TWS sessionizer (RocksDB provider,
+    * composed state variables) — cached per session like
+    * [[ensureStateCheckpoint]]; the q232 gate reads its named state
+    * variables back. */
+  private val twsCkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureTwsStateCheckpoint(s: SparkSession, d: String): String =
+    twsCkCache.computeIfAbsent(d, { _ =>
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val fixture = pipelineReplayDir(d)
+      streamReplayLock.synchronized {
+        if (!new java.io.File(s"$fixture/_SUCCESS").exists())
+          pipelineStreamingGate(s, d)
+      }
+      val work = Files.createTempDirectory("graft-twsstate").toString
+      val srcDir = s"$work/src"; val ck = s"$work/ck"; val out = s"$work/out"
+      Files.createDirectories(Paths.get(srcDir))
+      Seq("slice01.parquet", "slice02.parquet", "slice03.parquet").foreach { n =>
+        Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val events = src.as[TimedRawLine].flatMap { raw =>
+          PurchaseCsv.route(raw.value).map(ev =>
+            TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+        }
+        val scored = scoreSessions(s,
+          graft.streaming.SessionizerTws.sessionizeEventTime(
+            events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+        val q = scored.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        Extensions.awaitBounded(q, "tws_state_ingest")
+      } finally prior match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+      ck
+    })
+
+  /** q232: q229's introspection against the OTHER state API — the q228
+    * TWS sessionizer's checkpoint read back per NAMED STATE VARIABLE
+    * (`stateVarName`): the constant-size `meta` ValueState carries every
+    * open session's error latch and event clock; the `lines` ListState
+    * reads back FLATTENED (one row per retained line — the composed-state
+    * layout is visible to the reader, proving the store really does hold
+    * lines individually, not as a blob). A poisoned invoice whose lines
+    * all dropped has a `meta` row but NO `lines` rows — the left join
+    * the gate performs is load-bearing. Same oracle as q229: two state
+    * APIs, two providers (HDFS vs RocksDB), two reader paths, one truth. */
+  def twsStateIntrospectGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureTwsStateCheckpoint(s, d)
+    def readVar(name: String) = s.read.format("statestore")
+      .option("path", ck).option("stateVarName", name).load()
+    val meta = readVar("meta").select(
+      col("key.value").as("invoice_no"),
+      col("value.errorReason").isNotNull.as("has_error"),
+      ((col("value.maxEventMs") - lit(ReplayBaseMs)) / lit(SliceStepMs)
+        + lit(1)).cast("long").as("max_slice"))
+    val lineCounts = readVar("lines")
+      .groupBy(col("key.value").as("invoice_no"))
+      .agg(count(lit(1)).as("line_count"))
+    meta.join(lineCounts, Seq("invoice_no"), "left_outer")
+      .select(col("invoice_no"), col("has_error"),
+        coalesce(col("line_count"), lit(0L)).as("line_count"),
+        col("max_slice"))
+  }
+
   /** q231: the state store's CHANGE FEED — `readChangeFeed=true` replays
     * the sessionizer state's per-micro-batch evolution (which invoices
     * were touched in which batch, and the post-batch retained-line
@@ -571,6 +651,8 @@ object PipelineReplay {
       QueryDef(stateIntrospectGate _, stateIntrospectSql),
     "q231_state_change_feed" ->
       QueryDef(stateChangeFeedGate _, stateChangeFeedSql),
+    "q232_tws_state_introspect" ->
+      QueryDef(twsStateIntrospectGate _, stateIntrospectSql),
     "q216_pipeline_streaming" ->
       QueryDef(pipelineStreamingGate _, pipelineStreamingSql),
     "q222_pipeline_restart" ->

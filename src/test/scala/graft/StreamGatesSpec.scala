@@ -163,6 +163,17 @@ class StreamGatesSpec extends AnyFunSuite {
     } finally gate.unpersist()
   }
 
+  test("q232: TWS named-variable state reads equal the fMGWS state reads " +
+    "(two APIs, two providers, two reader paths, one truth)") {
+    val tws = PipelineReplay.twsStateIntrospectGate(spark, sf)
+    val fmgws = PipelineReplay.stateIntrospectGate(spark, sf)
+    assertSame(tws, fmgws)
+    // the left join is load-bearing: some open session has ZERO retained
+    // lines (all dropped in its poison batch) yet still appears
+    assert(tws.filter(col("line_count") === 0).count() > 0,
+      "fixture must hold an open session with no retained lines")
+  }
+
   test("q230: first-occurrence emissions on MapState count to exactly " +
     "the batch distinct (cross-batch duplicates suppressed, no double emits)") {
     val gate = Extensions.distinctTwsGate(spark, sf)
