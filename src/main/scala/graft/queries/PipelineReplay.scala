@@ -645,8 +645,43 @@ object PipelineReplay {
     GROUP BY b.b, t.l_orderkey
     HAVING max(CASE WHEN t.slice = b.b THEN 1 ELSE 0 END) = 1"""
 
+  /** q233: the checkpoint OPERATOR-METADATA inventory (`state-metadata`
+    * source) — what `/ops` tooling lists before touching state: operator
+    * id/name, store name, and the committed batch range, for BOTH state
+    * APIs' checkpoints (the fMGWS ingest and the TWS ingest). The oracle
+    * is the closed-form contract: one stateful operator per checkpoint,
+    * default store, batches 0..3 (three data files + the engine's no-data
+    * watermark-sweep batch — the sweep COMMITS a state version, so a
+    * missing batch 3 would mean the sweep stopped running; the q216
+    * ledger's load-bearing observation, now pinned from the metadata
+    * side). */
+  def stateMetadataGate(s: SparkSession, d: String): DataFrame = {
+    val ck1 = ensureStateCheckpoint(s, d)
+    val ck2 = ensureTwsStateCheckpoint(s, d)
+    def md(ck: String, api: String) = s.read.format("state-metadata")
+      .load(ck)
+      .select(lit(api).as("api"),
+        col("operatorId").cast("long").as("operator_id"),
+        col("operatorName").as("operator_name"),
+        col("stateStoreName").as("store_name"),
+        col("minBatchId").cast("long").as("min_batch_id"),
+        col("maxBatchId").cast("long").as("max_batch_id"))
+    md(ck1, "fmgws").unionByName(md(ck2, "tws"))
+  }
+
+  val stateMetadataSql: String = """
+    SELECT * FROM (VALUES
+      ('fmgws', CAST(0 AS BIGINT), 'flatMapGroupsWithState',
+       'default', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      ('tws', CAST(0 AS BIGINT), 'transformWithStateExec',
+       'default', CAST(0 AS BIGINT), CAST(3 AS BIGINT)))
+      AS t(api, operator_id, operator_name, store_name,
+           min_batch_id, max_batch_id)"""
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
+    "q233_state_metadata" ->
+      QueryDef(stateMetadataGate _, stateMetadataSql),
     "q229_state_introspect" ->
       QueryDef(stateIntrospectGate _, stateIntrospectSql),
     "q231_state_change_feed" ->
