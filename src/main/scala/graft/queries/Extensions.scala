@@ -390,6 +390,37 @@ object Extensions {
       s"streaming gate '$name' did not terminate within $timeoutMs ms")
     finally q.stop()
 
+  /** Run `body` with the RocksDB state-store provider (transformWithState
+    * rejects the default HDFS provider) and a REDUCED shuffle-partition
+    * count for the stateful stage: each micro-batch opens one RocksDB
+    * instance per state partition, so at gate SF the session default of 32
+    * instances is pure fixed overhead (native store open/commit/close ×32
+    * per batch dominates the gate's whole cost), while results are
+    * partition-count-invariant. Production sizes state partitions to the
+    * keyspace; the gates size them to the fixture. Both confs are
+    * restored after. */
+  private[graft] def withRocksDbTws[T](s: SparkSession, partitions: Int = 8)
+                                      (body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
+    val priorP = s.conf.getOption(providerKey)
+    val priorN = s.conf.getOption(partKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(partKey, partitions.toString)
+    try body
+    finally {
+      priorP match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+      priorN match {
+        case Some(v) => s.conf.set(partKey, v)
+        case None    => s.conf.unset(partKey)
+      }
+    }
+  }
+
   private[queries] def detachMemorySink(s: SparkSession, name: String): DataFrame = {
     val t = s.table(name)
     val out = s.createDataFrame(
@@ -493,11 +524,7 @@ object Extensions {
     ensureTransitionsReplay(s, d)
     val name = s"graft_tws_gate_${twsGateRuns.incrementAndGet()}"
     import s.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbTws(s) {
       val src = s.readStream
         .schema(Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -512,9 +539,6 @@ object Extensions {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       awaitBounded(q, name)
-    } finally prior match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None    => s.conf.unset(providerKey)
     }
     detachMemorySink(s, name)
       .withColumn("p", col("n").cast("double") /
@@ -536,11 +560,7 @@ object Extensions {
     ensureTransitionsReplay(s, d)
     val name = s"graft_distinct_tws_${distinctTwsRuns.incrementAndGet()}"
     import s.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbTws(s) {
       val src = s.readStream
         .schema(Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -555,9 +575,6 @@ object Extensions {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       awaitBounded(q, name)
-    } finally prior match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None    => s.conf.unset(providerKey)
     }
     detachMemorySink(s, name)
   }

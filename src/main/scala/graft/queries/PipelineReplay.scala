@@ -404,11 +404,7 @@ object PipelineReplay {
     streamReplayLock.synchronized {
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) pipelineStreamingGate(s, d)
     }
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    Extensions.withRocksDbTws(s) {
       val name = s"graft_pipe_tws_${streamGateRuns.incrementAndGet()}"
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
@@ -426,9 +422,6 @@ object PipelineReplay {
         .start()
       Extensions.awaitBounded(q, name)
       Extensions.detachMemorySink(s, name)
-    } finally prior match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None    => s.conf.unset(providerKey)
     }
   }
 
@@ -544,11 +537,7 @@ object PipelineReplay {
         Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
           StandardCopyOption.COPY_ATTRIBUTES)
       }
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prior = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      Extensions.withRocksDbTws(s) {
         val src = s.readStream
           .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -565,9 +554,6 @@ object PipelineReplay {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         Extensions.awaitBounded(q, "tws_state_ingest")
-      } finally prior match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None    => s.conf.unset(providerKey)
       }
       ck
     })
