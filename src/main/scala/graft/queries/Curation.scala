@@ -865,14 +865,16 @@ object Curation {
           .write.mode("overwrite").parquet(dir)
     }
     val schema = Tables.documents(s, d).schema
-    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-    val q = bpeTokenCountsOn(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    Extensions.awaitBounded(q, name)
+    Extensions.withStatePartitions(s, 8) {
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = bpeTokenCountsOn(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+    }
     bpeVocabRank(s.table(name))
   }
 

@@ -359,14 +359,16 @@ object Extensions {
           .write.mode("overwrite").parquet(dir)
     }
     val schema = Tables.embeddings(s, d).schema
-    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-    val q = embeddingAuditOn(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitBounded(q, name)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = embeddingAuditOn(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+    }
     detachMemorySink(s, name)
   }
 
@@ -402,22 +404,32 @@ object Extensions {
   private[graft] def withRocksDbTws[T](s: SparkSession, partitions: Int = 8)
                                       (body: => T): T = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val partKey = "spark.sql.shuffle.partitions"
     val priorP = s.conf.getOption(providerKey)
-    val priorN = s.conf.getOption(partKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(s, partitions)(body)
+    finally priorP match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
+  /** Run `body` (a streaming-gate execution) with a reduced
+    * shuffle-partition count: a stateful micro-batch commits one state
+    * store (delta files, snapshot maintenance — or a whole RocksDB
+    * instance) PER partition, so at gate SF the session default of 32 is
+    * fixed overhead with no data underneath; results are
+    * partition-count-invariant. Production sizes state partitions to the
+    * keyspace. Restored after. */
+  private[graft] def withStatePartitions[T](s: SparkSession, partitions: Int)
+                                           (body: => T): T = {
+    val partKey = "spark.sql.shuffle.partitions"
+    val priorN = s.conf.getOption(partKey)
     s.conf.set(partKey, partitions.toString)
     try body
-    finally {
-      priorP match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None    => s.conf.unset(providerKey)
-      }
-      priorN match {
-        case Some(v) => s.conf.set(partKey, v)
-        case None    => s.conf.unset(partKey)
-      }
+    finally priorN match {
+      case Some(v) => s.conf.set(partKey, v)
+      case None    => s.conf.unset(partKey)
     }
   }
 
@@ -499,11 +511,13 @@ object Extensions {
     // gate covers stateful-operator chaining, fMGWS → agg, for free)
     val counts = pairs.groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitBounded(q, name)
+    withStatePartitions(s, 8) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+    }
     detachMemorySink(s, name)
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
@@ -636,11 +650,13 @@ object Extensions {
       .dropDuplicatesWithinWatermark("event_id")
     val counts = deduped.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitBounded(q, name)
+    withStatePartitions(s, 8) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+    }
     detachMemorySink(s, name)
   }
 
@@ -752,11 +768,13 @@ object Extensions {
       src("user_id") + lit(1L) === dim("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
-    val q = enriched.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    awaitBounded(q, name)
+    withStatePartitions(s, 8) {
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+    }
     detachMemorySink(s, name)
   }
 

@@ -182,21 +182,23 @@ object PipelineReplay {
       }
     }
     val name = s"graft_pipe_gate_${streamGateRuns.incrementAndGet()}"
-    val src = s.readStream
-      .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-      .option("maxFilesPerTrigger", 2).parquet(dir)
-    val events = src.as[TimedRawLine].flatMap { raw =>
-      PurchaseCsv.route(raw.value).map(ev =>
-        TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+    Extensions.withStatePartitions(s, 8) {
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val events = src.as[TimedRawLine].flatMap { raw =>
+        PurchaseCsv.route(raw.value).map(ev =>
+          TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+      }
+      val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
+        events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+      Extensions.detachMemorySink(s, name)
     }
-    val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
-      events, gapMs = 40000L, watermarkDelay = "30 seconds"))
-    val q = scored.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    Extensions.awaitBounded(q, name)
-    Extensions.detachMemorySink(s, name)
   }
 
   /** q43's oracle extended with the q44 scoring block: time_hour derives
@@ -302,7 +304,7 @@ object PipelineReplay {
       Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
-    def runOnce(): Unit = {
+    def runOnce(): Unit = Extensions.withStatePartitions(s, 8) {
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -377,15 +379,17 @@ object PipelineReplay {
       .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
       .option("pathGlobFilter", "slice0[3-6].parquet")
       .option("maxFilesPerTrigger", 2).parquet(dir)
-    val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
-      toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
     val name = s"graft_pipe_boot_${streamGateRuns.incrementAndGet()}"
-    val q = scored.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    Extensions.awaitBounded(q, name)
-    Extensions.detachMemorySink(s, name)
+    Extensions.withStatePartitions(s, 8) {
+      val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
+        toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+      Extensions.detachMemorySink(s, name)
+    }
   }
 
   /** q228: the WHOLE q216 pipeline with the sessionizer swapped onto
@@ -463,21 +467,23 @@ object PipelineReplay {
         Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
           StandardCopyOption.COPY_ATTRIBUTES)
       }
-      val src = s.readStream
-        .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      val events = src.as[TimedRawLine].flatMap { raw =>
-        PurchaseCsv.route(raw.value).map(ev =>
-          TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+      Extensions.withStatePartitions(s, 8) {
+        val src = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val events = src.as[TimedRawLine].flatMap { raw =>
+          PurchaseCsv.route(raw.value).map(ev =>
+            TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+        }
+        val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
+          events, gapMs = 40000L, watermarkDelay = "30 seconds"))
+        val q = scored.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        Extensions.awaitBounded(q, "state_introspect_ingest")
       }
-      val scored = scoreSessions(s, Sessionizer.sessionizeEventTime(
-        events, gapMs = 40000L, watermarkDelay = "30 seconds"))
-      val q = scored.writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      Extensions.awaitBounded(q, "state_introspect_ingest")
       ck
     })
 
