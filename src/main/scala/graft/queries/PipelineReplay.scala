@@ -670,10 +670,55 @@ object PipelineReplay {
       AS t(api, operator_id, operator_name, store_name,
            min_batch_id, max_batch_id)"""
 
+  /** q234: q224's warm-start bootstrap on the TWS API — slices 1–2 fold
+    * batch-side into the sessionizer's state snapshot, bulk-load through
+    * `handleInitialState` (which must arm each snapshot key's event-time
+    * timer — initial-state-only invoices emit ONLY because of that
+    * registration), slices 3–6 stream on top; output must still
+    * hash-match q216's oracle. With q224 (fMGWS initial state) and q228
+    * (TWS from cold), this closes the bootstrap matrix: both state APIs,
+    * both start modes, one truth. */
+  def pipelineTwsBootstrapGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val dir = pipelineReplayDir(d)
+    streamReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) pipelineStreamingGate(s, d)
+    }
+    def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
+      PurchaseCsv.route(raw.value).map(ev =>
+        TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+    }
+    val name = s"graft_pipe_twsboot_${streamGateRuns.incrementAndGet()}"
+    Extensions.withRocksDbTws(s) {
+      val init = toEvents(
+        s.read.parquet(s"$dir/slice01.parquet", s"$dir/slice02.parquet"))
+        .groupByKey(_.invoiceNo)
+        .mapGroups(foldInitialState _)
+        .groupByKey(_._1)
+        .mapValues(_._2)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
+        .option("pathGlobFilter", "slice0[3-6].parquet")
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val scored = scoreSessions(s,
+        graft.streaming.SessionizerTws.sessionizeEventTimeWithInit(
+          toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+      Extensions.detachMemorySink(s, name)
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
     "q233_state_metadata" ->
       QueryDef(stateMetadataGate _, stateMetadataSql),
+    "q234_pipeline_tws_bootstrap" ->
+      QueryDef(pipelineTwsBootstrapGate _, pipelineStreamingSql),
     "q229_state_introspect" ->
       QueryDef(stateIntrospectGate _, stateIntrospectSql),
     "q231_state_change_feed" ->

@@ -32,7 +32,8 @@ object SessionizerTws {
   final case class SessionMeta(errorReason: Option[String], maxEventMs: Long)
 
   class SessionProcessor(gapMs: Long)
-      extends StatefulProcessor[String, TimedLineEvent, InvoiceResult] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, TimedLineEvent, InvoiceResult, EventSessionState] {
     @transient private var lines: ListState[Purchase] = _
     @transient private var meta: ValueState[SessionMeta] = _
 
@@ -41,6 +42,22 @@ object SessionizerTws {
         "lines", Encoders.product[Purchase], TTLConfig.NONE)
       meta = getHandle.getValueState[SessionMeta](
         "meta", Encoders.product[SessionMeta], TTLConfig.NONE)
+    }
+
+    /** Warm-start bulk load (the q224 bootstrap pattern on the TWS API):
+      * invoked once per initial-state key in the FIRST micro-batch,
+      * before any input rows. Arming the event-time timer here is the
+      * sharp edge — an initial-state-only invoice (no streamed events)
+      * emits ONLY because this registration exists; without it every
+      * fully-bootstrapped session would vanish silently. */
+    override def handleInitialState(invoiceNo: String,
+                                    init: EventSessionState,
+                                    timerValues: TimerValues): Unit = {
+      init.lines.foreach(lines.appendValue)
+      meta.update(SessionMeta(init.errorReason, init.maxEventMs))
+      getHandle.registerTimer(
+        math.max(init.maxEventMs + gapMs,
+          timerValues.getCurrentWatermarkInMs() + 1))
     }
 
     override def handleInputRows(invoiceNo: String,
@@ -100,5 +117,23 @@ object SessionizerTws {
       .groupByKey(_.invoiceNo)
       .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** The TWS sessionizer WARM-STARTED from bulk-loaded state — q224's
+    * initial-state bootstrap on the Spark-4 API: the snapshot keys load
+    * through [[SessionProcessor.handleInitialState]] in the first
+    * micro-batch, today's lines stream on top, and
+    * bootstrap-then-stream must still equal stream-everything. */
+  def sessionizeEventTimeWithInit(
+      events: Dataset[TimedLineEvent],
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[String, EventSessionState],
+      gapMs: Long = Sessionizer.DefaultGapMs,
+      watermarkDelay: String = "30 seconds"): Dataset[InvoiceResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.invoiceNo)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append(), initial)
   }
 }

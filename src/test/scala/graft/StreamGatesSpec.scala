@@ -174,6 +174,13 @@ class StreamGatesSpec extends AnyFunSuite {
       "fixture must hold an open session with no retained lines")
   }
 
+  test("q234: TWS bootstrap-then-stream ≡ fMGWS bootstrap-then-stream " +
+    "(initial-state timers armed on both APIs)") {
+    val tws = PipelineReplay.pipelineTwsBootstrapGate(spark, sf)
+    val fmgws = PipelineReplay.pipelineBootstrapGate(spark, sf)
+    assertSame(tws, fmgws)
+  }
+
   test("q230: first-occurrence emissions on MapState count to exactly " +
     "the batch distinct (cross-batch duplicates suppressed, no double emits)") {
     val gate = Extensions.distinctTwsGate(spark, sf)
