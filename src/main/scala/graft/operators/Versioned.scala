@@ -46,8 +46,19 @@ object Versioned {
     * never observe a partial commit: `v=N` appears in one rename. The log
     * is also append-only and GAP-FREE by construction — committing v=N
     * requires v=N-1 to exist. */
+  /** `ownerTag`, when set, is written as a `_owner_<tag>` marker file into
+    * the staging dir BEFORE the atomic rename — so ownership commits
+    * atomically with the data and a later reader can distinguish "my own
+    * replayed commit" from "a foreign writer took this slot" (the q227
+    * replay fence). The tag must be stable across the writer's restarts
+    * (derive it from the checkpoint location / query id, not the runId). */
+  def ownerMarker(root: String, version: Int, ownerTag: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, s"v=$version",
+      "_owner_" + ownerTag.replaceAll("[^A-Za-z0-9._-]", "_"))
+
   def commit(df: DataFrame, root: String, key: String, version: Int,
-             checkDuplicates: Boolean = true): Unit = {
+             checkDuplicates: Boolean = true,
+             ownerTag: Option[String] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // The duplicate check is a full extra action over the delta; writers
     // whose plan already guarantees one-row-per-key (e.g. a groupBy(key)
@@ -67,6 +78,10 @@ object Versioned {
     if (Files.exists(target)) lost()
     val tmp = rootPath.resolve(s"_tmp_v${version}_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
+    ownerTag.foreach { tag =>
+      Files.createFile(tmp.resolve(
+        ownerMarker(root, version, tag).getFileName)): Unit
+    }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }

@@ -865,7 +865,7 @@ object Curation {
           .write.mode("overwrite").parquet(dir)
     }
     val schema = Tables.documents(s, d).schema
-    Extensions.withStatePartitions(s, 8) {
+    Extensions.withStatePartitions(s) {
       val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(dir)
       val q = bpeTokenCountsOn(src)

@@ -359,7 +359,7 @@ object Extensions {
           .write.mode("overwrite").parquet(dir)
     }
     val schema = Tables.embeddings(s, d).schema
-    withStatePartitions(s, 8) {
+    withStatePartitions(s) {
       val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(dir)
       val q = embeddingAuditOn(src)
@@ -381,16 +381,35 @@ object Extensions {
   /** Bounded replacement for bare `awaitTermination()`: a non-terminating
     * gate must fail ITS OWN row loudly, never hold the whole artifact
     * chain (correctness run, bench, sbt test) hostage to one bad plan.
-    * AvailableNow gates at gate SF finish in seconds; 180 s is a ~15×
-    * safety margin. `awaitTermination(ms)` rethrows a failed query's
+    * AvailableNow gates at gate SF finish in seconds; the default ceiling
+    * is a ~20× safety margin over the heaviest gate (q234 medians ~20 s at
+    * sf0.1) AND survives the documented 1.2–2× host-window swing plus a
+    * larger SF — a healthy slow run must never read as "did not
+    * terminate" (round-13 ADVICE). Overridable per environment via
+    * `SPARK_GRAFT_GATE_TIMEOUT_MS` for deployments running gates at
+    * production SF. `awaitTermination(ms)` rethrows a failed query's
     * exception and returns false on timeout; `stop()` in finally tears
     * down the spinning execution either way. */
+  private[graft] val defaultGateTimeoutMs: Long =
+    sys.env.get("SPARK_GRAFT_GATE_TIMEOUT_MS").map(_.toLong).getOrElse(420000L)
+
   private[graft] def awaitBounded(
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      name: String, timeoutMs: Long = 180000L): Unit =
+      name: String, timeoutMs: Long = defaultGateTimeoutMs): Unit =
     try require(q.awaitTermination(timeoutMs),
       s"streaming gate '$name' did not terminate within $timeoutMs ms")
     finally q.stop()
+
+  /** Serializes every session-global SQL-conf override the streaming-gate
+    * wrappers perform (round-13 ADVICE, medium): without it a query running
+    * concurrently in the same SparkSession silently picks up the reduced
+    * partition count or the RocksDB provider, and two overlapping wrappers
+    * restore each other's stale values, leaking the override permanently.
+    * The lock covers set → body → restore, so the conf mutation is scoped
+    * to exactly one gate at a time. Lock ordering: gates that also take
+    * `streamReplayLock`/`transReplayLock` always do so BEFORE entering a
+    * wrapper (or around the whole wrapper), never the reverse — no cycle. */
+  private val stateConfLock = new Object
 
   /** Run `body` with the RocksDB state-store provider (transformWithState
     * rejects the default HDFS provider) and a REDUCED shuffle-partition
@@ -399,20 +418,37 @@ object Extensions {
     * instances is pure fixed overhead (native store open/commit/close ×32
     * per batch dominates the gate's whole cost), while results are
     * partition-count-invariant. Production sizes state partitions to the
-    * keyspace; the gates size them to the fixture. Both confs are
-    * restored after. */
-  private[graft] def withRocksDbTws[T](s: SparkSession, partitions: Int = 8)
-                                      (body: => T): T = {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val priorP = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStatePartitions(s, partitions)(body)
-    finally priorP match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None    => s.conf.unset(providerKey)
+    * keyspace; the gates size them to the fixture (see
+    * [[defaultStatePartitions]]). Both confs are restored after; the
+    * set/restore pair runs under [[stateConfLock]]. */
+  private[graft] def withRocksDbTws[T](s: SparkSession,
+                                       partitions: Int = defaultStatePartitions)
+                                      (body: => T): T =
+    stateConfLock.synchronized {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val priorP = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(s, partitions)(body)
+      finally priorP match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
     }
-  }
+
+  /** Stateful-stage partition sizing for the gates. 8 fits the gate-SF
+    * fixtures (measured: at gate SF the per-partition store open/commit
+    * cost dominates, results are partition-count-invariant — round-13
+    * calibration). Production jobs must NOT inherit this number: size
+    * state partitions to the keyspace (rule of thumb: live keys ×
+    * per-key state ÷ target store size per partition, rounded to the
+    * executor-core multiple), and set it via
+    * `spark.graft.statePartitions` — the gates read the override so a
+    * deployment can re-run them at its own sizing without a rebuild. */
+  private[graft] def defaultStatePartitions: Int =
+    sys.props.get("spark.graft.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
 
   /** Run `body` (a streaming-gate execution) with a reduced
     * shuffle-partition count: a stateful micro-batch commits one state
@@ -420,18 +456,22 @@ object Extensions {
     * instance) PER partition, so at gate SF the session default of 32 is
     * fixed overhead with no data underneath; results are
     * partition-count-invariant. Production sizes state partitions to the
-    * keyspace. Restored after. */
-  private[graft] def withStatePartitions[T](s: SparkSession, partitions: Int)
-                                           (body: => T): T = {
-    val partKey = "spark.sql.shuffle.partitions"
-    val priorN = s.conf.getOption(partKey)
-    s.conf.set(partKey, partitions.toString)
-    try body
-    finally priorN match {
-      case Some(v) => s.conf.set(partKey, v)
-      case None    => s.conf.unset(partKey)
+    * keyspace ([[defaultStatePartitions]]). Restored after; set/restore
+    * runs under [[stateConfLock]] so concurrent queries never observe or
+    * clobber the override. */
+  private[graft] def withStatePartitions[T](s: SparkSession,
+                                            partitions: Int = defaultStatePartitions)
+                                           (body: => T): T =
+    stateConfLock.synchronized {
+      val partKey = "spark.sql.shuffle.partitions"
+      val priorN = s.conf.getOption(partKey)
+      s.conf.set(partKey, partitions.toString)
+      try body
+      finally priorN match {
+        case Some(v) => s.conf.set(partKey, v)
+        case None    => s.conf.unset(partKey)
+      }
     }
-  }
 
   private[queries] def detachMemorySink(s: SparkSession, name: String): DataFrame = {
     val t = s.table(name)
@@ -511,7 +551,7 @@ object Extensions {
     // gate covers stateful-operator chaining, fMGWS → agg, for free)
     val counts = pairs.groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s) {
       val q = counts.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -650,7 +690,7 @@ object Extensions {
       .dropDuplicatesWithinWatermark("event_id")
     val counts = deduped.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s) {
       val q = counts.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -688,14 +728,25 @@ object Extensions {
     * per user and commit as log version = batchId. IDEMPOTENT REPLAY (the
     * standard foreachBatch contract): a batch replayed after a failure
     * between Versioned.commit and the checkpoint offset write finds its
-    * version slot already occupied and SKIPS — the fence's
-    * ConcurrentModificationException is reserved for true concurrent
-    * writers racing a fresh slot, not our own retry. Returns true if the
-    * batch committed, false if it was a replay skip (spec-pinned law). */
+    * version slot already occupied — WITH THIS WRITER'S OWNER MARKER
+    * (committed atomically with the data) — and SKIPS. A slot occupied by
+    * a FOREIGN writer (different owner tag, or no tag) raises the fence's
+    * ConcurrentModificationException instead of being silently swallowed
+    * (round-13 ADVICE: an unmarked skip hides real divergence). `owner`
+    * must be stable across the writer's restarts — derive it from the
+    * checkpoint location / streaming query id, never the runId. Returns
+    * true if the batch committed, false on a replay skip (spec-pinned). */
   private[graft] def upsertBatch(batch: DataFrame, id: Long,
-                                 root: String): Boolean = {
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(root, s"v=$id"))) return false
+                                 root: String, owner: String): Boolean = {
+    val slot = java.nio.file.Paths.get(root, s"v=$id")
+    if (java.nio.file.Files.exists(slot)) {
+      if (java.nio.file.Files.exists(
+          graft.operators.Versioned.ownerMarker(root, id.toInt, owner)))
+        return false
+      throw new java.util.ConcurrentModificationException(
+        s"version slot v=$id at $root is occupied by a FOREIGN writer " +
+          s"(no owner marker for '$owner'): refusing to treat it as a replay")
+    }
     val delta = batch.groupBy(col("user_id"))
       .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
         .as("_m"))
@@ -706,7 +757,7 @@ object Extensions {
     // groupBy(user_id) upstream proves one-row-per-key: skip the
     // duplicate-check action (it would double each batch's work)
     graft.operators.Versioned.commit(delta, root, "user_id", id.toInt,
-      checkDuplicates = false)
+      checkDuplicates = false, ownerTag = Some(owner))
     true
   }
 
@@ -720,9 +771,13 @@ object Extensions {
         .schema)
       .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    // restart-stable owner token: in a real deployment this derives from
+    // the checkpoint location / query id; the gate's log root plays that
+    // role (fresh per invocation, shared across the query's own replays)
+    val owner = "upsert_" + Integer.toHexString(root.hashCode)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        upsertBatch(batch, id, root)
+        upsertBatch(batch, id, root, owner)
         seen.incrementAndGet(): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -768,7 +823,7 @@ object Extensions {
       src("user_id") + lit(1L) === dim("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s) {
       val q = enriched.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -182,7 +182,7 @@ object PipelineReplay {
       }
     }
     val name = s"graft_pipe_gate_${streamGateRuns.incrementAndGet()}"
-    Extensions.withStatePartitions(s, 8) {
+    Extensions.withStatePartitions(s) {
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
         .option("maxFilesPerTrigger", 2).parquet(dir)
@@ -304,7 +304,7 @@ object PipelineReplay {
       Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
-    def runOnce(): Unit = Extensions.withStatePartitions(s, 8) {
+    def runOnce(): Unit = Extensions.withStatePartitions(s) {
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -380,7 +380,7 @@ object PipelineReplay {
       .option("pathGlobFilter", "slice0[3-6].parquet")
       .option("maxFilesPerTrigger", 2).parquet(dir)
     val name = s"graft_pipe_boot_${streamGateRuns.incrementAndGet()}"
-    Extensions.withStatePartitions(s, 8) {
+    Extensions.withStatePartitions(s) {
       val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
         toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
       val q = scored.writeStream.format("memory").queryName(name)
@@ -467,7 +467,7 @@ object PipelineReplay {
         Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
           StandardCopyOption.COPY_ATTRIBUTES)
       }
-      Extensions.withStatePartitions(s, 8) {
+      Extensions.withStatePartitions(s) {
         val src = s.readStream
           .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)

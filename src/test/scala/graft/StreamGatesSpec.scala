@@ -17,10 +17,13 @@ class StreamGatesSpec extends AnyFunSuite {
                          want: org.apache.spark.sql.DataFrame): Unit = {
     val g = got.cache(); val w = want.cache()
     try {
-      assert(g.count() === w.count())
       assert(g.count() > 0)
-      assert(g.except(w).count() === 0, "gate rows missing from batch twin")
-      assert(w.except(g).count() === 0, "batch twin rows missing from gate")
+      // exceptAll both ways = true MULTISET equality (round-13 ADVICE):
+      // set-based except + count can miss a doubled row paired with a
+      // dropped row, and ST11 re-opened sessions CAN legitimately emit
+      // duplicate identical rows — so duplicates must be compared exactly
+      assert(g.exceptAll(w).count() === 0, "gate rows missing from batch twin")
+      assert(w.exceptAll(g).count() === 0, "batch twin rows missing from gate")
     } finally { g.unpersist(); w.unpersist() }
   }
 
@@ -199,14 +202,22 @@ class StreamGatesSpec extends AnyFunSuite {
       (1L, new java.sql.Timestamp(1000L), 10L, "signup"),
       (2L, new java.sql.Timestamp(2000L), 11L, "view"))
       .toDF("user_id", "ts", "event_id", "event_type")
-    assert(Extensions.upsertBatch(batch, 0L, root),
+    assert(Extensions.upsertBatch(batch, 0L, root, "writer_a"),
       "first delivery of batch 0 must commit")
     // the retry scenario: the engine replays batch 0 after a failure
-    // between the commit and the checkpoint offset write — same id, the
-    // slot exists, the sink must SKIP (not throw, not double-apply)
-    assert(!Extensions.upsertBatch(batch, 0L, root),
+    // between the commit and the checkpoint offset write — same id, same
+    // owner, the slot carries OUR marker, the sink must SKIP (not throw,
+    // not double-apply)
+    assert(!Extensions.upsertBatch(batch, 0L, root, "writer_a"),
       "replayed batch 0 must skip idempotently")
     val state = graft.operators.Versioned.readAt(spark, root, "user_id", 0)
     assert(state.count() === 2L, "replay must not double-apply rows")
+    // the divergence scenario the set-and-skip fence used to swallow
+    // (round-13 ADVICE): a FOREIGN writer finding the slot occupied must
+    // raise the fence, never silently treat someone else's data as its
+    // own replay
+    intercept[java.util.ConcurrentModificationException] {
+      Extensions.upsertBatch(batch, 0L, root, "writer_b")
+    }
   }
 }
