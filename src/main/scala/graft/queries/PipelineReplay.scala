@@ -691,12 +691,15 @@ object PipelineReplay {
     }
     val name = s"graft_pipe_twsboot_${streamGateRuns.incrementAndGet()}"
     Extensions.withRocksDbTws(s) {
+      // snapshot rides as the FLAT packed form: the engine constructs the
+      // initial-state deserializer per key, so the value type's encoder
+      // tree size is a per-key cost (SessionizerTws.PackedSessionInit)
       val init = toEvents(
         s.read.parquet(s"$dir/slice01.parquet", s"$dir/slice02.parquet"))
         .groupByKey(_.invoiceNo)
         .mapGroups(foldInitialState _)
         .groupByKey(_._1)
-        .mapValues(_._2)
+        .mapValues(kv => graft.streaming.SessionizerTws.packInit(kv._2))
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
         .option("pathGlobFilter", "slice0[3-6].parquet")
@@ -713,8 +716,73 @@ object PipelineReplay {
     }
   }
 
+  /** q235: LIVE STATE-API MIGRATION — the operational payoff the
+    * state-reader wave (q229) and the TWS bootstrap (q234) were built
+    * for: a RUNNING flatMapGroupsWithState job's checkpoint is lifted
+    * into a transformWithState job's initial state WITHOUT replaying one
+    * source event, and the migrated job finishes the stream. Mechanics:
+    * the q229 ingest leaves a live fMGWS checkpoint with every session
+    * OPEN after slices 1–3; `spark.read.format("statestore")` reads that
+    * state as a table (one row per open invoice: retained lines, Q3
+    * error latch, event clock); each row packs into the TWS snapshot
+    * encoding and bulk-loads through `handleInitialState`; slices 4–6
+    * stream on top under the TWS sessionizer — and the output must
+    * hash-match q216's full-stream oracle. The no-replay property is
+    * FENCED IN THE GATE: the migrated query's total streamed input rows
+    * must equal exactly the slice-4–6 row count (a re-read of slices 1–3
+    * fails the row loudly, not silently). This is the 100 TB "upgrade
+    * the state API with bounded downtime" story: state moves as a
+    * checkpoint read + bulk load (O(live sessions)), never as a source
+    * replay (O(history)). */
+  def stateMigrationGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val dir = pipelineReplayDir(d)
+    val ck = ensureStateCheckpoint(s, d) // live fMGWS checkpoint, slices 1–3 open
+    val snap = s.read.format("statestore").option("path", ck).load()
+      .select(col("key.value"),
+        col("value.groupState.lines"),
+        col("value.groupState.errorReason"),
+        col("value.groupState.maxEventMs"))
+      .as[(String, List[graft.streaming.Purchase], Option[String], Long)]
+    val init = snap
+      .map { case (inv, ls, err, maxMs) =>
+        (inv, graft.streaming.SessionizerTws.packInit(
+          graft.streaming.EventSessionState(ls, err, maxMs)))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    val rawSchema = org.apache.spark.sql.Encoders.product[TimedRawLine].schema
+    val expectedStreamed = s.read.schema(rawSchema)
+      .option("pathGlobFilter", "slice0[4-6].parquet").parquet(dir).count()
+    def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
+      PurchaseCsv.route(raw.value).map(ev =>
+        TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+    }
+    val name = s"graft_pipe_migrate_${streamGateRuns.incrementAndGet()}"
+    Extensions.withRocksDbTws(s) {
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "slice0[4-6].parquet")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val scored = scoreSessions(s,
+        graft.streaming.SessionizerTws.sessionizeEventTimeWithInit(
+          toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+      val streamed = q.recentProgress.map(_.numInputRows).sum
+      require(streamed == expectedStreamed,
+        s"state migration re-read source history: streamed $streamed rows, " +
+          s"expected exactly the post-migration slices ($expectedStreamed)")
+      Extensions.detachMemorySink(s, name)
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
+    "q235_state_migration" ->
+      QueryDef(stateMigrationGate _, pipelineStreamingSql),
     "q233_state_metadata" ->
       QueryDef(stateMetadataGate _, stateMetadataSql),
     "q234_pipeline_tws_bootstrap" ->

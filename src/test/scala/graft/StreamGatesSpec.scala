@@ -184,6 +184,42 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(tws, fmgws)
   }
 
+  test("q235: a live fMGWS checkpoint migrates into a TWS job and the " +
+    "finished stream ≡ stream-everything (zero source events re-read — " +
+    "the gate's own require fences the no-replay property)") {
+    val migrated = PipelineReplay.stateMigrationGate(spark, sf)
+    val full = PipelineReplay.pipelineStreamingGate(spark, sf)
+    assertSame(migrated, full)
+  }
+
+  test("packInit/unpackInit round-trips every session-snapshot shape " +
+    "(nulls, empty lines, error latch, unicode)") {
+    import graft.streaming.{EventSessionState, Purchase, SessionizerTws}
+    val cases = Seq(
+      EventSessionState(Nil, None, Long.MinValue),
+      EventSessionState(Nil, Some("parse error: For input string: \"x\""), 42L),
+      EventSessionState(List(
+        Purchase("536365", 6, "12/1/2010 8:26", 2.55, "17850", "España"),
+        Purchase("536365", -1, null, -0.0, null, ""),
+        Purchase(null, Int.MaxValue, "ü†ƒ-8 ✓", Double.NaN, "c", "ES")),
+        Some("latch"), 1600000000000L))
+    cases.foreach { st =>
+      val back = SessionizerTws.unpackInit(SessionizerTws.packInit(st))
+      assert(back.errorReason === st.errorReason)
+      assert(back.maxEventMs === st.maxEventMs)
+      assert(back.lines.size === st.lines.size)
+      back.lines.zip(st.lines).foreach { case (b, a) =>
+        assert(b.invoiceNo === a.invoiceNo)
+        assert(b.quantity === a.quantity)
+        assert(b.invoiceDate === a.invoiceDate)
+        assert(b.unitPrice === a.unitPrice ||
+          (b.unitPrice.isNaN && a.unitPrice.isNaN))
+        assert(b.customerID === a.customerID)
+        assert(b.country === a.country)
+      }
+    }
+  }
+
   test("q230: first-occurrence emissions on MapState count to exactly " +
     "the batch distinct (cross-batch duplicates suppressed, no double emits)") {
     val gate = Extensions.distinctTwsGate(spark, sf)
