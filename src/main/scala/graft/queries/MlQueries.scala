@@ -57,40 +57,113 @@ object MlQueries {
   private def cachedFit[T <: Object](key: String)(compute: => T): T =
     fitCache.computeIfAbsent(key, _ => compute).asInstanceOf[T]
 
+  /** The shared contract evaluator behind q17/q19 (round-13 verdict #3:
+    * "gate the contract, not the centers"): run the LIVE fit, then emit
+    * ONE row of fit invariants that a DuckDB oracle can state — so the
+    * rows-only fits become real gate rows while the un-oracle-able stage
+    * (the fit itself) is checked through what it must satisfy:
+    *   - n_input: exact (DuckDB computes it independently);
+    *   - fit_k_ok: the fit produced exactly k DISTINCT finite centers;
+    *   - sizes_sum_ok: the training summary's cluster sizes sum to the
+    *     input row count (the summary is fit metadata from the MLlib job,
+    *     not recomputed from the data — a genuine cross-check);
+    *   - scores_nonneg: min over all nearest-centroid squared distances
+    *     ≥ 0 (a broken center or NaN poisons this);
+    *   - threshold_order_stat_ok: [[Anomaly.beyondThreshold]]'s in-plan
+    *     TakeOrdered threshold equals the same order statistic recomputed
+    *     through an INDEPENDENT physical path (window row_number) —
+    *     "threshold equals the in-query topK-th order statistic";
+    *   - anomaly_count_ok: strictly-beyond filter emits in (0, topK)
+    *     (strict > caps at topK−1; ties only shrink it).
+    * The user-facing post-fit pipeline (score → threshold → filter)
+    * stays hash-oracled with the fit held pinned via q51/q54. */
+  private def fitContract(s: SparkSession, d: String,
+                          ctrs: Seq[Seq[Double]], sizes: Seq[Long],
+                          k: Int, topK: Int): DataFrame = {
+    val scored = Relational.validFeatures(s, d)
+      .withColumn("score", Anomaly.minSqdist(ctrs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TakeOrdered path (what beyondThreshold uses in-plan)
+    val thTake = scored.select(col("score")).orderBy(col("score").desc)
+      .limit(topK).agg(min(col("score")).as("th_take"))
+    // independent order-stat path: global sort + row_number. When the
+    // input has fewer than topK rows the topK-th order statistic doesn't
+    // exist and TakeOrdered's limit(topK) degenerates to min-of-all — the
+    // rank path must degenerate identically (rank = min(topK, n)), or the
+    // sf0.001 gate (989 valid invoices < 2000) cross-joins an empty frame
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val thRank = scored.select(col("score"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === least(lit(topK), col("n")))
+      .select(col("score").as("th_rank"))
+    val kOk = ctrs.size == k && ctrs.distinct.size == k &&
+      ctrs.forall(_.forall(v => !v.isNaN && !v.isInfinite))
+    scored
+      .crossJoin(broadcast(thTake)).crossJoin(broadcast(thRank))
+      .agg(
+        count(lit(1)).as("n_input"),
+        (min(col("score")) >= 0.0).as("scores_nonneg"),
+        (first(col("th_take")) === first(col("th_rank")))
+          .as("threshold_order_stat_ok"),
+        (sum(when(col("score") > col("th_take"), 1L).otherwise(0L))
+          .between(1L, topK - 1L)).as("anomaly_count_ok"))
+      .select(col("n_input"), lit(kOk).as("fit_k_ok"),
+        (lit(sizes.sum) === col("n_input")).as("sizes_sum_ok"),
+        col("scores_nonneg"), col("threshold_order_stat_ok"),
+        col("anomaly_count_ok"))
+  }
+
+  private def fitContractSql(topKUnused: Int): String = s"""
+    SELECT count(*) AS n_input, TRUE AS fit_k_ok, TRUE AS sizes_sum_ok,
+           TRUE AS scores_nonneg, TRUE AS threshold_order_stat_ok,
+           TRUE AS anomaly_count_ok
+    FROM (${Relational.validFeaturesSql.replace("\n", " ")})"""
+
   /** M1+M5+P6 end-to-end: seeded KMeans on the invoice features, threshold
-    * from the 2000th-largest training distance, emit anomalous invoices. */
+    * from the 2000th-largest training distance — gated as the fit's
+    * CONTRACT row (see [[fitContract]]); the anomaly list itself is
+    * hash-oracled with the fit pinned (q51). */
   def kmeansAnomalies(s: SparkSession, d: String): DataFrame = {
-    val ctrs = cachedFit[Seq[Seq[Double]]](s"kmeans:k=4:seed=42:iter=10:$d") {
+    val (ctrs, sizes) = cachedFit[(Seq[Seq[Double]], Seq[Long])](
+      s"kmeans:k=4:seed=42:iter=10:v2:$d") {
       // canonical 8-partition layout: fitted centers become machine- and
       // session-layout-independent (k-means|| init samples per partition),
       // and the fit sheds ~25% scheduler overhead vs 32 tiny partitions
       // (FitProbe: 1.57 s → 1.20 s at sf0.1)
       val feats = graft.ml.PinCentersMain.canonicalLayout(
         Relational.validFeatures(s, d)).cache()
-      try Anomaly.trainKMeans(feats, k = 4, seed = 42L, maxIter = 10)
-        .clusterCenters.toSeq.map(_.toArray.toSeq)
-      finally feats.unpersist()
+      try {
+        val m = Anomaly.trainKMeans(feats, k = 4, seed = 42L, maxIter = 10)
+        (m.clusterCenters.toSeq.map(_.toArray.toSeq),
+          m.summary.clusterSizes.toSeq)
+      } finally feats.unpersist()
     }
-    val scored = Relational.validFeatures(s, d)
-      .withColumn("score", Anomaly.minSqdist(ctrs))
-    // in-plan threshold (the q51 single-pass form): no driver collect, no
-    // second validFeatures computation
-    Anomaly.beyondThreshold(scored, "score", 2000).select(col("invoice_no"))
+    fitContract(s, d, ctrs, sizes, k = 4, topK = 2000)
   }
 
-  /** M2 variant: BisectingKMeans, top-500 threshold. */
+  val kmeansAnomaliesSql: String = fitContractSql(2000)
+
+  /** M2 variant: BisectingKMeans, top-500 threshold — same contract gate. */
   def bisectingAnomalies(s: SparkSession, d: String): DataFrame = {
-    val ctrs = cachedFit[Seq[Seq[Double]]](s"bisecting:k=3:seed=42:iter=5:$d") {
+    val (ctrs, sizes) = cachedFit[(Seq[Seq[Double]], Seq[Long])](
+      s"bisecting:k=3:seed=42:iter=5:v2:$d") {
       val feats = graft.ml.PinCentersMain.canonicalLayout(
         Relational.validFeatures(s, d)).cache()
-      try Anomaly.trainBisecting(feats, k = 3, seed = 42L, maxIter = 5)
-        .clusterCenters.toSeq.map(_.toArray.toSeq)
-      finally feats.unpersist()
+      try {
+        val m = Anomaly.trainBisecting(feats, k = 3, seed = 42L, maxIter = 5)
+        (m.clusterCenters.toSeq.map(_.toArray.toSeq),
+          m.summary.clusterSizes.toSeq)
+      } finally feats.unpersist()
     }
-    val scored = Relational.validFeatures(s, d)
-      .withColumn("score", Anomaly.minSqdist(ctrs))
-    Anomaly.beyondThreshold(scored, "score", 500).select(col("invoice_no"))
+    fitContract(s, d, ctrs, sizes, k = 3, topK = 500)
   }
+
+  val bisectingAnomaliesSql: String = fitContractSql(500)
 
   /** Seed-pinned centers of the q17-style fit (KMeans k=4, seed=42,
     * maxIter=10 on validFeatures at sf0.01, canonical data layout — see
@@ -157,7 +230,21 @@ object MlQueries {
            FROM (SELECT score FROM scored ORDER BY score DESC LIMIT 500))
     SELECT invoice_no, score FROM scored, th WHERE score > th.t"""
 
-  /** M1+M3: the elbow sweep — (k, cost, selected?) for k in 2..6. */
+  /** M1+M3: the elbow sweep, gated as per-k CONTRACT rows (round-13
+    * verdict #3): the live k=2..6 sweep runs, and each k's row carries
+    * the invariants a DuckDB oracle can state —
+    *   - cost_positive: WSSSE > 0;
+    *   - cost_nonincreasing: cost(k) ≤ cost(k−1) (vacuously true at k=2;
+    *     verified to hold strictly at sf0.001/0.01/0.1 — a sweep whose
+    *     cost RISES in k means the seed-pinned fit degraded);
+    *   - selection_consistent: the driver-side [[Anomaly.elbowSelection]]
+    *     pick equals the 0.7-ratio rule RECOMPUTED RELATIONALLY (a window
+    *     lag over the emitted cost sequence — an independent
+    *     implementation of Clustering.scala:93-98's rule, evaluated by
+    *     the engine, not the driver).
+    * The cost VALUES stay checked by MlSpec's monotonicity properties and
+    * the q51/q54 pinned downstreams; the contract row is what DuckDB can
+    * assert without running MLlib. */
   def kmeansElbow(s: SparkSession, d: String): DataFrame = {
     val rows = cachedFit[Seq[(Int, Double, Boolean)]](s"elbow:ks=2-6:seed=42:iter=5:$d") {
       val feats = graft.ml.PinCentersMain.canonicalLayout(
@@ -167,8 +254,33 @@ object MlQueries {
       results.zipWithIndex.map { case ((k, cost, _), i) => (k, cost, i == sel) }
     }
     import s.implicits._
-    rows.toDF("k", "cost", "selected")
+    val sweep = rows.toDF("k", "cost", "selected")
+    val wk = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val ratioBreak = (col("cost") / lag(col("cost"), 1).over(wk)) > 0.7
+    val annotated = sweep
+      .withColumn("cost_positive", col("cost") > 0.0)
+      .withColumn("cost_nonincreasing",
+        coalesce(col("cost") <= lag(col("cost"), 1).over(wk), lit(true)))
+      .withColumn("is_break", coalesce(ratioBreak, lit(false)))
+    // the relational 0.7-rule: first k whose ratio breaks, else the last k
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k")).rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+    annotated
+      .withColumn("rule_pick",
+        coalesce(min(when(col("is_break"), col("k"))).over(wAll),
+          max(col("k")).over(wAll)))
+      .select(col("k").cast("long").as("k"), col("cost_positive"),
+        col("cost_nonincreasing"),
+        (col("selected") === (col("k") === col("rule_pick")))
+          .as("selection_consistent"))
   }
+
+  val kmeansElbowSql: String = """
+    SELECT CAST(k AS BIGINT) AS k, TRUE AS cost_positive,
+           TRUE AS cost_nonincreasing, TRUE AS selection_consistent
+    FROM range(2, 7) AS t(k)"""
 
   // --- q130/q131: model-based document quality filter ----------------------
 
@@ -182,17 +294,58 @@ object MlQueries {
   def qualityLrPinned(s: SparkSession, d: String): DataFrame =
     graft.ml.QualityLr.scorePinned(graft.Tables.documents(s, d))
 
-  /** q131: the live seed-pinned fit (memoized per sfDir like the q17/q19
-    * fits) + in-plan scoring — rows-only, DuckDB cannot run L-BFGS;
-    * GateHygieneSpec links it back to q130's pinned constants. */
-  def qualityLrLive(s: SparkSession, d: String): DataFrame = {
-    val fit = cachedFit[(Seq[Double], Double)](s"qlr:iter=50:reg=0:$d") {
+  /** q131: the live seed-pinned logistic fit (memoized per sfDir like the
+    * q17/q19 fits), gated as the fit's CONTRACT row (round-13 verdict #3 —
+    * the QualityLrSpec accuracy-floor assertion promoted to a
+    * driver-visible gate row): DuckDB cannot run L-BFGS, but it CAN state
+    * that (a) the corpus size is exact, (b) every fitted coefficient is
+    * finite, and (c) the live model's in-plan predictions agree with the
+    * teacher rule at least as often as the BEST CONSTANT PREDICTOR
+    * (max(p, 1−p) of the teacher's keep rate, computed in-plan from the
+    * same corpus) — the floor a fit must clear to be a model at all, and
+    * unlike a literal threshold it holds at every SF (measured live
+    * accuracies: 0.792/0.850/0.811 vs majority baselines 0.792/0.788/
+    * 0.773 at sf0.001/0.01/0.1 — the tiny-SF fit degenerates to the
+    * majority class, exactly what the baseline contract tolerates and a
+    * literal 0.85 floor would misread as breakage). The 0.85 literal
+    * floor stays asserted at the pin SF by QualityLrSpec; the scored
+    * corpus stays hash-oracled with the fit pinned (q130). */
+  private def qualityLrFit(s: SparkSession, d: String): (Seq[Double], Double) =
+    cachedFit[(Seq[Double], Double)](s"qlr:iter=50:reg=0:$d") {
       val feats = graft.ml.QualityLr.canonicalLayout(
         graft.ml.QualityLr.features(graft.Tables.documents(s, d))).cache()
       try graft.ml.QualityLr.train(feats) finally feats.unpersist()
     }
-    graft.ml.QualityLr.fitAndScore(graft.Tables.documents(s, d), fit)
+
+  /** The live-fit scored corpus (q131's pre-round-14 output shape) — the
+    * user-facing surface a reference user scores documents with; the
+    * registry row gates its fit's contract, QualityLrSpec pins
+    * live ≡ pinned row-for-row at the pin SF. */
+  def qualityLrLiveScored(s: SparkSession, d: String): DataFrame =
+    graft.ml.QualityLr.fitAndScore(graft.Tables.documents(s, d),
+      qualityLrFit(s, d))
+
+  def qualityLrLive(s: SparkSession, d: String): DataFrame = {
+    val fit = qualityLrFit(s, d)
+    val weightsFinite = fit._1.forall(w => !w.isNaN && !w.isInfinite) &&
+      !fit._2.isNaN && !fit._2.isInfinite
+    graft.ml.QualityLr.features(graft.Tables.documents(s, d))
+      .withColumn("z", graft.ml.QualityLr.margin(fit._1, fit._2))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when((col("z") > 0.0).cast("int") === col("label").cast("int"),
+          1L).otherwise(0L)).cast("double") / count(lit(1)).cast("double"))
+          .as("acc"),
+        avg(col("label")).as("p"))
+      .select(col("n_docs"), lit(weightsFinite).as("weights_finite_ok"),
+        (col("acc") >= greatest(col("p"), lit(1.0) - col("p")))
+          .as("beats_majority_ok"))
   }
+
+  val qualityLrLiveSql: String = """
+    SELECT count(*) AS n_docs, TRUE AS weights_finite_ok,
+           TRUE AS beats_majority_ok
+    FROM documents"""
 
   val qualityLrPinnedSql: String = {
     val w = graft.ml.QualityLr.pinnedWeights
@@ -230,15 +383,56 @@ object MlQueries {
     graft.ml.EmbedPca.projectPinned(graft.Tables.embeddings(s, d))
 
   /** q133: live deterministic PCA fit (covariance eigendecomposition, no
-    * RNG; memoized per sfDir) + exact projection — rows-only, DuckDB has
-    * no eigensolver; GateHygieneSpec links it to q132's constants. */
-  def pcaProjectLive(s: SparkSession, d: String): DataFrame = {
-    val comps = cachedFit[Seq[Seq[Double]]](s"pca:k=${graft.ml.EmbedPca.k}:$d") {
+    * RNG; memoized per sfDir), gated as the fit's CONTRACT row (round-13
+    * verdict #3 — the EmbedPcaSpec explained-energy assertion promoted to
+    * a driver-visible gate row): DuckDB has no eigensolver, but it can
+    * state that (a) the corpus size is exact, (b) the fitted components
+    * are pairwise orthonormal (Gram matrix ≈ I within 1e-8 — an
+    * eigensolver that stops being one fails here first), and (c) the k=8
+    * subspace carries a (0.15, 1]-bounded share of total squared norm —
+    * projected energy ≤ total is Bessel's inequality, the floor catches a
+    * broken fit. The projected corpus stays hash-oracled with the fit
+    * pinned (q132). */
+  private def pcaLiveComponents(s: SparkSession, d: String): Seq[Seq[Double]] =
+    cachedFit[Seq[Seq[Double]]](s"pca:k=${graft.ml.EmbedPca.k}:$d") {
       val emb = graft.ml.EmbedPca.canonicalLayout(graft.Tables.embeddings(s, d)).cache()
       try graft.ml.EmbedPca.fit(emb) finally emb.unpersist()
     }
-    graft.ml.EmbedPca.project(graft.Tables.embeddings(s, d), comps)
+
+  /** The live-fit projected corpus (q133's pre-round-14 output shape) —
+    * the user-facing surface; the registry row gates its fit's contract,
+    * EmbedPcaSpec pins live ≡ pinned row-for-row at the pin SF. */
+  def pcaProjectLiveFrame(s: SparkSession, d: String): DataFrame =
+    graft.ml.EmbedPca.project(graft.Tables.embeddings(s, d),
+      pcaLiveComponents(s, d))
+
+  def pcaProjectLive(s: SparkSession, d: String): DataFrame = {
+    val comps = pcaLiveComponents(s, d)
+    val orthonormal = comps.indices.forall { i =>
+      comps.indices.forall { j =>
+        val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+      }
+    }
+    val k = graft.ml.EmbedPca.k
+    val emb = graft.Tables.embeddings(s, d)
+    val vecD = transform(col("embedding"), x => x.cast("double"))
+    graft.ml.EmbedPca.project(emb, comps)
+      .join(emb.select(col("vec_id"),
+        graft.operators.Similarity.dot(vecD, vecD).as("e")), "vec_id")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum((1 to k).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)) /
+          sum(col("e"))).as("ratio"))
+      .select(col("n_vecs"), lit(orthonormal).as("components_orthonormal_ok"),
+        (col("ratio") > 0.15 && col("ratio") <= 1.0 + 1e-12)
+          .as("energy_floor_ok"))
   }
+
+  val pcaProjectLiveSql: String = """
+    SELECT count(*) AS n_vecs, TRUE AS components_orthonormal_ok,
+           TRUE AS energy_floor_ok
+    FROM embeddings"""
 
   val pcaProjectPinnedSql: String = {
     def litList(c: Seq[Double]): String =
@@ -257,12 +451,12 @@ object MlQueries {
   val defs: Map[String, QueryDef] = Map(
     "q16_anomalies_fixed"     -> QueryDef(anomaliesFixed _, anomaliesFixedSql),
     "q130_quality_lr_pinned"  -> QueryDef(qualityLrPinned _, qualityLrPinnedSql),
-    "q131_quality_lr_live"    -> QueryDef(qualityLrLive _, None),
+    "q131_quality_lr_live"    -> QueryDef(qualityLrLive _, qualityLrLiveSql),
     "q132_pca_project_pinned" -> QueryDef(pcaProjectPinned _, pcaProjectPinnedSql),
-    "q133_pca_project_live"   -> QueryDef(pcaProjectLive _, None),
-    "q17_kmeans_anomalies"    -> QueryDef(kmeansAnomalies _, None),
-    "q18_kmeans_elbow"        -> QueryDef(kmeansElbow _, None),
-    "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, None),
+    "q133_pca_project_live"   -> QueryDef(pcaProjectLive _, pcaProjectLiveSql),
+    "q17_kmeans_anomalies"    -> QueryDef(kmeansAnomalies _, kmeansAnomaliesSql),
+    "q18_kmeans_elbow"        -> QueryDef(kmeansElbow _, kmeansElbowSql),
+    "q19_bisecting_anomalies" -> QueryDef(bisectingAnomalies _, bisectingAnomaliesSql),
     "q51_kmeans_scoring_pinned" -> QueryDef(kmeansScoringPinned _, kmeansScoringPinnedSql),
     "q54_bisecting_scoring_pinned" -> QueryDef(bisectingScoringPinned _, bisectingScoringPinnedSql))
 }

@@ -23,7 +23,7 @@ class EmbedPcaSpec extends AnyFunSuite {
   }
 
   test("q133 live projection at the pin SF equals q132 pinned projection row-for-row") {
-    val live = graft.queries.MlQueries.pcaProjectLive(spark, sfFit)
+    val live = graft.queries.MlQueries.pcaProjectLiveFrame(spark, sfFit)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     val pinned = graft.queries.MlQueries.pcaProjectPinned(spark, sfFit)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap

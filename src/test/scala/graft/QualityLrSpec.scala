@@ -30,7 +30,7 @@ class QualityLrSpec extends AnyFunSuite {
     // same data, same canonical layout, same seed path → the memoized live
     // fit IS the pinned fit; any divergence means the fit is not
     // reproducible (the q51 failure class)
-    val live = graft.queries.MlQueries.qualityLrLive(spark, sfFit)
+    val live = graft.queries.MlQueries.qualityLrLiveScored(spark, sfFit)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     val pinned = graft.queries.MlQueries.qualityLrPinned(spark, sfFit)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
