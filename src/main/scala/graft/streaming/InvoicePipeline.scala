@@ -165,15 +165,35 @@ object InvoicePipeline {
       checkpointDir: String,
       sessionTimeout: String = Sessionizer.DefaultTimeout,
       trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
-      relationalParse: Boolean = false)
-      (implicit spark: SparkSession): StreamingQuery =
-    Sessionizer.fromRawLines(lines, sessionTimeout, relationalParse).writeStream
+      relationalParse: Boolean = false,
+      // swap the sessionizer onto the transformWithState state machine
+      // (SessionizerTws.ProcTimeSessionProcessor — ListState appends per
+      // batch instead of GroupState blob rewrites); same semantics, used
+      // by the throughput/state-scale rigs for the fMGWS-vs-TWS pair
+      tws: Boolean = false)
+      (implicit spark: SparkSession): StreamingQuery = {
+    import spark.implicits._
+    val sessions =
+      if (!tws) Sessionizer.fromRawLines(lines, sessionTimeout, relationalParse)
+      else {
+        val events =
+          if (relationalParse) PurchaseCsv.routeRelational(lines)
+          else lines.flatMap(PurchaseCsv.route _)
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sessionTimeout))
+        val timeoutMs =
+          iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+        SessionizerTws.sessionizeProcTime(events, timeoutMs)
+      }
+    sessions.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch((batch: Dataset[InvoiceResult], batchId: Long) =>
         sink(routeBatchUnified(models)(batch), batchId))
       .start()
+  }
 
   /** ST8: event-time rebuild of the 8-minute/1-minute sliding cancellation
     * count (the reference's windows are processing-time; we stamp ingest

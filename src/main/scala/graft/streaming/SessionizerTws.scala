@@ -150,6 +150,73 @@ object SessionizerTws {
     }
   }
 
+  /** The PROCESSING-TIME twin of [[SessionProcessor]] — the same state
+    * machine as [[Sessionizer.updateSession]] (Q3 batch-scoped error
+    * latch, inactivity expiry, classify at emit) on the TWS API, for the
+    * live-pipeline rigs (ThroughputMain/StateScaleMain) where the expiry
+    * clock is wall time. The 100 TB separation this exists to measure:
+    * per batch, the ListState pays O(new lines) appendList merges while
+    * GroupState REWRITES the whole accumulated session blob — for long
+    * sessions (hundreds of lines) the per-trigger write volume diverges.
+    * ProcessingTime mode keeps every trigger running a batch, which is
+    * exactly right for a continuously-triggered pipeline (and exactly
+    * wrong for AvailableNow gates — the round-12 q225 lesson; the gates
+    * stay on the event-time processor above). */
+  class ProcTimeSessionProcessor(timeoutMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, LineEvent, InvoiceResult] {
+    @transient private var lines: ListState[Purchase] = _
+    @transient private var err: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lines = getHandle.getListState[Purchase](
+        "lines", Encoders.product[Purchase], TTLConfig.NONE)
+      err = getHandle.getValueState[String](
+        "err", Encoders.STRING, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(invoiceNo: String,
+                                 rows: Iterator[LineEvent],
+                                 timerValues: TimerValues): Iterator[InvoiceResult] = {
+      val evs = rows.toSeq
+      evs.collectFirst { case LineEvent(_, _, Some(reason)) => reason } match {
+        // Q3: an error event wins its batch and drops that batch's good
+        // lines (earlier batches' lines stay — same as updateSession)
+        case Some(reason) => err.update(reason)
+        case None =>
+          val fresh = evs.flatMap(_.purchase)
+          if (fresh.nonEmpty) lines.appendList(fresh.toArray)
+      }
+      // inactivity clock: re-arm on every batch that touches the key
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(invoiceNo: String,
+                                    timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[InvoiceResult] = {
+      val reason = if (err.exists()) Some(err.get()) else None
+      val retained = lines.get().toList
+      if (reason.isEmpty && retained.isEmpty) return Iterator.empty // stale
+      lines.clear(); err.clear()
+      Iterator.single(Sessionizer.classify(invoiceNo,
+        SessionState(retained, reason)))
+    }
+  }
+
+  /** Processing-time TWS sessionization over routed events — the
+    * drop-in TWS twin of [[Sessionizer.sessionize]]. */
+  def sessionizeProcTime(events: Dataset[LineEvent],
+                         timeoutMs: Long = 40000L): Dataset[InvoiceResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.invoiceNo)
+      .transformWithState(new ProcTimeSessionProcessor(timeoutMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Event-time sessionization via transformWithState. Requires the
     * RocksDB state store provider (the API rejects the default HDFS
     * provider) — callers set `spark.sql.streaming.stateStore

@@ -11,12 +11,30 @@ import org.apache.spark.sql.streaming.Trigger
   * BATCH, not to the number of live sessions (state is point-updated, never
   * rescanned).
   *
-  * Usage: runMain graft.streaming.StateScaleMain [nInvoices] [linesPerInvoice]
+  * A 3rd arg `tws` swaps the sessionizer onto transformWithState
+  * ([[SessionizerTws.ProcTimeSessionProcessor]]): same waves, same
+  * store, only the state API differs. With a LONG-session fixture
+  * (linesPerInvoice in the hundreds, invoices re-fed across waves) the
+  * asymptotics the TWS ListState claims actually separate: GroupState
+  * rewrites each touched session's whole accumulated blob per batch
+  * (write volume grows with session length), ListState appends only the
+  * batch's new lines (write volume stays flat).
+  *
+  * A 4th arg `long` switches the feed shape: instead of each wave opening
+  * NEW invoices (store grows in key count, sessions stay short), every
+  * wave appends linesPerInvoice/10 MORE lines to the SAME nInvoices open
+  * sessions (store constant in keys, sessions grow 10× across the run) —
+  * the fixture where the per-wave write-volume asymmetry is visible in
+  * the per-batch curve.
+  *
+  * Usage: runMain graft.streaming.StateScaleMain [nInvoices] [linesPerInvoice] [tws|fmgws] [long]
   */
 object StateScaleMain {
   def main(args: Array[String]): Unit = {
     val nInvoices = if (args.nonEmpty) args(0).toInt else 500000
     val linesPer = if (args.length > 1) args(1).toInt else 2
+    val useTws = args.length > 2 && args(2) == "tws"
+    val longSessions = args.length > 3 && args(3) == "long"
 
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[32]")
@@ -47,7 +65,7 @@ object StateScaleMain {
     val q = InvoicePipeline.runUnified(input.toDS(), models, sink, ckpt,
       sessionTimeout = "10 minutes",
       trigger = Trigger.ProcessingTime("1 second"),
-      relationalParse = false)
+      relationalParse = false, tws = useTws)
 
     // NB: processAllAvailable() hangs under ProcessingTimeTimeout (every
     // trigger forces a batch, the no-new-data latch never sticks) — poll
@@ -77,21 +95,40 @@ object StateScaleMain {
         s"ingest incomplete: ${processedRows.get()} of $target lines")
     }
 
-    // feed in WAVES of new invoices, waiting each wave out, so the run
-    // shows per-batch latency as the live-session count climbs — the scale
-    // claim is that the curve is flat (batch-proportional), not growing
-    // (store-proportional)
+    // feed in WAVES, waiting each wave out. Wide mode (default): each wave
+    // opens NEW invoices — per-batch latency must stay flat as the
+    // live-session COUNT climbs (batch-proportional, not
+    // store-proportional). Long mode: each wave appends more lines to the
+    // SAME invoices — per-batch latency must stay flat as session LENGTH
+    // climbs, which only holds for a state layout that appends (ListState)
+    // rather than rewrites the accumulated blob (GroupState).
     val t0 = System.nanoTime()
     var fed = 0L
-    val wave = math.max(nInvoices / 10, 1)
-    (0 until nInvoices).grouped(wave).foreach { invs =>
-      input.addData(invs.flatMap { inv =>
-        (0 until linesPer).map { line =>
-          s"INV$inv,SC$line,ITEM,${line + 1},7/19/2011 ${inv % 24}:15,${(inv % 500) / 10.0 + 0.5},cust${inv % 997},Spain"
-        }
-      })
-      fed += invs.size.toLong * linesPer
-      awaitProcessed(fed)
+    if (longSessions) {
+      val waves = 10
+      require(linesPer % waves == 0, s"linesPerInvoice must divide by $waves")
+      val perWave = linesPer / waves
+      (0 until waves).foreach { w =>
+        input.addData((0 until nInvoices).flatMap { inv =>
+          (0 until perWave).map { j =>
+            val line = w * perWave + j
+            s"INV$inv,SC$line,ITEM,${line + 1},7/19/2011 ${inv % 24}:15,${(inv % 500) / 10.0 + 0.5},cust${inv % 997},Spain"
+          }
+        })
+        fed += nInvoices.toLong * perWave
+        awaitProcessed(fed)
+      }
+    } else {
+      val wave = math.max(nInvoices / 10, 1)
+      (0 until nInvoices).grouped(wave).foreach { invs =>
+        input.addData(invs.flatMap { inv =>
+          (0 until linesPer).map { line =>
+            s"INV$inv,SC$line,ITEM,${line + 1},7/19/2011 ${inv % 24}:15,${(inv % 500) / 10.0 + 0.5},cust${inv % 997},Spain"
+          }
+        })
+        fed += invs.size.toLong * linesPer
+        awaitProcessed(fed)
+      }
     }
     val ingestSecs = (System.nanoTime() - t0) / 1e9
 
@@ -117,7 +154,9 @@ object StateScaleMain {
     val last = progress.last
     val lastSo = last.stateOperators.head
     val avgMs = progress.map(_.durationMs.getOrDefault("addBatch", 0L).longValue).sum / progress.length
-    println(f"STATESCALE invoices=$nInvoices lines=$fed ingest_secs=$ingestSecs%.1f " +
+    println(f"STATESCALE api=${if (useTws) "tws" else "fmgws"} " +
+      f"mode=${if (longSessions) "long" else "wide"} " +
+      f"invoices=$nInvoices lines=$fed ingest_secs=$ingestSecs%.1f " +
       f"lines_per_sec=${fed / ingestSecs}%.0f live_state_rows=${lastSo.numRowsTotal} " +
       f"rocksdb_mb=${rocksdbMb(lastSo)}%.1f avg_addbatch_ms=$avgMs " +
       f"last_addbatch_ms=${last.durationMs.getOrDefault("addBatch", -1L)}")

@@ -23,13 +23,19 @@ import org.apache.spark.sql.streaming.Trigger
   *    SINK, after state expiry and classification — the number of
   *    record for streaming performance (THROUGHPUT.md).
   *
-  * Usage: runMain graft.streaming.ThroughputMain [nLines] [nInvoices] [ratePerSec]
+  * A 4th arg `tws` swaps the sessionizer onto transformWithState
+  * ([[SessionizerTws.ProcTimeSessionProcessor]]) for the fMGWS-vs-TWS
+  * number-of-record pair (THROUGHPUT.md): same feed protocol, same
+  * sinks, only the state API differs.
+  *
+  * Usage: runMain graft.streaming.ThroughputMain [nLines] [nInvoices] [ratePerSec] [tws]
   */
 object ThroughputMain {
   def main(args: Array[String]): Unit = {
     val nLines = if (args.nonEmpty) args(0).toInt else 200000
     val nInvoices = if (args.length > 1) args(1).toInt else 20000
     val ratePerSec = if (args.length > 2) args(2).toInt else 0
+    val useTws = args.length > 3 && args(3) == "tws"
 
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[32]")
@@ -67,7 +73,7 @@ object ThroughputMain {
       val q = InvoicePipeline.runUnified(input.toDS(), models, sink, ckpt,
         sessionTimeout = "2 seconds",
         trigger = Trigger.ProcessingTime("1 second"),
-        relationalParse = false)
+        relationalParse = false, tws = useTws)
 
       val lines = (0 until nLines).map { i =>
         val inv = i % nInvoices
@@ -80,7 +86,8 @@ object ThroughputMain {
         Thread.sleep(250)
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      println(f"THROUGHPUT lines=$nLines invoices_emitted=${emitted.get()} " +
+      println(f"THROUGHPUT api=${if (useTws) "tws" else "fmgws"} " +
+        f"lines=$nLines invoices_emitted=${emitted.get()} " +
         f"secs=$secs%.1f lines_per_sec=${nLines / secs}%.0f")
     } else {
       // ---- metered replay with per-session end-to-end latency -------------
@@ -101,7 +108,7 @@ object ThroughputMain {
       val q = InvoicePipeline.runUnified(input.toDS(), models, sink, ckpt,
         sessionTimeout = "2 seconds",
         trigger = Trigger.ProcessingTime("1 second"),
-        relationalParse = false)
+        relationalParse = false, tws = useTws)
 
       // contiguous invoices: invoice i owns lines [i*lpi, (i+1)*lpi)
       def line(i: Int): String = {
@@ -146,7 +153,8 @@ object ThroughputMain {
       def pct(p: Double): Long =
         if (lats.isEmpty) -1L
         else lats(math.min(lats.size - 1, (p * lats.size).toInt))
-      println(f"THROUGHPUT lines=$nLines rate=$ratePerSec " +
+      println(f"THROUGHPUT api=${if (useTws) "tws" else "fmgws"} " +
+        f"lines=$nLines rate=$ratePerSec " +
         f"invoices_emitted=${emissions.size()} feed_secs=$feedSecs%.1f " +
         f"secs=$secs%.1f lines_per_sec=${nLines / secs}%.0f " +
         f"sessions_per_sec=${emissions.size() / secs}%.0f " +

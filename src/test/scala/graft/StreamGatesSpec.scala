@@ -192,6 +192,54 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(migrated, full)
   }
 
+  test("processing-time TWS sessionizer in the unified pipeline ≡ fMGWS " +
+    "(live feed, same lines, same sinks — the throughput-rig law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.InvoicePipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val models = InvoicePipeline.Models(
+      Seq(Seq(5.0, 1.0, 10.0, 12.0, 20.0)), -1.0,
+      Seq(Seq(5.0, 1.0, 10.0, 12.0, 20.0)), 1e12)
+    // 30 invoices × 4 lines, plus one poisoned and one cancellation —
+    // exercises all three router branches under live expiry
+    val lines = (0 until 30).flatMap { inv =>
+      (0 until 4).map(j =>
+        s"I$inv,SC$j,ITEM,${j + 1},7/19/2011 12:19,${j + 1}.5,c$inv,ES")
+    } ++ Seq("P1,SC0,ITEM,x,7/19/2011 12:19,1.5,cP,ES",
+      "C77,SC0,ITEM,2,7/19/2011 12:19,3.5,cC,ES")
+    def run(tws: Boolean): Seq[(String, String)] = {
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      val input = MemoryStream[String]
+      val ck = java.nio.file.Files.createTempDirectory("tws-parity").toString
+      val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+        b.select("topic", "value").collect()
+          .foreach(r => rows.add((r.getString(0), r.getString(1))))
+      def body(): Unit = {
+        val q = InvoicePipeline.runUnified(input.toDS(), models, sink, ck,
+          sessionTimeout = "2 seconds",
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("500 milliseconds"),
+          relationalParse = false, tws = tws)
+        try {
+          input.addData(lines)
+          // 32 expected emissions (30 valid→kmeans, 1 error, 1 cancel)
+          val deadline = System.currentTimeMillis() + 60000
+          while (rows.size() < 32 && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+        } finally q.stop()
+      }
+      if (tws) Extensions.withRocksDbTws(spark)(body()) else body()
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.sorted
+    }
+    val fmgws = run(tws = false)
+    val twsRows = run(tws = true)
+    assert(fmgws.size === 32, s"fMGWS emitted ${fmgws.size} rows")
+    assert(twsRows === fmgws)
+  }
+
   test("packInit/unpackInit round-trips every session-snapshot shape " +
     "(nulls, empty lines, error latch, unicode)") {
     import graft.streaming.{EventSessionState, Purchase, SessionizerTws}
