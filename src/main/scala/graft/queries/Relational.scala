@@ -731,29 +731,27 @@ object Relational {
     val ev = Tables.events(s, d)
     def stage(t: String) =
       ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
+    // each stage frame feeds TWO branches (its count and the next stage's
+    // join), and every stage ends in a user_id-keyed aggregate — all four
+    // branches share exchanges, so ReuseExchange runs each stage's map
+    // side once per action: no persists, no eager checkpoint, nothing
+    // pinned in the block manager (round-14 SpineProbe: the
+    // persist+checkpoint+release machinery measured SLOWER than the
+    // exchange reuse it duplicated)
     val first = stage("signup").groupBy("user_id").agg(min("ts").as("t"))
-      .persist()
     def next(prev: DataFrame, t: String) =
       stage(t).join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
         .filter(col("ts") > col("pt") &&
           col("ts") <= col("pt") + expr("INTERVAL 48 HOURS"))
         .groupBy("user_id").agg(min("ts").as("t"))
-        .persist()
     val s2 = next(first, "view")
     val s3 = next(s2, "click")
     val s4 = next(s3, "purchase")
     val stages = Seq("1_signup" -> first, "2_view" -> s2,
       "3_click" -> s3, "4_purchase" -> s4)
-    // the counts union is stage-sized (4 rows): materialize it eagerly
-    // (localCheckpoint truncates lineage, so the result no longer reads
-    // the stage frames) and RELEASE the per-stage persists — without
-    // this, every invocation pins five frames in the block manager for
-    // the session's lifetime (the ancestorClosure release discipline)
-    val counts =
-      try stages.map { case (name, df) =>
-        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
-      }.reduce(_ unionByName _).localCheckpoint(true)
-      finally stages.foreach { case (_, df) => df.unpersist(false) }
+    val counts = stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    }.reduce(_ unionByName _)
     counts.withColumn("conversion",
       col("users").cast("double") /
         lag(col("users"), 1).over(Window.orderBy("stage")).cast("double"))
@@ -917,14 +915,17 @@ object Relational {
     val ev = Tables.events(s, d).select(col("user_id"),
       floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / 7)
         .as("wk"))
+    // perUser has two consumers (cohort sizes, the activity explode) but
+    // both branches share its shuffle — ReuseExchange computes the
+    // aggregate's map side once per action, so no persist and no eager
+    // checkpoint (and therefore nothing to release): the round-14
+    // SpineProbe measurement showed the persist+checkpoint+release
+    // machinery costs MORE than the exchange reuse it duplicates
     val perUser = ev.groupBy("user_id")
       .agg(min("wk").as("cohort_wk"), collect_set("wk").as("wks"))
-      .persist()
     val sizes = perUser.groupBy("cohort_wk")
       .agg(count(lit(1)).as("cohort_users"))
-    // cells-sized result: checkpoint it eagerly and release the per-user
-    // persist so repeated invocations don't pin frames for the session
-    try perUser
+    perUser
       .select(col("cohort_wk"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
       .agg(count(lit(1)).as("active_users"))
@@ -933,8 +934,6 @@ object Relational {
         col("cohort_users"),
         (col("active_users").cast("double") /
           col("cohort_users").cast("double")).as("retention"))
-      .localCheckpoint(true)
-    finally perUser.unpersist(false)
   }
 
   val cohortRetentionSql: String = """

@@ -1217,25 +1217,29 @@ object Stats {
   def calendarFill(s: SparkSession, d: String): DataFrame = {
     // ONE definition of "daily revenue": reuse trendDaily so a change to
     // the quantization or the epoch can't silently split q203/q209 from
-    // q204/q207/q211 (the oracles share the same daily CTE text)
+    // q204/q207/q211 (the oracles share the same daily CTE text).
+    //
+    // daily has TWO consumers (the spine bounds and the fill join) but
+    // needs neither a persist nor an eager localCheckpoint: both branches
+    // end in the same shuffle, and Spark's ReuseExchange collapses them —
+    // the aggregate's map side runs ONCE per action. Measured (round-14
+    // SpineProbe A/B, sf0.1 same window): the lazy shared-exchange plan
+    // reads 0.69–0.74 s where persist + eager checkpoint + release read
+    // 1.08–1.17 s — the release machinery cost MORE than the reuse it
+    // guarded, and lazy leaves nothing pinned in the block manager at all
+    // (the round-12 leak class can't recur without a persist to leak).
     val daily = trendDaily(s, d)
       .select(col("o_orderpriority"), col("x"), col("y").cast("long").as("cents"))
-      .persist()  // two consumers: the spine bounds and the fill join
     val spine = daily.groupBy("o_orderpriority")
       .agg(min("x").as("lo"), max("x").as("hi"))
       .select(col("o_orderpriority"), explode(sequence(col("lo"), col("hi"))).as("x"))
-    // groups×days result: checkpoint eagerly and release the daily persist
-    // (q207/q211 re-invoke this — unreleased persists would accumulate one
-    // pinned frame per call for the session's lifetime)
-    try spine.join(daily, Seq("o_orderpriority", "x"), "left")
+    spine.join(daily, Seq("o_orderpriority", "x"), "left")
       .select(col("o_orderpriority"), col("x"),
         coalesce(col("cents"), lit(0L)).as("cents"),
         last(col("cents"), ignoreNulls = true)
           .over(Window.partitionBy(col("o_orderpriority")).orderBy(col("x"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("ffill_cents"))
-      .localCheckpoint(true)
-    finally daily.unpersist(false)
   }
 
   val calendarFillSql: String = """
