@@ -639,6 +639,61 @@ object Extensions {
     SELECT event_type, count(DISTINCT user_id) AS distinct_users
     FROM events GROUP BY 1"""
 
+  /** The q230 pipeline re-run with a RETAINED checkpoint (file sink) —
+    * fixture prep for the MapState reader gate, cached per sfDir like
+    * the q229/q232 ingests. */
+  private val distinctCkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureDistinctTwsCheckpoint(s: SparkSession, d: String): String =
+    distinctCkCache.computeIfAbsent(d, { _ =>
+      ensureTransitionsReplay(s, d)
+      import s.implicits._
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mapstate").toString
+      val ck = s"$work/ck"; val out = s"$work/out"
+      withRocksDbTws(s) {
+        val src = s.readStream
+          .schema(Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+            .schema)
+          .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
+        val first = graft.streaming.DistinctTws.firstOccurrences(
+          src.as[graft.streaming.Transitions.Ev])
+        val q = first.toDF().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitBounded(q, "distinct_tws_ingest")
+      }
+      ck
+    })
+
+  /** q236: MAPSTATE INTROSPECTION — the q232 named-variable read against
+    * the third state-variable shape, completing the per-variable reader
+    * matrix (q229 fMGWS blob, q232 ValueState + flattened ListState,
+    * this MapState). The q230 first-occurrence job's checkpoint is read
+    * back per map ENTRY: the `statestore` source flattens MapState as
+    * one row per (grouping key, user map key) — proving the store holds
+    * the seen-set as individually addressable entries (the point-probe
+    * layout the 100 TB claim rests on), not a serialized Set blob. The
+    * oracle is closed-form: exactly the DISTINCT (user, event_type)
+    * pairs of the events table, each present exactly once with value
+    * true. */
+  def twsMapIntrospectGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureDistinctTwsCheckpoint(s, d)
+    s.read.format("statestore")
+      .option("path", ck).option("stateVarName", "seen").load()
+      .select(
+        col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("seen"))
+  }
+
+  val twsMapIntrospectSql: String = """
+    SELECT DISTINCT user_id, event_type, TRUE AS seen FROM events"""
+
   /** q226: NATIVE STREAMING DEDUPLICATION under streaming execution —
     * `dropDuplicatesWithinWatermark`, the engine-native exact-dedup state
     * operator (the API sibling of the custom `exactDedupStream`): the
@@ -3259,7 +3314,9 @@ object Extensions {
     "q227_streaming_upsert_sink" ->
       QueryDef(streamingUpsertSink _, streamingUpsertSinkSql),
     "q230_distinct_tws" ->
-      QueryDef(distinctTwsGate _, distinctTwsSql))
+      QueryDef(distinctTwsGate _, distinctTwsSql),
+    "q236_tws_map_introspect" ->
+      QueryDef(twsMapIntrospectGate _, twsMapIntrospectSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

@@ -277,6 +277,17 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(gate, batch)
   }
 
+  test("q236: the MapState checkpoint reads back one row per map ENTRY, " +
+    "and its per-type counts equal the live q230 emissions (reader ≡ job)") {
+    val entries = Extensions.twsMapIntrospectGate(spark, sf)
+    // every entry true (the processor never stores false)
+    assert(entries.filter(!col("seen")).count() === 0)
+    val fromReader = entries.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+    val fromJob = Extensions.distinctTwsGate(spark, sf)
+    assertSame(fromReader, fromJob)
+  }
+
   test("q227: a replayed batch id skips idempotently instead of " +
     "tripping the version fence (the sharp edge)") {
     import spark.implicits._
