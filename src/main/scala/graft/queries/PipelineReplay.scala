@@ -779,8 +779,98 @@ object PipelineReplay {
     }
   }
 
+  /** q237: TIMER introspection — the `statestore` source's
+    * `readRegisteredTimers` view over the q228 TWS checkpoint: one row
+    * per ARMED event-time timer (the expiry schedule a 100 TB operator
+    * inspects to answer "when will this state drain"). After the 3-slice
+    * ingest every open invoice holds exactly ONE timer (the processor
+    * deletes-then-re-arms per touched batch — a double-armed key would
+    * surface as a duplicate row and break the hash), at exactly
+    * maxEventMs + gap (the watermark clamp never binds during the
+    * ingest: the watermark stays below the event-time base). The oracle
+    * recomputes the expiry slice in closed form from the ntile cut —
+    * including the sharp edge that ERROR events advance the event clock
+    * (a poisoned invoice's timer sits at its poison-batch clock, not at
+    * its last retained line). */
+  def twsTimersGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureTwsStateCheckpoint(s, d)
+    s.read.format("statestore")
+      .option("path", ck).option("readRegisteredTimers", true).load()
+      .select(
+        col("key.value").as("invoice_no"),
+        ((col("expiration_timestamp_ms") - lit(40000L) - lit(ReplayBaseMs))
+          / lit(SliceStepMs) + lit(1)).cast("long").as("expiry_slice"))
+  }
+
+  val twsTimersSql: String = """
+    WITH sliced AS (
+      SELECT l_orderkey, l_linenumber,
+             ntile(4) OVER (ORDER BY l_orderkey, l_linenumber) AS slice
+      FROM lineitem)
+    SELECT CAST(l_orderkey AS VARCHAR) AS invoice_no,
+           CAST(max(slice) AS BIGINT) AS expiry_slice
+    FROM sliced WHERE slice <= 3 GROUP BY 1"""
+
+  /** One as-of prefix of the q229 closed-form fold: the state AFTER
+    * batch b = the fold of slices 1..b+1 (one file per micro-batch),
+    * restricted to invoices that have appeared by then. */
+  private def statePrefixSql(b: Int): String = {
+    val p = b + 1
+    s"""
+    SELECT CAST($b AS BIGINT) AS as_of_batch, invoice_no, has_error,
+           line_count, max_slice
+    FROM (
+      WITH sliced AS (
+        SELECT l_orderkey, l_linenumber,
+               ntile(4) OVER (ORDER BY l_orderkey, l_linenumber) AS slice
+        FROM lineitem),
+      pois AS (SELECT l_orderkey, slice AS pslice FROM sliced
+               WHERE l_linenumber = 7),
+      pre AS (SELECT s.l_orderkey, s.l_linenumber, s.slice, p.pslice
+              FROM sliced s LEFT JOIN pois p USING (l_orderkey)
+              WHERE s.slice <= $p)
+      SELECT CAST(l_orderkey AS VARCHAR) AS invoice_no,
+             max(CASE WHEN l_linenumber = 7 THEN 1 ELSE 0 END) = 1 AS has_error,
+             CAST(sum(CASE WHEN l_linenumber <> 7
+                            AND (pslice IS NULL OR pslice > $p OR slice <> pslice)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS line_count,
+             CAST(max(slice) AS BIGINT) AS max_slice
+      FROM pre GROUP BY 1)"""
+  }
+
+  /** q238: STATE TIME TRAVEL — the `statestore` source's `batchId`
+    * option reads the SAME checkpoint as of two different committed
+    * batches (after slice 1, and after slice 3) in one frame: "what did
+    * this job's state look like N batches ago", answered from retained
+    * state versions without replaying anything — the state-side twin of
+    * q89's data time travel, and the debugging surface a 100 TB
+    * deployment uses to bisect when a stateful job started diverging.
+    * Oracle: the q229 closed-form fold parameterized by prefix length,
+    * one branch per as-of batch. */
+  def stateTimeTravelGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureStateCheckpoint(s, d)
+    def asOf(b: Int): DataFrame =
+      s.read.format("statestore")
+        .option("path", ck).option("batchId", b).load()
+        .select(
+          lit(b.toLong).as("as_of_batch"),
+          col("key.value").as("invoice_no"),
+          col("value.groupState.errorReason").isNotNull.as("has_error"),
+          size(col("value.groupState.lines")).cast("long").as("line_count"),
+          ((col("value.groupState.maxEventMs") - lit(ReplayBaseMs)) / lit(SliceStepMs)
+            + lit(1)).cast("long").as("max_slice"))
+    asOf(0).unionByName(asOf(2))
+  }
+
+  val stateTimeTravelSql: String =
+    statePrefixSql(0) + " UNION ALL " + statePrefixSql(2)
+
   val defs: Map[String, QueryDef] = Map(
     "q43_pipeline_replay" -> QueryDef(pipelineReplay _, pipelineReplaySql),
+    "q237_tws_timers" ->
+      QueryDef(twsTimersGate _, twsTimersSql),
+    "q238_state_time_travel" ->
+      QueryDef(stateTimeTravelGate _, stateTimeTravelSql),
     "q235_state_migration" ->
       QueryDef(stateMigrationGate _, pipelineStreamingSql),
     "q233_state_metadata" ->

@@ -240,6 +240,22 @@ class StreamGatesSpec extends AnyFunSuite {
     assert(twsRows === fmgws)
   }
 
+  test("q237/q238 cross-reader laws: one timer per open session (timers " +
+    "≡ TWS state keys), and state-as-of the last batch ≡ the live read") {
+    // timers: every open session has exactly one armed timer — the
+    // delete-then-re-arm discipline, checked against the OTHER reader
+    val timers = PipelineReplay.twsTimersGate(spark, sf)
+      .select(col("invoice_no"))
+    val state = PipelineReplay.twsStateIntrospectGate(spark, sf)
+      .select(col("invoice_no"))
+    assertSame(timers, state)
+    // time travel: as-of the final ingested batch ≡ the default (live) read
+    val asOfLast = PipelineReplay.stateTimeTravelGate(spark, sf)
+      .filter(col("as_of_batch") === 2L).drop("as_of_batch")
+    val live = PipelineReplay.stateIntrospectGate(spark, sf)
+    assertSame(asOfLast, live)
+  }
+
   test("packInit/unpackInit round-trips every session-snapshot shape " +
     "(nulls, empty lines, error latch, unicode)") {
     import graft.streaming.{EventSessionState, Purchase, SessionizerTws}
