@@ -2532,6 +2532,76 @@ object Extensions {
             FROM pairs GROUP BY 1)
     SELECT n_clicks, count(*) AS n_purchases FROM per GROUP BY 1"""
 
+  /** The q66/q194 interval join run as a REAL watermarked stream-stream
+    * join with a retained checkpoint — fixture prep for the join-state
+    * reader gate (q239), cached per sfDir like the sessionizer ingests.
+    * The watermark delay (30 days) exceeds the event-time span, so NO
+    * buffered row is evicted: both join sides end the run holding every
+    * fed row — the deterministic state the reader gate oracles. */
+  private val joinCkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureJoinStateCheckpoint(s: SparkSession, d: String): String =
+    joinCkCache.computeIfAbsent(d, { _ =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-joinstate").toString
+      val pDir = s"$work/p"; val cDir = s"$work/c"
+      val ck = s"$work/ck"; val out = s"$work/out"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"), col("event_type"))
+      writeSingleParquet(ev.filter(col("event_type") === "purchase")
+        .drop("event_type"), pDir, "purchases.parquet")
+      writeSingleParquet(ev.filter(col("event_type") === "click")
+        .drop("event_type"), cDir, "clicks.parquet")
+      val schema = ev.drop("event_type").schema
+      withStatePartitions(s) {
+        val p = s.readStream.schema(schema).parquet(pDir)
+        val c = s.readStream.schema(schema).parquet(cDir)
+        val joined = graft.streaming.StreamJoin.attributionPairs(
+          p, c, lookback = "24 hours", delay = "30 days")
+        val q = joined.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitBounded(q, "join_state_ingest")
+      }
+      ck
+    })
+
+  /** q239: STREAM-STREAM JOIN STATE introspection — the `statestore`
+    * source's `joinSide` option over the q66/q194 interval join's live
+    * checkpoint: each side's buffered rows read back as a table (row
+    * payload + event-time column; the engine's internal matched bit is
+    * not surfaced by the reader). The closed-form oracle restates the
+    * buffer contract: it holds EXACTLY the fed rows — nothing evicted
+    * below the 30-day watermark delay, nothing dropped on match (inner
+    * joins retain matched rows until watermark eviction, because a
+    * later partner may still arrive) — so the join-operator class joins
+    * the sessionizer/TWS classes in the reader matrix. At 100 TB this
+    * is how an operator answers "what is the join buffering and why has
+    * this row not matured" without replaying either stream. */
+  def joinStateIntrospectGate(s: SparkSession, d: String): DataFrame = {
+    val ck = ensureJoinStateCheckpoint(s, d)
+    def side(name: String, idCol: String, userCol: String, tsCol: String) =
+      s.read.format("statestore")
+        .option("path", ck).option("joinSide", name).load()
+        .select(lit(name).as("side"),
+          col(s"value.$idCol").as("event_id"),
+          col(s"value.$userCol").as("user_id"),
+          col(s"value.$tsCol").as("buffered_ts"))
+    side("left", "purchase_id", "user_id", "purchase_ts")
+      .unionByName(side("right", "click_id", "click_user", "click_ts"))
+  }
+
+  val joinStateIntrospectSql: String = """
+    SELECT 'left' AS side, event_id, user_id, ts AS buffered_ts
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'right' AS side, event_id, user_id, ts AS buffered_ts
+    FROM events WHERE event_type = 'click'"""
+
   /** q70: event-time RANGE-frame rolling aggregate — each click's trailing
     * 24 h spend by the same user. The frame is defined on TIME (epoch µs),
     * not row count, so duplicate-timestamp peers enter together in both
@@ -3316,7 +3386,9 @@ object Extensions {
     "q230_distinct_tws" ->
       QueryDef(distinctTwsGate _, distinctTwsSql),
     "q236_tws_map_introspect" ->
-      QueryDef(twsMapIntrospectGate _, twsMapIntrospectSql))
+      QueryDef(twsMapIntrospectGate _, twsMapIntrospectSql),
+    "q239_join_state_introspect" ->
+      QueryDef(joinStateIntrospectGate _, joinStateIntrospectSql))
 }
 
 /** q129's definitions live in their own object so the SQL val is fully

@@ -256,6 +256,17 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(asOfLast, live)
   }
 
+  test("q239: the interval join's buffered state reads back as exactly " +
+    "the fed rows on both sides (nothing evicted, nothing dropped on match)") {
+    val state = Extensions.joinStateIntrospectGate(spark, sf)
+    val ev = Tables.events(spark, sf)
+    def want(side: String, t: String) = ev
+      .filter(col("event_type") === t)
+      .select(lit(side).as("side"), col("event_id"), col("user_id"),
+        col("ts").as("buffered_ts"))
+    assertSame(state, want("left", "purchase").unionByName(want("right", "click")))
+  }
+
   test("packInit/unpackInit round-trips every session-snapshot shape " +
     "(nulls, empty lines, error latch, unicode)") {
     import graft.streaming.{EventSessionState, Purchase, SessionizerTws}
