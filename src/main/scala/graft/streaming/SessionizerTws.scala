@@ -28,8 +28,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
 object SessionizerTws {
 
   /** Constant-size per-session metadata beside the line list: the Q3
-    * error latch and the event clock the timer re-arms from. */
-  final case class SessionMeta(errorReason: Option[String], maxEventMs: Long)
+    * error latch, the event clock the timer re-arms from, and the armed
+    * timer's timestamp — remembered so re-arming is a POINT
+    * `deleteTimer(prev)` instead of a `listTimers()` iteration over the
+    * timer column family (3 store ops per touched key per batch → 2;
+    * under overload bursts the per-key constant is what separates the
+    * state APIs at short sessions — see THROUGHPUT.md). */
+  final case class SessionMeta(errorReason: Option[String], maxEventMs: Long,
+                               armedAtMs: Long)
 
   /** The warm-start snapshot value is ONE bare byte array: Spark's TWS
     * initial-state path constructs the value deserializer once PER KEY
@@ -101,40 +107,43 @@ object SessionizerTws {
       // a separate store merge op; the init path runs once per snapshot
       // key, so store-op count per key is the whole cost driver here
       if (st.lines.nonEmpty) lines.put(st.lines.toArray)
-      meta.update(SessionMeta(st.errorReason, st.maxEventMs))
-      getHandle.registerTimer(
-        math.max(st.maxEventMs + gapMs,
-          timerValues.getCurrentWatermarkInMs() + 1))
+      val t = math.max(st.maxEventMs + gapMs,
+        timerValues.getCurrentWatermarkInMs() + 1)
+      meta.update(SessionMeta(st.errorReason, st.maxEventMs, t))
+      getHandle.registerTimer(t)
     }
 
     override def handleInputRows(invoiceNo: String,
                                  rows: Iterator[TimedLineEvent],
                                  timerValues: TimerValues): Iterator[InvoiceResult] = {
       val evs = rows.toSeq
+      val existed = meta.exists()
       val prev =
-        if (meta.exists()) meta.get() else SessionMeta(None, Long.MinValue)
+        if (existed) meta.get() else SessionMeta(None, Long.MinValue, 0L)
       val maxMs = (prev.maxEventMs +: evs.map(_.eventTime.getTime)).max
+      // re-arm the expiry: TWS timers are explicit, so drop the previous
+      // one first (fMGWS's setTimeoutTimestamp replaces implicitly) —
+      // a POINT delete at the remembered timestamp, not a listTimers()
+      // scan. The clamp above the watermark mirrors
+      // updateSessionEventTime — a session whose events arrive already
+      // older than watermark − gap must still get a FUTURE-firing timer,
+      // not be rejected.
+      val t = math.max(maxMs + gapMs, timerValues.getCurrentWatermarkInMs() + 1)
       val next = evs.collectFirst {
         case TimedLineEvent(_, _, _, Some(reason)) => reason
       } match {
         // Q3: an error event wins the batch; its good lines drop (earlier
         // batches' lines stay — identical to updateSessionEventTime)
-        case Some(reason) => SessionMeta(Some(reason), maxMs)
+        case Some(reason) => SessionMeta(Some(reason), maxMs, t)
         case None =>
           val fresh = evs.flatMap(_.purchase)
           // one appendList merge per batch, not one merge per line
           if (fresh.nonEmpty) lines.appendList(fresh.toArray)
-          prev.copy(maxEventMs = maxMs)
+          prev.copy(maxEventMs = maxMs, armedAtMs = t)
       }
       meta.update(next)
-      // re-arm the expiry: TWS timers are explicit, so drop the previous
-      // one first (fMGWS's setTimeoutTimestamp replaces implicitly). The
-      // clamp above the watermark mirrors updateSessionEventTime — a
-      // session whose events arrive already older than watermark − gap
-      // must still get a FUTURE-firing timer, not be rejected.
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(
-        math.max(maxMs + gapMs, timerValues.getCurrentWatermarkInMs() + 1))
+      if (existed && prev.armedAtMs != t) getHandle.deleteTimer(prev.armedAtMs)
+      if (!existed || prev.armedAtMs != t) getHandle.registerTimer(t)
       Iterator.empty
     }
 
@@ -167,12 +176,15 @@ object SessionizerTws {
         String, LineEvent, InvoiceResult] {
     @transient private var lines: ListState[Purchase] = _
     @transient private var err: ValueState[String] = _
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lines = getHandle.getListState[Purchase](
         "lines", Encoders.product[Purchase], TTLConfig.NONE)
       err = getHandle.getValueState[String](
         "err", Encoders.STRING, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armed", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(invoiceNo: String,
@@ -187,10 +199,15 @@ object SessionizerTws {
           val fresh = evs.flatMap(_.purchase)
           if (fresh.nonEmpty) lines.appendList(fresh.toArray)
       }
-      // inactivity clock: re-arm on every batch that touches the key
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(
-        timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      // inactivity clock: re-arm on every batch that touches the key — a
+      // POINT delete at the remembered timestamp, not a listTimers() scan
+      val t = timerValues.getCurrentProcessingTimeInMs() + timeoutMs
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (prev != t) {
+        if (prev >= 0L) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(t)
+        armed.update(t)
+      }
       Iterator.empty
     }
 
@@ -200,7 +217,7 @@ object SessionizerTws {
       val reason = if (err.exists()) Some(err.get()) else None
       val retained = lines.get().toList
       if (reason.isEmpty && retained.isEmpty) return Iterator.empty // stale
-      lines.clear(); err.clear()
+      lines.clear(); err.clear(); armed.clear()
       Iterator.single(Sessionizer.classify(invoiceNo,
         SessionState(retained, reason)))
     }
