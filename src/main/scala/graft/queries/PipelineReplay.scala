@@ -760,9 +760,12 @@ object PipelineReplay {
     }
     val name = s"graft_pipe_migrate_${streamGateRuns.incrementAndGet()}"
     Extensions.withRocksDbTws(s) {
+      // 2 files/trigger: the gated property is the migration (checkpoint →
+      // initial state, zero re-read), not the batch count — q222/q229
+      // already price the one-file-per-trigger shape
       val src = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "slice0[4-6].parquet")
-        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
       val scored = scoreSessions(s,
         graft.streaming.SessionizerTws.sessionizeEventTimeWithInit(
           toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
