@@ -784,7 +784,28 @@ object PipelineReplay {
     * the state API with bounded downtime" story: state moves as a
     * checkpoint read + bulk load (O(live sessions)), never as a source
     * replay (O(history)). */
-  def stateMigrationGate(s: SparkSession, d: String): DataFrame = {
+  def stateMigrationGate(s: SparkSession, d: String): DataFrame =
+    stateMigrationAt(s, d, Extensions.defaultStatePartitions)
+
+  /** q240: STATE REPARTITIONING — the same migration run into a job at
+    * a DIFFERENT state partition count (16, vs the 8 the source
+    * checkpoint was written with). Spark freezes a stateful query's
+    * shuffle-partition count at its first batch (state files are
+    * partition-pinned; a restart under a changed
+    * `spark.sql.shuffle.partitions` keeps the frozen value), so
+    * resizing state normally means a full replay. The reader-based
+    * migration breaks that: the `statestore` read is partition-agnostic
+    * rows, the initial-state bulk load re-shuffles them to the NEW
+    * job's partitioning, and the output still hash-matches q216's
+    * oracle — resize as a checkpoint read + bulk load, O(live state),
+    * no replay (the same no-replay fence as q235 applies). At 100 TB
+    * this is how a deployment actually "sizes state partitions to the
+    * keyspace" after the keyspace has grown. */
+  def stateRepartitionGate(s: SparkSession, d: String): DataFrame =
+    stateMigrationAt(s, d, 16)
+
+  private def stateMigrationAt(s: SparkSession, d: String,
+                               partitions: Int): DataFrame = {
     implicit val spark: SparkSession = s
     import spark.implicits._
     val dir = pipelineReplayDir(d)
@@ -809,7 +830,7 @@ object PipelineReplay {
         TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
     }
     val name = s"graft_pipe_migrate_${streamGateRuns.incrementAndGet()}"
-    Extensions.withRocksDbTws(s) {
+    Extensions.withRocksDbTws(s, partitions) {
       // 2 files/trigger: the gated property is the migration (checkpoint →
       // initial state, zero re-read), not the batch count — q222/q229
       // already price the one-file-per-trigger shape
@@ -926,6 +947,8 @@ object PipelineReplay {
       QueryDef(stateTimeTravelGate _, stateTimeTravelSql),
     "q235_state_migration" ->
       QueryDef(stateMigrationGate _, pipelineStreamingSql),
+    "q240_state_repartition" ->
+      QueryDef(stateRepartitionGate _, pipelineStreamingSql),
     "q233_state_metadata" ->
       QueryDef(stateMetadataGate _, stateMetadataSql),
     "q234_pipeline_tws_bootstrap" ->

@@ -192,6 +192,14 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(migrated, full)
   }
 
+  test("q240: the migration re-shuffles state into a job at a DIFFERENT " +
+    "partition count (8 → 16) and the result is unchanged — the resize " +
+    "Spark's frozen-partition checkpoints cannot do") {
+    val resized = PipelineReplay.stateRepartitionGate(spark, sf)
+    val full = PipelineReplay.pipelineStreamingGate(spark, sf)
+    assertSame(resized, full)
+  }
+
   test("processing-time TWS sessionizer in the unified pipeline ≡ fMGWS " +
     "(live feed, same lines, same sinks — the throughput-rig law)") {
     import spark.implicits._
