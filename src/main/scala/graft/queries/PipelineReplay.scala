@@ -804,6 +804,74 @@ object PipelineReplay {
   def stateRepartitionGate(s: SparkSession, d: String): DataFrame =
     stateMigrationAt(s, d, 16)
 
+  /** q241: the REVERSE migration — a RUNNING transformWithState job's
+    * checkpoint (RocksDB, composed state variables) lifted into a
+    * flatMapGroupsWithState job's initial state without replaying one
+    * source event: the rollback path that makes the q235 upgrade
+    * reversible (a migration you cannot undo is a cliff, not a path).
+    * Mechanics: the q232 per-variable reads, reassembled — `meta`
+    * (error latch + event clock) LEFT-joined to the flattened `lines`
+    * rows regrouped per invoice (a poisoned session can hold meta and
+    * ZERO lines — the join direction is load-bearing, same as q232);
+    * line order from the flattened read is irrelevant to the oracle
+    * (all emitted fields are order-free or shared per invoice — the
+    * sessionizeBatch argument); slices 4–6 stream on top under the
+    * fMGWS sessionizer, same q216 oracle, same no-replay fence. */
+  def stateMigrationReverseGate(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val dir = pipelineReplayDir(d)
+    val ck = ensureTwsStateCheckpoint(s, d) // live TWS checkpoint, slices 1–3 open
+    def readVar(name: String) = s.read.format("statestore")
+      .option("path", ck).option("stateVarName", name).load()
+    val lineLists = readVar("lines")
+      .select(col("key.value").as("inv"),
+        col("list_element.invoiceNo"), col("list_element.quantity"),
+        col("list_element.invoiceDate"), col("list_element.unitPrice"),
+        col("list_element.customerID"), col("list_element.country"))
+      .as[(String, String, Int, String, Double, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (inv, it) =>
+        (inv, it.map(t =>
+          graft.streaming.Purchase(t._2, t._3, t._4, t._5, t._6, t._7)).toList)
+      }
+      .toDF("inv", "lines")
+    val init = readVar("meta")
+      .select(col("key.value").as("inv"),
+        col("value.errorReason").as("err"), col("value.maxEventMs").as("maxMs"))
+      .join(lineLists, Seq("inv"), "left_outer")
+      .as[(String, Option[String], Long, Option[List[graft.streaming.Purchase]])]
+      .map { case (inv, err, maxMs, ls) =>
+        (inv, graft.streaming.EventSessionState(ls.getOrElse(Nil), err, maxMs))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    val rawSchema = org.apache.spark.sql.Encoders.product[TimedRawLine].schema
+    val expectedStreamed = s.read.schema(rawSchema)
+      .option("pathGlobFilter", "slice0[4-6].parquet").parquet(dir).count()
+    def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
+      PurchaseCsv.route(raw.value).map(ev =>
+        TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
+    }
+    val name = s"graft_pipe_unmigrate_${streamGateRuns.incrementAndGet()}"
+    Extensions.withStatePartitions(s) {
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "slice0[4-6].parquet")
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
+        toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Extensions.awaitBounded(q, name)
+      val streamed = q.recentProgress.map(_.numInputRows).sum
+      require(streamed == expectedStreamed,
+        s"reverse migration re-read source history: streamed $streamed rows, " +
+          s"expected exactly the post-migration slices ($expectedStreamed)")
+      Extensions.detachMemorySink(s, name)
+    }
+  }
+
   private def stateMigrationAt(s: SparkSession, d: String,
                                partitions: Int): DataFrame = {
     implicit val spark: SparkSession = s
@@ -949,6 +1017,8 @@ object PipelineReplay {
       QueryDef(stateMigrationGate _, pipelineStreamingSql),
     "q240_state_repartition" ->
       QueryDef(stateRepartitionGate _, pipelineStreamingSql),
+    "q241_state_migration_reverse" ->
+      QueryDef(stateMigrationReverseGate _, pipelineStreamingSql),
     "q233_state_metadata" ->
       QueryDef(stateMetadataGate _, stateMetadataSql),
     "q234_pipeline_tws_bootstrap" ->

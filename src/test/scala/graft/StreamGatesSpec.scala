@@ -200,6 +200,14 @@ class StreamGatesSpec extends AnyFunSuite {
     assertSame(resized, full)
   }
 
+  test("q241: the migration is REVERSIBLE — a TWS checkpoint lifts into " +
+    "an fMGWS job (per-variable reads reassembled) and the finished " +
+    "stream still ≡ stream-everything") {
+    val rolledBack = PipelineReplay.stateMigrationReverseGate(spark, sf)
+    val full = PipelineReplay.pipelineStreamingGate(spark, sf)
+    assertSame(rolledBack, full)
+  }
+
   test("processing-time TWS sessionizer in the unified pipeline ≡ fMGWS " +
     "(live feed, same lines, same sinks — the throughput-rig law)") {
     import spark.implicits._
