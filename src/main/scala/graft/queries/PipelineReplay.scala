@@ -360,7 +360,7 @@ object PipelineReplay {
     * stream on top, not the batch fold that manufactures the snapshot;
     * re-folding 300k lines per invocation was pure fixture cost). */
   private def initSnapshotDir(d: String): String =
-    Extensions.indexCacheDir("graft-pipe-initsnap", d, "lineitem", "fold12v1")
+    Extensions.indexCacheDir("graft-pipe-initsnap", d, "lineitem", "fold12v2")
 
   private def ensureInitSnapshot(s: SparkSession, d: String): String = {
     implicit val spark: SparkSession = s

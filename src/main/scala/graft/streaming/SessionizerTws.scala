@@ -52,9 +52,19 @@ object SessionizerTws {
   def packInit(st: EventSessionState): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(64 * st.lines.size + 24)
     val out = new java.io.DataOutputStream(bos)
+    // strings as length-prefixed raw CHARS, not UTF-8: Java's UTF-8
+    // encoder silently replaces unpaired surrogates with '?', so a
+    // UTF-8-based pack is LOSSY on arbitrary String values (falsified by
+    // PackInitProperties on a lone-surrogate input). The char dump is a
+    // bijection on the whole String domain at 2 bytes/char — correctness
+    // over compactness for a migration snapshot.
     def str(v: String): Unit =
       if (v == null) out.writeInt(-1)
-      else { val b = v.getBytes("UTF-8"); out.writeInt(b.length); out.write(b) }
+      else {
+        out.writeInt(v.length)
+        var i = 0
+        while (i < v.length) { out.writeChar(v.charAt(i)); i += 1 }
+      }
     str(st.errorReason.orNull)
     out.writeLong(st.maxEventMs)
     out.writeInt(st.lines.size)
@@ -70,7 +80,12 @@ object SessionizerTws {
     def str(): String = {
       val n = in.readInt()
       if (n < 0) null
-      else { val b = new Array[Byte](n); in.readFully(b); new String(b, "UTF-8") }
+      else {
+        val arr = new Array[Char](n)
+        var i = 0
+        while (i < n) { arr(i) = in.readChar(); i += 1 }
+        new String(arr)
+      }
     }
     val reason = Option(str())
     val maxMs = in.readLong()

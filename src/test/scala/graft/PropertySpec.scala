@@ -247,3 +247,45 @@ object BoundedLevenshteinProperties extends Properties("BoundedLevenshtein") {
       BoundedLevenshtein.compute(a, b, tau) == math.min(reference(a, b), tau + 1)
     }
 }
+
+/** Round-14: the warm-start snapshot encoding must be a bijection on the
+  * session-state domain — a lossy pack would corrupt every migrated
+  * session silently (the q234/q235/q240 gates would catch it as a hash
+  * break, but only at their fixture's value distribution; the property
+  * covers arbitrary strings incl. nulls, surrogates, and non-finite
+  * doubles). */
+object PackInitProperties extends Properties("SessionizerTws.packInit") {
+  import graft.streaming.{EventSessionState, Purchase, SessionizerTws}
+
+  private val anyStr: Gen[String] = Gen.oneOf(
+    Gen.const(null: String), Gen.const(""),
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString.take(64)))
+  private val anyDouble: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-1e9, 1e9), Gen.const(Double.NaN),
+    Gen.const(Double.PositiveInfinity), Gen.const(-0.0))
+  private val purchase: Gen[Purchase] = for {
+    inv <- anyStr; q <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    date <- anyStr; price <- anyDouble; cust <- anyStr; c <- anyStr
+  } yield Purchase(inv, q, date, price, cust, c)
+  private val state: Gen[EventSessionState] = for {
+    lines <- Gen.listOfN(5, purchase).flatMap(l =>
+      Gen.chooseNum(0, 5).map(l.take))
+    err <- Gen.option(anyStr.suchThat(_ != null))
+    ms <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield EventSessionState(lines, err, ms)
+
+  property("unpack(pack(s)) == s, field-exact incl. NaN") = forAll(state) { st =>
+    val back = SessionizerTws.unpackInit(SessionizerTws.packInit(st))
+    def dEq(a: Double, b: Double) =
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    back.errorReason == st.errorReason &&
+      back.maxEventMs == st.maxEventMs &&
+      back.lines.size == st.lines.size &&
+      back.lines.zip(st.lines).forall { case (b, a) =>
+        b.invoiceNo == a.invoiceNo && b.quantity == a.quantity &&
+          b.invoiceDate == a.invoiceDate && dEq(b.unitPrice, a.unitPrice) &&
+          b.customerID == a.customerID && b.country == a.country
+      }
+  }
+}
