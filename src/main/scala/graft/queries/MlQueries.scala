@@ -103,7 +103,7 @@ object MlQueries {
       .select(col("score").as("th_rank"))
     val kOk = ctrs.size == k && ctrs.distinct.size == k &&
       ctrs.forall(_.forall(v => !v.isNaN && !v.isInfinite))
-    scored
+    val contract = scored
       .crossJoin(broadcast(thTake)).crossJoin(broadcast(thRank))
       .agg(
         count(lit(1)).as("n_input"),
@@ -116,6 +116,15 @@ object MlQueries {
         (lit(sizes.sum) === col("n_input")).as("sizes_sum_ok"),
         col("scores_nonneg"), col("threshold_order_stat_ok"),
         col("anomaly_count_ok"))
+    // The persist exists only so the three branches (TakeOrdered
+    // threshold, window order-stat, final agg) share one featurize+score
+    // pass — materialize the single contract row NOW and release it, or
+    // every q17/q19 invocation pins a scored frame in the block manager
+    // for the session lifetime (round-14 ADVICE).
+    try {
+      val rows = contract.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), contract.schema)
+    } finally scored.unpersist()
   }
 
   private def fitContractSql(topKUnused: Int): String = s"""

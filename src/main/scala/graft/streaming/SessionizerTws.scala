@@ -231,7 +231,13 @@ object SessionizerTws {
                                     expired: ExpiredTimerInfo): Iterator[InvoiceResult] = {
       val reason = if (err.exists()) Some(err.get()) else None
       val retained = lines.get().toList
-      if (reason.isEmpty && retained.isEmpty) return Iterator.empty // stale
+      if (reason.isEmpty && retained.isEmpty) {
+        // stale timer: no session content, but the armed timestamp must
+        // still be dropped — leaving it dangles a per-key ValueState and
+        // makes the NEXT re-arm point-delete an already-fired timer
+        armed.clear()
+        return Iterator.empty
+      }
       lines.clear(); err.clear(); armed.clear()
       Iterator.single(Sessionizer.classify(invoiceNo,
         SessionState(retained, reason)))
