@@ -864,6 +864,237 @@ object Extensions {
           FROM events)
     WHERE rn = 1"""
 
+  /** q242: CRASH-INJECTED EXACTLY-ONCE — the evidence class q222/q227
+    * could not give (round-14 verdict #2). q222 proves graceful
+    * stop/restart; q227's fence proves idempotent replay of a batch the
+    * TEST re-submits. This gate injects the real failure: the foreachBatch
+    * body COMMITS version slot 1 to the versioned log, then throws before
+    * returning — a hard failure in the exact window between sink commit
+    * and checkpoint offset-commit that exactly-once folklore hand-waves
+    * over. The StreamExecution dies (first run's awaitTermination
+    * rethrows the injected error); the gate restarts the query from the
+    * SAME checkpoint; Spark replays batch 1 with identical offsets; the
+    * owner-fenced upsert ([[upsertBatch]]) finds its own marker in the
+    * occupied slot and skips idempotently; the stream finishes. In-gate
+    * `require` fences prove the failure actually fired (once), the replay
+    * skip actually happened (once), and every other batch committed
+    * exactly once — then the final log state must hash-match the SAME
+    * crash-free batch oracle as q227. At 100 TB this is the property that
+    * makes a sink trustworthy: a mid-commit executor loss costs a batch
+    * replay, never a duplicate or a hole. */
+  private val crashGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def crashInjectedUpsert(s: SparkSession, d: String): DataFrame = {
+    ensureTransitionsReplay(s, d)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-crash-upsert").toString
+    val root = s"$work/log"
+    val ck = s"$work/ck"
+    val owner = "crash_" + Integer.toHexString(root.hashCode)
+    val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val skips = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val name = s"graft_crash_upsert_${crashGateRuns.incrementAndGet()}"
+    def run(): Unit = {
+      val src = s.readStream
+        .schema(Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .schema)
+        .option("maxFilesPerTrigger", 2).parquet(transitionsReplayDir(d))
+      val q = src.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (upsertBatch(batch, id, root, owner)) commits.incrementAndGet()
+          else skips.incrementAndGet()
+          maxId.updateAndGet(m => math.max(m, id))
+          // the injection: batch 1's data is COMMITTED (slot v=1 exists,
+          // owner-marked) but the batch fails before Spark records it —
+          // the restart MUST replay batch 1 and the fence MUST absorb it
+          if (id == 1L && injected.compareAndSet(0, 1))
+            throw new RuntimeException(
+              "graft-injected crash after sink commit, before offset commit")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+    }
+    def injectedError(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("graft-injected"))
+        || injectedError(t.getCause))
+    var firstRunDied = false
+    // only the INJECTED failure is absorbed — any other first-run error
+    // (a real bug) propagates and fails the gate loudly
+    try run()
+    catch { case e: Throwable if injectedError(e) => firstRunDied = true }
+    require(firstRunDied,
+      "first run was expected to die on the injected crash, but survived")
+    run() // restart from the same checkpoint: batch 1 replays, fence skips
+    require(injected.get() == 1,
+      s"injection fired ${injected.get()} times, expected exactly 1")
+    require(skips.get() == 1,
+      s"replay skips = ${skips.get()}, expected exactly 1 (batch 1's replay)")
+    require(commits.get() == maxId.get() + 1,
+      s"commits = ${commits.get()}, expected ${maxId.get() + 1} " +
+        "(every batch exactly once)")
+    graft.operators.Versioned.readAt(s, root, "user_id", maxId.get().toInt)
+  }
+
+  /** Crash-free twin oracle: identical to q227's — the crash and replay
+    * must be INVISIBLE in the final state. */
+  val crashInjectedUpsertSql: String = streamingUpsertSinkSql
+
+  /** q243: LATE-DATA ACCOUNTING — the last unobserved axis of the
+    * streaming ledger (round-14 verdict #5): the watermark surface emits
+    * `numRowsDroppedByWatermark`, but no gate observed it, and an
+    * operator debugging a 100 TB stream needs lateness LOSS as a
+    * first-class queryable quantity, not a log line.
+    *
+    * Engine fact this gate pinned (probe-verified on the executed plan):
+    * a streaming aggregation carries TWO watermarks per batch —
+    * `StateStoreSave [...] Append, <lateEventsWm>, <evictionWm>` — and
+    * the LATE-ROW FILTER runs one batch BEHIND eviction (lateWm of batch
+    * N = the operative watermark of batch N−1, i.e. computed from data
+    * through batch N−2). A row arriving in the first batch after the
+    * watermark passes it is therefore still ACCEPTED (merged into
+    * not-yet-evicted window state); only a row arriving two batches
+    * late is dropped and counted. The fixture places the rewound rows
+    * accordingly.
+    *
+    * Fixture (derived deterministically from `events.event_id`,
+    * synthetic 60-aligned clock, one file per micro-batch): slice 1 =
+    * ids < 1000 at ts = base+id s (establishes wm base+899 s); slice 2 =
+    * ids 1000..1999 on time (makes base+899 the OPERATIVE watermark);
+    * slice 3 = ids 2000..2999, every 5th id rewound to ts =
+    * base+(id mod 100) s — far below slice 3's late-filter watermark
+    * (base+899), so the 60 s-window aggregation MUST drop exactly those
+    * rows; slice 4 = one far-future sentinel whose watermark advance
+    * flushes every real window out of append mode (its own window never
+    * closes). The gate emits the surviving windowed aggregate AND the
+    * engine's dropped-row count (summed over progress events) as one
+    * frame, and the DuckDB oracle recomputes BOTH in closed form from
+    * `events` — emitted results and lateness loss, one hash. */
+  private val lateGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** 60-aligned epoch base: `window(ts, "60 seconds")` buckets align to
+    * the UNIX epoch, so the base must sit on a window boundary or every
+    * emitted window start lands at base−20 and the closed-form oracle's
+    * (id div 60)·60 arithmetic is off by a phase. */
+  private val LateBaseSec = 1699999980L
+
+  private[graft] def probeLateReplay(s: SparkSession, d: String): String = {
+    ensureLateReplay(s, d); lateReplayDir(d)
+  }
+
+  private def lateReplayDir(d: String): String =
+    indexCacheDir("graft-late-replay", d, "events", "late3k_v3")
+
+  private val lateReplayLock = new Object
+
+  private def ensureLateReplay(s: SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = lateReplayDir(d)
+    lateReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val ids = Tables.events(s, d).select(col("event_id"))
+          .filter(col("event_id") < 3000L)
+        val base = System.currentTimeMillis() - 60000L
+        def ts(expr: org.apache.spark.sql.Column) =
+          timestamp_seconds(lit(LateBaseSec) + expr)
+        writeSingleParquet(
+          ids.filter(col("event_id") < 1000L)
+            .select(col("event_id"), ts(col("event_id")).as("ts")),
+          dir, "slice01.parquet", mtime = Some(base + 1000L))
+        writeSingleParquet(
+          ids.filter(col("event_id") >= 1000L && col("event_id") < 2000L)
+            .select(col("event_id"), ts(col("event_id")).as("ts")),
+          dir, "slice02.parquet", mtime = Some(base + 2000L))
+        // the late batch: arrives with slice 1's watermark OPERATIVE
+        // (two batches behind its own data — the lag the gate's doc
+        // comment pins), so the rewound rows are genuinely filtered
+        writeSingleParquet(
+          ids.filter(col("event_id") >= 2000L)
+            .select(col("event_id"),
+              ts(when(col("event_id") % 5 === 0, col("event_id") % 100)
+                .otherwise(col("event_id"))).as("ts")),
+          dir, "slice03.parquet", mtime = Some(base + 3000L))
+        writeSingleParquet(
+          s.range(1).select(lit(1000000L).as("event_id"),
+            ts(lit(1000000L)).as("ts")),
+          dir, "slice04.parquet", mtime = Some(base + 4000L))
+        Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+      }
+    }
+  }
+
+  def lateDataAccounting(s: SparkSession, d: String): DataFrame = {
+    ensureLateReplay(s, d)
+    val name = s"graft_late_${lateGateRuns.incrementAndGet()}"
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1).parquet(lateReplayDir(d))
+    val agg = src
+      .withWatermark("ts", "100 seconds")
+      .groupBy(window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+      .select(lit("window").as("kind"),
+        (unix_timestamp(col("window.start")) - LateBaseSec).as("k"),
+        col("n"), col("sum_id"))
+    withStatePartitions(s) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+      // the engine's own metric — which, for an aggregation, counts the
+      // rows REACHING the stateful operator, i.e. post-shuffle PARTIAL
+      // AGGREGATES: one dropped row per (late window × batch), not per
+      // input row (probe-verified: 200 rewound input rows in 2 windows
+      // → numRowsDroppedByWatermark = 2)
+      val droppedGroups = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      val wins = detachMemorySink(s, name)
+      // raw-row lateness loss: everything the source delivered that no
+      // emitted window accounts for, minus the by-construction-unclosed
+      // sentinel — the quantity a 100 TB operator actually reconciles
+      val emittedN = wins.agg(coalesce(sum(col("n")), lit(0L)))
+        .head().getLong(0)
+      val droppedRows = inputRows - 1L - emittedN
+      val extra = wins.sparkSession.range(1).select(
+        lit("dropped_groups").as("kind"), lit(-1L).as("k"),
+        lit(droppedGroups).as("n"), lit(0L).as("sum_id"))
+        .unionByName(wins.sparkSession.range(1).select(
+          lit("dropped_rows").as("kind"), lit(-2L).as("k"),
+          lit(droppedRows).as("n"), lit(0L).as("sum_id")))
+      wins.unionByName(extra)
+    }
+  }
+
+  /** Closed-form twin: the surviving 60 s windows over the on-time rows
+    * (every id < 2000, plus ids 2000..2999 not divisible by 5) and the
+    * dropped-row count (ids 2000..2999 divisible by 5 — rewound two
+    * batches below the operative watermark). The sentinel's window never
+    * closes, so it appears on neither side. */
+  val lateDataAccountingSql: String = """
+    WITH src AS (SELECT event_id AS id FROM events WHERE event_id < 3000),
+    ontime AS (SELECT id FROM src WHERE id < 2000 OR id % 5 <> 0)
+    SELECT 'window' AS kind, CAST((id // 60) * 60 AS BIGINT) AS k,
+           count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id
+    FROM ontime GROUP BY 2
+    UNION ALL
+    SELECT 'dropped_groups', -1,
+           count(DISTINCT ((id % 100) // 60) * 60), 0
+    FROM src WHERE id >= 2000 AND id % 5 = 0
+    UNION ALL
+    SELECT 'dropped_rows', -2, count(*), 0
+    FROM src WHERE id >= 2000 AND id % 5 = 0"""
+
   /** q223: STREAM-STATIC ENRICHMENT JOIN under streaming execution — the
     * ingest shape every production stream runs (events joined to a
     * dimension table at arrival: the reference's ST9 broadcast-model
@@ -3396,6 +3627,10 @@ object Extensions {
       graft.queries.Relational.eventTransitionsSql),
     "q226_streaming_dedup_native" ->
       QueryDef(streamingDedupNative _, streamingDedupNativeSql),
+    "q242_crash_recovery_upsert" ->
+      QueryDef(crashInjectedUpsert _, crashInjectedUpsertSql),
+    "q243_late_data_accounting" ->
+      QueryDef(lateDataAccounting _, lateDataAccountingSql),
     "q227_streaming_upsert_sink" ->
       QueryDef(streamingUpsertSink _, streamingUpsertSinkSql),
     "q230_distinct_tws" ->

@@ -40,6 +40,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships one file per table; GenScale's sf1 output
+        # is a Spark-written DIRECTORY of part files — glob in that case
+        if Path(p).is_dir():
+            p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
