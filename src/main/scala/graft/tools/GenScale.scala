@@ -22,32 +22,27 @@ import org.apache.spark.sql.functions._
   *    F× rows in the same window = F× temporal density, which is what a
   *    larger deployment's day actually looks like (windows get F× heavier,
   *    window COUNT stays constant — scan-bound queries scale in rows).
-  *  - `documents`: doc_id offset; for r > 0 each word is independently
-  *    replaced (p ≈ 0.3, splitmix-hash decided, fully deterministic) by a
-  *    vocab word drawn from the SOURCE corpus vocabulary, and n_chars is
-  *    recomputed. This keeps token/length/vocab statistics near-identical
-  *    while destroying cross-replica shingle overlap — replicas are
-  *    independent corpora, not 10-cliques of exact duplicates that would
-  *    turn every near-dup component into a star F× its true size.
-  *  - `embeddings`: vec_id offset; for r > 0 deterministic per-dimension
-  *    hash noise (±0.1) then re-normalized to unit length — cluster/label
-  *    structure survives, vectors are distinct, IVF cells stay balanced.
+  *  - `documents`/`embeddings`: id offset, CONTENT COPIED EXACTLY — the
+  *    scaled corpus models a duplication-factor-F crawl (the adversarial
+  *    dedup workload a 100 TB corpus actually is). This choice is
+  *    LOAD-BEARING for oracle-exactness: the engine's near-dup family is
+  *    MinHash-band candidate generation verified by true Jaccard, while
+  *    the DuckDB oracles compute true Jaccard directly, so engine ≡
+  *    oracle requires banding to CATCH every true pair. The source
+  *    corpus's pairs sit at j ≥ 0.8 where the pinned signatures happen
+  *    to band-collide; any text perturbation re-rolls the signatures
+  *    (and a mild perturbation even creates NEW pairs at the j ≈ 0.2
+  *    threshold, where 8-band/4-row LSH catches ~3% — measured: the
+  *    first GenScale draft did exactly that and q128 diverged at sf1).
+  *    Identical text ⇒ identical signatures ⇒ every banding decision is
+  *    inherited from the source deterministically, and cross-replica
+  *    exact copies (j = 1) band-collide unconditionally. Top-k ties from
+  *    duplicate vectors are safe: engine and oracles both pin
+  *    (sim DESC, neighbor_id).
   *
   * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> <factor>
   */
 object GenScale {
-
-  /** splitmix64 finalizer — the same public-domain mix every hash tool
-    * uses; deterministic across JVMs, no RNG object state. */
-  def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** Uniform double in [0,1) from a hash. */
-  def unit(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorStr) = args
@@ -127,52 +122,14 @@ object GenScale {
       .withColumn("user_id", col("user_id") + col("_r") * nUser)
       .drop("_r"), "events", factor)
 
-    // documents: deterministic vocab-preserving word substitution for r>0
-    val vocab: Array[String] = read("documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct().orderBy("w").as[String].collect() // small fixed vocab
-    val vocabB = spark.sparkContext.broadcast(vocab)
-    val perturbText = udf { (text: String, docId: Long, r: Int) =>
-      if (r == 0 || text == null) text
-      else {
-        val v = vocabB.value
-        val words = text.split(" ", -1)
-        var i = 0
-        while (i < words.length) {
-          val h = mix(mix(docId * 1000003L + i) ^ (r * 0x9e3779b9L))
-          if (unit(h) < 0.3 && words(i).nonEmpty)
-            words(i) = v(((mix(h) >>> 33) % v.length).toInt)
-          i += 1
-        }
-        words.mkString(" ")
-      }
-    }
+    // documents/embeddings: exact content copies under offset ids (see
+    // the header — identical text keeps every MinHash banding decision
+    // deterministic, which oracle-exactness at sf1 requires)
     write(replicate(read("documents"))
-      .withColumn("text", perturbText(col("text"), col("doc_id"), col("_r")))
       .withColumn("doc_id", col("doc_id") + col("_r") * nDoc)
-      .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("_r"), "documents", factor)
 
-    // embeddings: hash-noise + renormalize for r>0
-    val perturbVec = udf { (emb: Seq[Float], vecId: Long, r: Int) =>
-      if (r == 0 || emb == null) emb
-      else {
-        val a = emb.toArray
-        var i = 0
-        while (i < a.length) {
-          val h = mix(mix(vecId * 10007L + i) ^ (r * 0x85ebca6bL))
-          a(i) = a(i) + ((unit(h) - 0.5) * 0.2).toFloat
-          i += 1
-        }
-        val norm = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
-        if (norm > 0f) { var j = 0; while (j < a.length) { a(j) /= norm; j += 1 } }
-        a.toSeq
-      }
-    }
     write(replicate(read("embeddings"))
-      .withColumn("embedding",
-        perturbVec(col("embedding"), col("vec_id"), col("_r")))
       .withColumn("vec_id", col("vec_id") + col("_r") * nVec)
       .drop("_r"), "embeddings", 1)
 

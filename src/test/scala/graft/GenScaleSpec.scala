@@ -70,28 +70,22 @@ class GenScaleSpec extends AnyFunSuite {
     assert(names === 0L, "every c_name must embed its own c_custkey")
   }
 
-  test("replica >0 documents are perturbed (shingle-breaking) but keep " +
-    "corpus statistics; embeddings stay unit-norm and distinct") {
+  test("replica content is copied EXACTLY (deterministic MinHash banding " +
+    "inheritance — the oracle-exactness precondition, see GenScale docs)") {
     val n = t(src, "documents").count()
     val a = t(out, "documents").filter(col("doc_id") < n)
       .select(col("doc_id").as("id0"), col("text").as("t0"))
     val b = t(out, "documents").filter(col("doc_id") >= n)
       .select((col("doc_id") - n).as("id0"), col("text").as("t1"))
-    val joined = a.join(b, "id0")
-      .select(size(split(col("t0"), " ")).as("w0"),
-        size(split(col("t1"), " ")).as("w1"),
-        (col("t0") === col("t1")).as("same")).cache()
-    try {
-      // same word count per doc (statistics preserved), text itself changed
-      assert(joined.filter(col("w0") =!= col("w1")).count() === 0L)
-      assert(joined.filter(col("same")).count() === 0L,
-        "replica-1 docs must not be exact copies")
-    } finally joined.unpersist()
+    assert(a.join(b, "id0").filter(col("t0") =!= col("t1")).count() === 0L,
+      "replica text must be byte-identical to its source doc")
     val nVec = t(src, "embeddings").count()
-    val norms = t(out, "embeddings").filter(col("vec_id") >= nVec)
-      .select(abs(sqrt(aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => acc + x * x)) - 1.0d).as("err"))
-    // all replica vectors re-normalized to unit length
-    assert(norms.agg(max(col("err"))).head().getDouble(0) < 1e-3)
+    val e0 = t(out, "embeddings").filter(col("vec_id") < nVec)
+      .select(col("vec_id").as("id0"), col("embedding").as("e0"))
+    val e1 = t(out, "embeddings").filter(col("vec_id") >= nVec)
+      .select((col("vec_id") - nVec).as("id0"), col("embedding").as("e1"))
+    assert(e0.join(e1, "id0")
+      .filter(col("e0") =!= col("e1")).count() === 0L,
+      "replica vectors must be identical to their source vector")
   }
 }

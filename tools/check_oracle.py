@@ -37,7 +37,15 @@ def unsortable_cols(cols, rows):
 def main():
     out_dir = Path(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # optional include filter (comma-separated substrings) for resuming a
+    # long sf1 run past a crash without re-running everything
+    include = [s for s in (sys.argv[3].split(",") if len(sys.argv) > 3 else [])
+               if s]
     con = duckdb.connect()
+    # bound DuckDB so a heavy oracle under concurrent-JVM pressure degrades
+    # to spilling instead of a bad_alloc that kills the run
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET threads=16")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver testdata ships one file per table; GenScale's sf1 output
@@ -48,6 +56,8 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if include and not any(s in name for s in include):
+            continue
         res_dir = out_dir / name
         if not res_dir.exists():
             # A filtered dump (SPARK_GRAFT_ONLY=...) writes a _filtered
@@ -86,9 +96,16 @@ def main():
         # int64 Spark column hashes 0 against 0.0 (the round-3 q60 red row).
         # Flag int-vs-float dtype splits; int32-vs-int64 is harmless
         # (observed green in driver rounds 1-3).
-        gdt = {c: str(t) for c, t in
-               con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df().dtypes.items()}
-        wdt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+        try:
+            gdt = {c: str(t) for c, t in
+                   con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df().dtypes.items()}
+            wdt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+        except Exception as e:
+            # advisory probe only (dtype-split early warning) — a probe
+            # failure (e.g. DuckDB OOM re-running a heavy sf1 oracle under
+            # concurrent-JVM memory pressure) must not kill the whole run
+            print(f"WARN {name}: dtype probe failed, check skipped: {e}")
+            gdt = wdt = {}
         mixed = [c for c in gdt if c in wdt and
                  (("int" in gdt[c]) != ("int" in wdt[c])) and
                  ("float" in gdt[c] or "float" in wdt[c])]
