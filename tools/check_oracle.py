@@ -43,9 +43,11 @@ def main():
                if s]
     con = duckdb.connect()
     # bound DuckDB so a heavy oracle under concurrent-JVM pressure degrades
-    # to spilling instead of a bad_alloc that kills the run
-    con.execute("SET memory_limit='32GB'")
-    con.execute("SET threads=16")
+    # to spilling instead of a bad_alloc that kills the run; recursive-CTE
+    # oracles can't spill, so sf1 runs may need GRAFT_DUCKDB_MEM=64GB
+    import os
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '32GB')}'")
+    con.execute(f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '16')}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver testdata ships one file per table; GenScale's sf1 output
