@@ -1076,6 +1076,120 @@ object Extensions {
     }
   }
 
+  /** q244: SESSION-OPERATOR LATE-DATA ACCOUNTING — q243's ledger on the
+    * OTHER stateful operator class: the transformWithState sessionizer.
+    * Same two-batch-late construction (the late-row filter lags eviction
+    * by one batch on every stateful operator), but here the dropped rows
+    * are session LINES: ids group 5-per-session (inv = id div 5), and in
+    * the late batch every 5th id — each session's FIRST line — is
+    * rewound below the operative watermark. The TWS input filter must
+    * drop exactly those lines (for TWS the metric counts RAW input rows,
+    * not partial aggregates — there is no pre-shuffle combine in front
+    * of a keyed stateful processor), so sessions 400..599 emit with 4
+    * lines and arithmetic that provably excludes the rewound line, while
+    * sessions 0..399 emit whole. All per-session values are order-free
+    * by construction (shared hour/customer; integer-valued prices sum
+    * exactly in any IEEE order), so the fixture is immune to the
+    * iterator-order caveat the q241 sort exists for. One frame carries
+    * the emitted sessions AND the engine's dropped-line count; one
+    * closed-form oracle checks both. */
+  private val sessLateGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sessLateReplayDir(d: String): String =
+    indexCacheDir("graft-sess-late-replay", d, "events", "sesslate3k_v1")
+
+  private val sessLateReplayLock = new Object
+
+  private def ensureSessLateReplay(s: SparkSession, d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = sessLateReplayDir(d)
+    sessLateReplayLock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val ids = Tables.events(s, d).select(col("event_id").as("id"))
+          .filter(col("id") < 3000L)
+        val base = System.currentTimeMillis() - 60000L
+        def ts(expr: org.apache.spark.sql.Column) =
+          timestamp_seconds(lit(LateBaseSec) + expr)
+        def slice(df: DataFrame, tsCol: org.apache.spark.sql.Column,
+                  name: String, mt: Long): Unit =
+          writeSingleParquet(df.select(col("id"), tsCol.as("ts")),
+            dir, name, mtime = Some(base + mt))
+        slice(ids.filter(col("id") < 1000L), ts(col("id")),
+          "slice01.parquet", 1000L)
+        slice(ids.filter(col("id") >= 1000L && col("id") < 2000L),
+          ts(col("id")), "slice02.parquet", 2000L)
+        slice(ids.filter(col("id") >= 2000L),
+          ts(when(col("id") % 5 === 0, col("id") % 100).otherwise(col("id"))),
+          "slice03.parquet", 3000L)
+        writeSingleParquet(
+          s.range(1).select(lit(1000000L).as("id"),
+            ts(lit(1000000L)).as("ts")),
+          dir, "slice04.parquet", mtime = Some(base + 4000L))
+        Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+      }
+    }
+  }
+
+  def sessionLateDrops(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    ensureSessLateReplay(s, d)
+    val name = s"graft_sess_late_${sessLateGateRuns.incrementAndGet()}"
+    withRocksDbTws(s) {
+      val src = s.readStream
+        .schema("id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(sessLateReplayDir(d))
+      val events = src.as[(Long, java.sql.Timestamp)].map { case (id, t) =>
+        val inv = (id / 5L).toString
+        graft.streaming.TimedLineEvent(inv, t,
+          Some(graft.streaming.Purchase(inv, 1, "1/2/2024 7:15",
+            id.toDouble, "c" + inv, "ES")), None)
+      }
+      val sessions = graft.streaming.SessionizerTws.sessionizeEventTime(
+        events, gapMs = 10000L, watermarkDelay = "100 seconds")
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitBounded(q, name)
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val out = detachMemorySink(s, name)
+        .select(col("invoiceNo").as("invoice_no"), col("status"),
+          col("avgUnitPrice").as("avg_price"),
+          col("minUnitPrice").as("min_price"),
+          col("maxUnitPrice").as("max_price"),
+          col("numberItems").as("number_items"),
+          col("lineCount").cast("long").as("line_count"))
+      out.unionByName(out.sparkSession.range(1).select(
+        lit("__dropped").as("invoice_no"), lit("meta").as("status"),
+        lit(0.0d).as("avg_price"), lit(0.0d).as("min_price"),
+        lit(0.0d).as("max_price"),
+        lit(dropped.toDouble).as("number_items"),
+        lit(0L).as("line_count")))
+    }
+  }
+
+  /** Closed-form twin of the session emissions plus the dropped-LINE
+    * count (raw rows for TWS — no partial aggregation in front of the
+    * processor). The sentinel's session timer never fires, so it appears
+    * on neither side. */
+  val sessionLateDropsSql: String = """
+    WITH src AS (SELECT event_id AS id FROM events WHERE event_id < 3000),
+    ontime AS (SELECT id FROM src WHERE id < 2000 OR id % 5 <> 0),
+    sess AS (SELECT id // 5 AS inv, count(*) AS n,
+                    sum(id) AS s, min(id) AS mn, max(id) AS mx
+             FROM ontime GROUP BY 1)
+    SELECT CAST(inv AS VARCHAR) AS invoice_no, 'valid' AS status,
+           CAST(s AS DOUBLE) / n AS avg_price,
+           CAST(mn AS DOUBLE) AS min_price, CAST(mx AS DOUBLE) AS max_price,
+           CAST(n AS DOUBLE) AS number_items, CAST(n AS BIGINT) AS line_count
+    FROM sess
+    UNION ALL
+    SELECT '__dropped', 'meta', 0.0, 0.0, 0.0,
+           CAST(count(*) AS DOUBLE), 0
+    FROM src WHERE id >= 2000 AND id % 5 = 0"""
+
   /** Closed-form twin: the surviving 60 s windows over the on-time rows
     * (every id < 2000, plus ids 2000..2999 not divisible by 5) and the
     * dropped-row count (ids 2000..2999 divisible by 5 — rewound two
@@ -3631,6 +3745,8 @@ object Extensions {
       QueryDef(crashInjectedUpsert _, crashInjectedUpsertSql),
     "q243_late_data_accounting" ->
       QueryDef(lateDataAccounting _, lateDataAccountingSql),
+    "q244_session_late_drops" ->
+      QueryDef(sessionLateDrops _, sessionLateDropsSql),
     "q227_streaming_upsert_sink" ->
       QueryDef(streamingUpsertSink _, streamingUpsertSinkSql),
     "q230_distinct_tws" ->
