@@ -82,6 +82,49 @@ object ScaleLaws {
         check(s"$name/mass", maxDev <= 1e-3,
           f"pr(v_r) == pr(v)/$factor%d, max rel dev $maxDev%.3e (pin 1e-3)")
       }
+
+      // ---- q111: fuzzy transitive clustering -----------------------------
+      // The oracle is an all-pairs levenshtein join (n²/2 = 1.25e9 calls at
+      // sf1) plus a recursive closure — it timed out at 20 min in-sandbox.
+      // The construction gives an EXACT law instead: content replicates
+      // byte-identically, so a cross-replica pair (a_r, b_q) is an edge iff
+      // the source pair (a, b) is (lev is a pure function of the titles),
+      // and every replica family of one source doc is a lev-0 clique. Thus
+      // components merge across replicas without ever merging two distinct
+      // source components, and the cluster representative (min doc_id) is
+      // always the replica-0 one:
+      //   cluster_sf1(id) == cluster_sf0.1(id mod N₀)   for EVERY id.
+      // Anchored to the DuckDB-hash-verified sf0.1 result.
+      {
+        val nDoc = graft.Tables.documents(spark, small).count()
+        val fDoc = (graft.Tables.documents(spark, big).count() / nDoc).toInt
+        val smallC = graft.queries.ScaleJoins.fuzzyClusters(spark, small)
+          .select(col("doc_id").as("base"), col("cluster_id").as("want"))
+        val bigC = graft.queries.ScaleJoins.fuzzyClusters(spark, big)
+        val joined = bigC.join(smallC, bigC("doc_id") % nDoc === smallC("base"))
+        val total = joined.count()
+        val bad = joined.filter(col("cluster_id") =!= col("want")).count()
+        check("q111_fuzzy_clusters/replica_map",
+          total == nDoc * fDoc && bad == 0L,
+          s"cluster(id) == cluster_sf0.1(id mod $nDoc) for all $total docs" +
+            s" (expected ${nDoc * fDoc}), $bad mismatches")
+      }
+
+      // ---- q208: co-purchase BFS hop distances ---------------------------
+      // The oracle unrolls 4 BFS rounds over the full sf1 support-pair set
+      // and exceeded the scratch disk (69 GB of DuckDB spill). The law is
+      // sharper than a ratio: order keys are replica-offset, so no order —
+      // hence no co-purchase edge — spans replicas; the sf1 graph is F
+      // disjoint isomorphic copies and min(edge node) lies in replica 0.
+      // BFS output must therefore be BYTE-IDENTICAL to sf0.1's.
+      {
+        val smallH = graft.queries.MaintenanceQueries.copurchaseHops(spark, small)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val bigH = graft.queries.MaintenanceQueries.copurchaseHops(spark, big)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        check("q208_copurchase_hops/identity", smallH == bigH && smallH.nonEmpty,
+          s"sf1 BFS frontier (${bigH.size} rows) ≡ sf0.1's (${smallH.size})")
+      }
     } finally spark.stop()
     if (failed) sys.exit(1)
   }
