@@ -110,6 +110,34 @@ object ScaleLaws {
             s" (expected ${nDoc * fDoc}), $bad mismatches")
       }
 
+      // ---- q186: co-purchase clustering coefficients ---------------------
+      // Same infeasibility class (the triangle-enumeration oracle exceeded
+      // the spill disk at sf1) and same disjoint-copies argument as q208:
+      // no co-purchase edge spans replicas, so every per-node quantity
+      // (degree, triangle count, coefficient — one IEEE division of exact
+      // integers) is identical across replicas and equal to sf0.1's:
+      //   (d, tri, coeff)(base + r·nPart) == (d, tri, coeff)_sf0.1(base).
+      {
+        val nPartL = nPart
+        val smallCc = graft.queries.MaintenanceQueries
+          .copurchaseClustering(spark, small)
+          .select(col("node").as("base"), col("d").as("wd"),
+            col("tri").as("wt"), col("coeff").as("wc"))
+        val bigCc = graft.queries.MaintenanceQueries
+          .copurchaseClustering(spark, big)
+        val joined = bigCc.join(smallCc,
+          bigCc("node") % nPartL === smallCc("base"))
+        val total = joined.count()
+        val nSmall = smallCc.count()
+        val bad = joined.filter(col("d") =!= col("wd") ||
+          col("tri") =!= col("wt") || col("coeff") =!= col("wc")).count()
+        val replicasOk = bigCc.count() == nSmall * factor
+        check("q186_copurchase_clustering/replica_map",
+          replicasOk && total == nSmall * factor && bad == 0L,
+          s"(d,tri,coeff)(v_r) == sf0.1's for all $total rows" +
+            s" (${nSmall} bases × $factor replicas), $bad mismatches")
+      }
+
       // ---- q208: co-purchase BFS hop distances ---------------------------
       // The oracle unrolls 4 BFS rounds over the full sf1 support-pair set
       // and exceeded the scratch disk (69 GB of DuckDB spill). The law is
