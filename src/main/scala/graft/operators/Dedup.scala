@@ -118,6 +118,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS with exact-content pre-collapse — the dup-heavy
+    * scale path for `connectedComponents(nearDuplicates(…))`.
+    *
+    * A crawl-grade corpus carries 10×+ byte-identical replicas; running LSH
+    * over every copy makes candidate pairs QUADRATIC in the duplication
+    * factor (identical texts share every bucket). Collapse first: group
+    * byte-identical texts (one representative = min id per group), run the
+    * shingle→minhash→band→Jaccard→components pipeline over DISTINCT texts
+    * only, then expand members back. The expansion is exact, not an
+    * approximation:
+    *  - banding decisions and Jaccard are pure functions of the text, so a
+    *    member pair is an edge iff its representative pair is;
+    *  - intra-group pairs are always edges (identical shingle sets, Jaccard
+    *    1) — EXCEPT groups with an empty shingle set, which never entered
+    *    bucketing in the pairwise plan and so never cluster (reproduced
+    *    here by the same `has_shingles` predicate lshBuckets filters on);
+    *  - each group's representative is its minimum member, so min-reachable
+    *    over representatives IS min-reachable over expanded members — the
+    *    canonical cluster id is unchanged.
+    * The collapse itself is one hash aggregate keyed on the text (exact
+    * equality — no collision caveat; a 100 TB deployment that prefers to
+    * shuffle 8-byte keys instead of text can key on xxhash64 and accept
+    * `exactByHash`'s documented ~n²/2⁶⁵ collision odds).
+    *
+    * Returns (id, cluster_id) for every clustered doc, byte-identical to
+    * the uncollapsed pipeline's output. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double, numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3): DataFrame = {
+    val groups = df.select(col(idCol), col(textCol))
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+    val reps = groups.select(col("rep").as(idCol), col(textCol))
+    val repPairs = nearDuplicates(reps, idCol, textCol, minJaccard,
+      numHashes, bands, shingleN)
+    val repClusters = connectedComponents(repPairs)
+    groups
+      .withColumn("has_shingles",
+        size(array_distinct(wordNgrams(tokens(col(textCol)), shingleN))) > 0)
+      .join(repClusters.select(col("id").as("rep"), col("cluster_id")),
+        Seq("rep"), "left")
+      // a multi-member group whose rep has no cross-group edge is still a
+      // cluster of its own (its intra pairs are Jaccard-1 edges), rooted at
+      // the rep; shingle-less groups never pair and never cluster
+      .withColumn("cid", coalesce(col("cluster_id"),
+        when(size(col("ids")) > 1 && col("has_shingles"), col("rep"))))
+      .filter(col("cid").isNotNull)
+      .select(explode(col("ids")).as("id"), col("cid").as("cluster_id"))
+  }
+
   /** Connected components over a near-dup pair set — the step that turns
     * pairwise matches into dedup CLUSTERS (keep the canonical minimum id
     * per component, drop the rest).

@@ -88,30 +88,69 @@ object Similarity {
     * touching the candidate blow-up much), pairs sharing any cell are
     * deduplicated, then exact cosine ≥ `minCosine` filters. Fully
     * deterministic — no trained state — so the complete pipeline (blocking
-    * included) is reproducible by the DuckDB oracle. */
+    * included) is reproducible by the DuckDB oracle.
+    *
+    * Dup-heavy hardening: byte-identical vectors are collapsed to ONE
+    * representative before blocking and scoring, then pairs are re-expanded
+    * to member ids afterwards. A crawl-grade corpus carries 10×+ exact
+    * replicas, and without the collapse every cell pays O(d²) comparisons
+    * for pairs whose cosine is already known. The result set is unchanged:
+    *  - identical vectors probe identical cells, so every intra-group pair
+    *    was a candidate in the pairwise plan; its cosine is dot(v,v)/nrm²,
+    *    folded once per group (bit-identical to the member-pair fold);
+    *  - a cross-group member pair shares a cell iff its representatives do
+    *    (cell assignment is a pure function of the vector), and its cosine
+    *    equals the representatives' (the arrays are byte-identical).
+    * Cost is one corpus-wide hash aggregate (keyed on the vector) plus work
+    * linear in distinct vectors and in emitted pairs — output-linear where
+    * the pairwise plan was quadratic in the duplication factor. */
   def embeddingNearDupsFixed(corpus: DataFrame, centers: Seq[Seq[Double]],
                              minCosine: Double, probes: Int = 3,
                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val assigned = c
+    // one row per distinct vector; sorted member ids make the rep (ids[0])
+    // deterministic under collect_list's arbitrary order
+    val groups = c.groupBy(col("v"), col("nrm"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val reps = groups.select(col("v"), col("nrm"), col("ids"),
+      element_at(col("ids"), 1).as("rep"))
+    val assigned = reps
       .withColumn("cell", explode(probeCellsExpr(col("v"), centers, probes)))
-      .select(col("cell"), col(idCol))
-    val l = assigned.select(col("cell"), col(idCol).as("id_a"))
-    val r = assigned.select(col("cell"), col(idCol).as("id_b"))
+      .select(col("cell"), col("rep"))
+    val l = assigned.select(col("cell"), col("rep").as("rep_a"))
+    val r = assigned.select(col("cell"), col("rep").as("rep_b"))
     // distinct BEFORE the vector join + cosine: a pair sharing several cells
-    // is scored once, and only (cell, id) pairs shuffle in the self-join
-    val pairs = l.join(r, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // is scored once, and only (cell, rep) pairs shuffle in the self-join
+    val repPairs = l.join(r, Seq("cell"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"))
       .distinct()
-    pairs
-      .join(c.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
-      .join(c.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
+    // cross-group pairs: score the representative pair, expand members after
+    // the threshold filter so only emitted pairs blow up
+    val cross = repPairs
+      .join(reps.select(col("rep").as("rep_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a"), col("ids").as("ids_a")), "rep_a")
+      .join(reps.select(col("rep").as("rep_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b"), col("ids").as("ids_b")), "rep_b")
       .withColumn("cos",
         cosineWithNorms(dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("cos"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cos"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+    // intra-group pairs: cosine of a vector with its byte-identical twin
+    // (NULL for zero vectors, dropped by the threshold — as pairwise did)
+    val intra = groups
+      .filter(size(col("ids")) > 1)
+      .withColumn("cos", cosineWithNorms(dot(col("v"), col("v")), col("nrm"), col("nrm")))
+      .filter(col("cos") >= minCosine)
+      .select(explode(col("ids")).as("ia"), col("ids"), col("cos"))
+      .select(col("ia"), explode(col("ids")).as("ib"), col("cos"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("cos"))
+    cross.unionByName(intra)
   }
 
   /** Scalar int8 quantization of an embedding column — the 4× storage

@@ -2474,13 +2474,15 @@ object Extensions {
     FROM k"""
 
   /** Dedup clustering: near-dup pairs → connected components → canonical
-    * minimum doc id per cluster (the "keep one copy" step). */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+    * minimum doc id per cluster (the "keep one copy" step). Runs through
+    * the exact-content pre-collapse (`Dedup.nearDupClusters`): LSH,
+    * Jaccard, and component propagation see one representative per
+    * byte-identical text, so cost scales with DISTINCT content + emitted
+    * clusters instead of quadratically with the duplication factor. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
       minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
-    Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
-  }
 
   /** Transitive closure by recursive CTE over the exact pair set — min
     * reachable id = the label min-propagation converges to. */
@@ -2503,23 +2505,30 @@ object Extensions {
     *
     * Scale shape: the cluster table is a strict subset of the corpus (only
     * docs with a near-dup appear); the token-length join shuffles on
-    * doc_id, the winner window partitions on cluster_id — both
-    * high-cardinality keys. A pathological giant cluster bounds at the
-    * window sort of its own rows (same bound as q49's propagation). */
+    * doc_id. The winner is an argmax AGGREGATE per cluster — min of
+    * struct(-n_tokens, doc_id), a map-side-combinable hash agg — NOT a
+    * row_number window: only the keep flag (winner == me) is needed, so
+    * sorting whole clusters is pure waste, and on a dup-heavy corpus
+    * (10×-deeper duplicate groups at sf1) the per-group sort was the
+    * measured scale-killer (11.97× on 10× data; the agg is linear). A
+    * pathological giant cluster costs one combine pass, not a sort. */
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
       minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
-    val clusters = Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
     val lens = docs.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("n_tokens").desc, col("doc_id"))
-    clusters.join(lens, "doc_id")
-      .withColumn("keep", row_number().over(w) === 1)
-      .select(col("doc_id"), col("cluster_id"), col("n_tokens"), col("keep"))
+    val joined = clusters.join(lens, "doc_id")
+    // argmax by (n_tokens desc, doc_id asc): lexicographic struct min over
+    // exact integers — the same winner row_number()==1 would pick
+    val winners = joined.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_tokens")).as("neg_tokens"),
+        col("doc_id").as("doc_id"))).as("w"))
+      .select(col("cluster_id"), col("w.doc_id").as("win_id"))
+    joined.join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        (col("doc_id") === col("win_id")).as("keep"))
   }
 
   val dedupKeepBestSql: String = s"""

@@ -174,6 +174,65 @@ class ExtensionsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("nearDupClusters (exact-content pre-collapse) ≡ uncollapsed pairs→components") {
+    import spark.implicits._
+    val base = "spark shuffles data between stages when the partitioning changes " +
+      "and broadcast joins avoid moving the large side of the join at all"
+    val near = base.replace("large", "big")
+    val other = "completely different words about cooking pasta with tomatoes " +
+      "and basil in a warm kitchen on a sunday afternoon with fresh bread"
+    val single = "a lone document about distributed checkpoint recovery semantics " +
+      "that resembles nothing else in this tiny fixture corpus at all"
+    val rows = Seq(
+      1L -> base, 2L -> base, 3L -> base, // replicated group, rep 1
+      4L -> near, // cross-group near-dup of the base group
+      10L -> other, 11L -> other, // replicated group with NO cross edge
+      20L -> "hi", 21L -> "hi", // replicated but shingle-less: never clusters
+      30L -> single) // singleton: never clusters
+    val df = rows.toDF("doc_id", "text")
+    val expected = Dedup.connectedComponents(
+      Dedup.nearDuplicates(df, "doc_id", "text", minJaccard = 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.nearDupClusters(df, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // and the fixture exercises every expansion branch: cross-group edge,
+    // self-clustered replica group, shingle-less group, true singleton
+    assert(expected === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("embedding near-dups: byte-identical replicas expand to exact pairwise output") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 12).map(i => i.toLong -> Array.fill(16)(rnd.nextFloat() - 0.5f)).toMap
+    val baseDf = vecs.toSeq.toDF("vec_id", "embedding")
+    val centers = Similarity.fixedCenters(8, 16)
+    val baseOut = Similarity
+      .embeddingNearDupsFixed(baseDf, centers, minCosine = 0.0, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // replicate every vector 3×: ids i, i+100, i+200 carry identical bytes
+    val repDf = vecs.toSeq.flatMap { case (id, v) =>
+      Seq(id -> v, (id + 100) -> v, (id + 200) -> v)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity
+      .embeddingNearDupsFixed(repDf, centers, minCosine = 0.0, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // expected = every cross-member combination of each base pair (same cos)
+    // plus all intra-group pairs at cos(v, v) in engine fold order
+    def members(id: Long) = Seq(id, id + 100, id + 200)
+    val cross = for {
+      (a, b, cos) <- baseOut.toSeq; x <- members(a); y <- members(b)
+    } yield (math.min(x, y), math.max(x, y), cos)
+    val intra = vecs.toSeq.flatMap { case (id, v) =>
+      val d = v.foldLeft(0.0)((acc, e) => acc + e.toDouble * e.toDouble)
+      val cos = d / (math.sqrt(d) * math.sqrt(d))
+      val m = members(id)
+      for (i <- m.indices; j <- i + 1 until m.size) yield (m(i), m(j), cos)
+    }
+    assert(got === (cross ++ intra).toSet)
+  }
+
   test("connected components: pointer doubling settles a 200-node chain in O(log n) rounds") {
     import spark.implicits._
     // a chain is the propagation worst case: plain neighbor-min needs
