@@ -74,13 +74,24 @@ object ScaleLaws {
         //    compounded over 3 iterations ⇒ pin at 1e-3 and report the
         //    observed maximum.
         val smallPr = smallTop.toMap
-        val devs = byBase.map { case (base, g) =>
-          val want = smallPr(base) / factor
-          math.abs(g.head._2 - want) / math.max(want, 1e-30)
+        // guard the lookup: a base node missing from the small-side top set
+        // already failed the top_set law above — emit a FAIL line for the
+        // mass law too instead of aborting the remaining checks with a
+        // NoSuchElementException (diagnostics for q111/q186/q208 would be
+        // lost even though the exit code stays nonzero)
+        val missing = byBase.keys.filterNot(smallPr.contains).toSeq.sorted
+        if (missing.nonEmpty)
+          check(s"$name/mass", ok = false,
+            s"bases absent from sf0.1 top set: ${missing.mkString(",")}")
+        else {
+          val devs = byBase.map { case (base, g) =>
+            val want = smallPr(base) / factor
+            math.abs(g.head._2 - want) / math.max(want, 1e-30)
+          }
+          val maxDev = if (devs.isEmpty) 0.0 else devs.max
+          check(s"$name/mass", maxDev <= 1e-3,
+            f"pr(v_r) == pr(v)/$factor%d, max rel dev $maxDev%.3e (pin 1e-3)")
         }
-        val maxDev = if (devs.isEmpty) 0.0 else devs.max
-        check(s"$name/mass", maxDev <= 1e-3,
-          f"pr(v_r) == pr(v)/$factor%d, max rel dev $maxDev%.3e (pin 1e-3)")
       }
 
       // ---- q111: fuzzy transitive clustering -----------------------------

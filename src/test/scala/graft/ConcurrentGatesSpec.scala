@@ -30,7 +30,9 @@ class ConcurrentGatesSpec extends AnyFunSuite {
 
   /** Deterministic normalized row multiset: every cell stringified
     * (String.valueOf is exact for the numeric types these gates emit),
-    * rows joined and sorted. */
+    * rows joined on \u0001 — an unambiguous separator no emitted cell
+    * contains, so ("ab","c") and ("a","bc") normalize differently — and
+    * sorted. */
   private def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString(""))
       .toSeq.sorted

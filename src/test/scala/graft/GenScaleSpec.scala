@@ -7,10 +7,14 @@ import graft.tools.GenScale
 /** The sf1 scale study (round-14 verdict #1) rests on GenScale's output
   * being a FAITHFUL scale-up: row counts ×F, dense keys, intact foreign
   * keys, replica 0 byte-identical to the source, and replicas r > 0
-  * genuinely perturbed (documents/embeddings) so near-dup/ANN families
-  * don't degenerate into F-cliques of exact copies. Pin those invariants
-  * at factor 2 over sf0.001 so a generator regression can't silently
-  * invalidate a whole scale run. */
+  * EXACT content copies (documents/embeddings) — byte-identical text and
+  * vectors under fresh ids — so MinHash banding and quantizer-cell
+  * decisions are inherited deterministically and the replica laws in
+  * ScaleLaws stay exact. (An earlier perturbed-replica draft broke q128
+  * at sf1: ~j≈0.2 pairs that a true-Jaccard oracle finds but 8-band LSH
+  * catches only ~3% of — see GenScale.scala. Do NOT reintroduce it.)
+  * Pin those invariants at factor 2 over sf0.001 so a generator
+  * regression can't silently invalidate a whole scale run. */
 class GenScaleSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val src = "/root/testdata/sf0.001"

@@ -102,11 +102,16 @@ def main():
             gdt = {c: str(t) for c, t in
                    con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df().dtypes.items()}
             wdt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
-        except Exception as e:
+        except (duckdb.Error, MemoryError) as e:
             # advisory probe only (dtype-split early warning) — a probe
             # failure (e.g. DuckDB OOM re-running a heavy sf1 oracle under
-            # concurrent-JVM memory pressure) must not kill the whole run
-            print(f"WARN {name}: dtype probe failed, check skipped: {e}")
+            # concurrent-JVM memory pressure) must not kill the whole run.
+            # Scoped to the failures it documents: anything else (e.g. a
+            # structurally unreadable result parquet) should surface loudly
+            # rather than degrade to a WARN — the hash compare would catch
+            # it, but with a far less actionable message.
+            print(f"WARN {name}: dtype probe failed, check skipped: "
+                  f"{type(e).__name__}: {e}")
             gdt = wdt = {}
         mixed = [c for c in gdt if c in wdt and
                  (("int" in gdt[c]) != ("int" in wdt[c])) and
