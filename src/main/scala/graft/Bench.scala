@@ -70,9 +70,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // data-proportional default (Tuning): equals `cpus` at sf0.1 and
+    // below, grows with raw input bytes so the sf3 curve stays linear
+    // without a manual SPARK_GRAFT_CPUS override
+    val shuffleParts = Tuning.shufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
