@@ -96,6 +96,75 @@ class TwsTimerFenceSpec extends AnyFunSuite {
     }
   }
 
+  test("BOOTSTRAP path store-op profile: initial-state bulk load arms one " +
+    "timer per snapshot key, touches point-delete, the rest expire (q234)") {
+    // round-15 verdict #1: q234's bench cost must rest on a pinned store-op
+    // count for the initial-state path, not on wall-clock inference. The
+    // init snapshot rides as bare Array[Byte] (near-zero per-key
+    // deserializer cost — the round-14 measurement), so timers are the
+    // only per-key store ops the bulk load performs: exactly ONE
+    // registerTimer per snapshot key, zero deletes, zero list scans.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Extensions.withRocksDbTws(spark) {
+      val initSnap = (1 to 10).map { i =>
+        (s"K$i", SessionizerTws.packInit(graft.streaming.EventSessionState(
+          List(Purchase(s"K$i", 1, "1/2/2024 7:15", 1.0, "c", "ES")),
+          None, BaseMs)))
+      }
+      val init = spark.createDataset(initSnap).groupByKey(_._1).mapValues(_._2)
+      val input = MemoryStream[TimedLineEvent]
+      val out = SessionizerTws.sessionizeEventTimeWithInit(
+        input.toDS(), init, gapMs = 10000L, watermarkDelay = "600 seconds")
+      val name = "tws_bootstrap_fence"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 0: ONE fresh key alongside the 10-key bulk load → 10 init
+        // arms + 1 first-arm, ZERO deletes (a delete here would mean the
+        // bulk load double-arms or scans)
+        input.addData(Seq(ev("W0", 0L)))
+        q.processAllAvailable()
+        // batch 1: touch HALF the bootstrapped keys 5 s later (5 point
+        // deletes + 5 re-arms — migrated state behaves exactly like
+        // organically-built state) + 3 fresh keys
+        input.addData((1 to 5).map(i => ev(s"K$i", 5L)) ++
+          (1 to 3).map(i => ev(s"F$i", 5L)))
+        q.processAllAvailable()
+        // sentinel: watermark passes all 14 live deadlines
+        input.addData(Seq(ev("SENTINEL", 1000000L)))
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table(name).count() < 14 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200L)
+        assert(spark.table(name).count() === 14)
+
+        def msum(key: String): Long = q.recentProgress.flatMap(_.stateOperators
+          .map(o => Option(o.customMetrics.get(key)).map(_.longValue)
+            .getOrElse(0L))).sum
+        val registered = msum("numRegisteredTimers")
+        val deleted = msum("numDeletedTimers")
+        val expired = msum("numExpiredTimers")
+        // arms: 10 bootstrap + 1 (W0) + 5 re-arms + 3 (F*) + 1 (sentinel)
+        // = 20; deletes: 5 point deletes + 14 expiry auto-deletes = 19.
+        // A bulk load that re-arms per line (not per key) or double-arms
+        // inflates `registered`; one that forgets to arm reads 20-10=10
+        // and the 5 untouched K keys never emit (count < 14 above)
+        assert(registered === 20L,
+          s"numRegisteredTimers = $registered, bootstrap profile expects 20")
+        assert(deleted === 19L,
+          s"numDeletedTimers = $deleted, bootstrap profile expects 19 " +
+            "(5 point deletes + 14 expiry auto-deletes)")
+        assert(expired === 14L,
+          s"numExpiredTimers = $expired, expected the 14 live sessions")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    }
+  }
+
   test("no timer scan on the hot path: listTimers() must not appear in " +
     "the sessionizer source (comments excluded)") {
     val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
