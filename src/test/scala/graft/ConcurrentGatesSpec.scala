@@ -34,7 +34,7 @@ class ConcurrentGatesSpec extends AnyFunSuite {
     * contains, so ("ab","c") and ("a","bc") normalize differently — and
     * sorted. */
   private def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.toSeq.map(String.valueOf).mkString(""))
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("\u0001"))
       .toSeq.sorted
 
   test("8 mixed gates (batch + fMGWS + TWS + conf-overriding streams) " +
