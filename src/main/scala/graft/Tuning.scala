@@ -62,6 +62,48 @@ object Tuning {
     ((raw + cores - 1) / cores) * cores
   }
 
+  private val scanParCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Natural scan parallelism of a parquet table at `path`: the number of
+    * data files. Our testdata tables are SINGLE single-row-group files
+    * under 128 MB — effectively unsplittable (a split only reads the row
+    * groups whose start offset it contains), so Spark's scan stage runs
+    * one task per file no matter what `maxPartitionBytes` says. A
+    * production table has many files/row groups and this returns a large
+    * number. */
+  def scanParallelism(path: String): Int =
+    scanParCache.computeIfAbsent(path, { p =>
+      val root = Paths.get(p)
+      if (!Files.exists(root)) Int.MaxValue // unknown layout: assume wide
+      else if (Files.isRegularFile(root)) 1
+      else {
+        val stream = Files.walk(root)
+        try stream.iterator().asScala.count(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith("_") && Files.size(f) > 0)
+        finally stream.close()
+      }
+    }).intValue()
+
+  /** Guide §2.5's "one huge unsplittable file → repartition immediately
+    * after the read", made scale-adaptive: hash-repartition `df` on `key`
+    * across the session's cores ONLY when the table's natural scan
+    * parallelism starves them (fewer splits than half the cores).
+    * Downstream row-local work (tokenize/parse/hash) and partial
+    * aggregation then use every core instead of one task per file. On a
+    * production multi-file table the guard makes this a no-op — the
+    * CONDITION carries across scales, not a tuned constant. Hash
+    * partitioning on a real column is deterministic under task retry
+    * (guide §2.5's rand() caveat) and adds no pre-shuffle sort (keyless
+    * round-robin would, via sortBeforeRepartition). */
+  def spreadNarrowScan(df: org.apache.spark.sql.DataFrame, tablePath: String,
+                       key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (scanParallelism(tablePath) >= math.max(1, cores / 2)) df
+    else df.repartition(cores, key)
+  }
+
   /** Deploy-time state partition calculator for a NEW streaming query:
     * RocksDB opens one native store per state partition per micro-batch
     * (fixed per-batch cost), so size to keyspace — ~2M live keys per

@@ -108,6 +108,55 @@ object InvoiceOps {
   // l_quantity, customer/time come from orders).
   // -------------------------------------------------------------------------
 
+  /** A1 restructured for the star schema (guide §2.3 "aggregate before you
+    * shuffle" + §8 "use what you know that the optimizer does not"): the
+    * grouping key IS the join key, and `orders` is UNIQUE on it (primary
+    * key), so group-then-join ≡ join-then-group — but the aggregate now
+    * runs over lineitem alone:
+    *  - every aggregation buffer is mutable (decimal/double/long), so the
+    *    plan is a HashAggregate with map-side partial aggregation, where
+    *    featurize(purchaseLines) carried min/max STRING buffers
+    *    (customer_id, last_date) and fell back to SortAggregate — sorting
+    *    every line row on both sides of the exchange;
+    *  - the exchange carries one partial row per invoice, not one row per
+    *    line (~4× fewer rows at any scale, and no carried order columns);
+    *  - the order-side fields need no aggregation at all: the single
+    *    matching order row supplies customer/hour/date/status directly
+    *    (featurize's min/max over them folded a per-group CONSTANT).
+    * Columns and values are bit-identical to
+    * featurize(purchaseLines(...)) — same per-row expressions, Exact
+    * decimal sums are order-free, and the fold-to-constant equalities
+    * hold because the join key is unique on the order side. The lineitem
+    * scan is spread first (Tuning.spreadNarrowScan): at gate SFs the
+    * table is ONE unsplittable file, so the partial aggregate otherwise
+    * runs single-task; on a multi-file production table the spread is a
+    * no-op and the map-side partial aggregation wins instead. */
+  def featurizedFromStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.Tuning.spreadNarrowScan(
+      graft.Tables.lineitem(spark, sfDir),
+      s"$sfDir/lineitem.parquet", col("l_orderkey"))
+    val o = graft.Tables.orders(spark, sfDir)
+    val unitPrice = col("l_extendedprice") / col("l_quantity")
+    val agg = li.groupBy(col("l_orderkey")).agg(
+      davg(unitPrice, 6).as("avg_unit_price"),
+      min(unitPrice).as("min_unit_price"),
+      max(unitPrice).as("max_unit_price"),
+      dsum(col("l_quantity"), 2).as("number_items"),
+      count(lit(1)).as("line_count"))
+    agg.join(o, agg("l_orderkey") === o("o_orderkey"))
+      .select(
+        agg("l_orderkey").cast("string").as("invoice_no"),
+        col("avg_unit_price"),
+        col("min_unit_price"),
+        col("max_unit_price"),
+        hour(o("o_orderdate")).cast("double").as("time_hour"),
+        col("number_items"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("last_date"),
+        col("line_count"),
+        o("o_custkey").cast("string").as("customer_id"),
+        o("o_orderstatus").as("order_status"))
+  }
+
   /** Purchase-line-shaped view over the testdata. The join shuffles both
     * sides on the order key — at 100 TB lineitem and orders would be
     * co-bucketed on orderkey making this shuffle-free; here AQE picks the

@@ -3066,7 +3066,13 @@ object Extensions {
     * The Spark side is one scan (multi-distinct aggregate + stack); the
     * oracle says the same thing as per-column branches. */
   def profileOrders(s: SparkSession, d: String): DataFrame =
-    graft.operators.Profile.profile(Tables.orders(s, d),
+    // spread the one-file scan: the 6-way Expand + per-column distinct
+    // partial aggregation (SortAggregate — string min/max buffers) is the
+    // whole cost of this query and otherwise runs inside a single scan
+    // task; all profiled statistics are order-independent
+    graft.operators.Profile.profile(
+      graft.Tuning.spreadNarrowScan(Tables.orders(s, d),
+        s"$d/orders.parquet", col("o_orderkey")),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
   val profileOrdersSql: String =

@@ -24,7 +24,13 @@ object PipelineReplay {
     * replay files). Integer prices make the string round-trip exact; every
     * linenumber-7 line is parse-poisoned. */
   def manufacturedLines(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // spread the one-file lineitem scan so the wire-line concat and the
+    // downstream univocity parse (q43's flatMap runs in this stage) use
+    // every core instead of one scan task; hash partitioning by the
+    // invoice key keeps each invoice's lines in one partition in file
+    // order, so the typed fold sees the same per-group sequence
+    val li = graft.Tuning.spreadNarrowScan(Tables.lineitem(s, d),
+      s"$d/lineitem.parquet", col("l_orderkey"))
     val o = Tables.orders(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), concat_ws(",",

@@ -33,21 +33,17 @@ object Relational {
     GROUP BY l_orderkey"""
 
   def featurized(s: SparkSession, d: String): DataFrame =
-    InvoiceOps.featurize(InvoiceOps.purchaseLines(s, d))
+    InvoiceOps.featurizedFromStar(s, d)
+      .select("invoice_no", "avg_unit_price", "min_unit_price",
+        "max_unit_price", "time_hour", "number_items", "last_date",
+        "line_count", "customer_id")
 
   /** P3: validity filter on the featurized invoices; 'F' order status plays
-    * the cancellation flag (FIXTURES.md §4). Emits the 5-dim feature row. */
+    * the cancellation flag (FIXTURES.md §4). Emits the 5-dim feature row.
+    * Shares [[InvoiceOps.featurizedFromStar]]'s aggregate-before-join plan
+    * (hash aggregate, invoice-sized exchange) — see its equality ledger. */
   def validFeatures(s: SparkSession, d: String): DataFrame =
-    InvoiceOps.purchaseLines(s, d)
-      .groupBy(col("invoice_no"))
-      .agg(
-        davg(col("unit_price"), 6).as("avg_unit_price"),
-        min(col("unit_price")).as("min_unit_price"),
-        max(col("unit_price")).as("max_unit_price"),
-        max(col("invoice_hour")).as("time_hour"),
-        dsum(col("quantity"), 2).as("number_items"),
-        min(col("customer_id")).as("customer_id"),
-        max(col("order_status")).as("order_status"))
+    InvoiceOps.featurizedFromStar(s, d)
       .filter(col("customer_id").isNotNull && length(col("customer_id")) > 0 &&
         col("order_status") =!= "F" && !col("invoice_no").startsWith("C"))
       .select("invoice_no", "avg_unit_price", "min_unit_price",
