@@ -51,5 +51,15 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  /** documents with the narrow-scan spread (guide §2.5: a one-file,
+    * single-row-group table is unsplittable, so per-row token work runs
+    * one task per file): token-HEAVY queries read this so the tokenize/
+    * shingle/hash pass uses every core; a multi-file production table
+    * makes it identical to [[documents]] (Tuning.spreadNarrowScan no-op).
+    * Light projections should keep reading [[documents]] — the extra
+    * exchange only pays for itself when per-row compute dominates. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    Tuning.spreadNarrowScan(documents(s, d), s"$d/documents.parquet",
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

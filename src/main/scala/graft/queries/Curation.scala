@@ -532,7 +532,7 @@ object Curation {
   val decontMinShared = 2
 
   def decontaminate(s: SparkSession, d: String): DataFrame =
-    decontaminateOn(Tables.documents(s, d))
+    decontaminateOn(Tables.documentsSpread(s, d))
 
   def decontaminateOn(docs: DataFrame): DataFrame = {
     val grams = docs
@@ -579,7 +579,7 @@ object Curation {
     * dominates, which is exactly the 100 TB regime it exists for. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Bloom
-    val grams = Tables.documents(s, d)
+    val grams = Tables.documentsSpread(s, d)
       .select(col("doc_id"),
         explode(array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 3))).as("g"))
@@ -839,7 +839,7 @@ object Curation {
         row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
 
   def bpeEncodeVocab(s: SparkSession, d: String): DataFrame =
-    bpeVocabRank(bpeTokenCountsOn(Tables.documents(s, d)))
+    bpeVocabRank(bpeTokenCountsOn(Tables.documentsSpread(s, d)))
 
   /** q179: the BPE encoder under STREAMING execution — the q147
     * discipline applied to the tokenizer: the documents table replays
@@ -1049,7 +1049,7 @@ object Curation {
   val dupGramN = 5
 
   def dupNgramFraction(s: SparkSession, d: String): DataFrame =
-    dupNgramFractionOn(Tables.documents(s, d))
+    dupNgramFractionOn(Tables.documentsSpread(s, d))
 
   def dupNgramFractionOn(docs: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),

@@ -34,7 +34,7 @@ object Extensions {
       FROM documents) WHERE rn = 1"""
 
   def nearDupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+    Dedup.nearDuplicates(Tables.documentsSpread(s, d), "doc_id", "text",
       minJaccard = 0.2, numHashes = 32, bands = 8, shingleN = 3)
 
   /** One-sided-turned-full oracle: the fixture's near-dup pairs all have
