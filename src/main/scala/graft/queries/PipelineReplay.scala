@@ -114,8 +114,26 @@ object PipelineReplay {
 
   private val streamReplayLock = new Object
 
+  /** Part files per DATA slice. One slice used to be ONE parquet file, so
+    * every micro-batch's CSV parse (the univocity flatMap runs inside the
+    * file-scan stage) was capped at one task per file — measured at
+    * ~1.2-1.5 s wall per 2-file data batch at sf0.1 while 30 cores idled
+    * (guide §2.5: unsplittable input starves the stage). Slices are now
+    * split into 8 part files each, partitioned by pmod(l_orderkey, 8) so
+    * an invoice's lines stay contiguous within one part; batch membership
+    * is unchanged because every maxFilesPerTrigger below scales by
+    * [[SliceParts]] and parts inherit their slice's mtime (the file
+    * source orders by modification time, so a trigger still consumes
+    * whole slices). Sentinel slices (5, 6) stay single one-row files. */
+  private[graft] val SliceParts = 8
+
+  /** File names of slice `i` in the replay fixture. */
+  private[graft] def sliceFiles(i: Int): Seq[String] =
+    if (i <= 4) (0 until SliceParts).map(p => f"slice$i%02d_p$p.parquet")
+    else Seq(f"slice$i%02d.parquet")
+
   private[graft] def pipelineReplayDir(d: String): String =
-    Extensions.indexCacheDir("graft-pipe-replay", d, "lineitem", "slices6v1")
+    Extensions.indexCacheDir("graft-pipe-replay", d, "lineitem", "slices6p8v2")
 
   /** q216: the reference's ENTIRE reason to exist — readStream → CSV parse/
     * route (ST3) → the REAL flatMapGroupsWithState event-time sessionizer
@@ -165,12 +183,15 @@ object PipelineReplay {
         try {
           val base = System.currentTimeMillis() - 60000L
           (1 to 4).foreach { i =>
-            Extensions.writeSingleParquet(
-              sliced.filter(col("slice") === i)
-                .select(lit(new java.sql.Timestamp(
-                  ReplayBaseMs + (i - 1) * SliceStepMs)).as("event_ts"),
-                  col("value")),
-              dir, f"slice$i%02d.parquet", mtime = Some(base + i * 1000L))
+            (0 until SliceParts).foreach { p =>
+              Extensions.writeSingleParquet(
+                sliced.filter(col("slice") === i &&
+                    pmod(col("l_orderkey"), lit(SliceParts)) === p)
+                  .select(lit(new java.sql.Timestamp(
+                    ReplayBaseMs + (i - 1) * SliceStepMs)).as("event_ts"),
+                    col("value")),
+                dir, f"slice$i%02d_p$p.parquet", mtime = Some(base + i * 1000L))
+            }
           }
           // two sentinel batches on a throwaway key drive the watermark
           // past every data-slice session's timeout; the sentinel's own
@@ -192,7 +213,7 @@ object PipelineReplay {
     Extensions.withStatePartitions(s) {
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .option("maxFilesPerTrigger", 2 * SliceParts).parquet(dir)
       val events = src.as[TimedRawLine].flatMap { raw =>
         PurchaseCsv.route(raw.value).map(ev =>
           TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -307,14 +328,14 @@ object PipelineReplay {
     val work = Files.createTempDirectory("graft-restart").toString
     val srcDir = s"$work/src"; val ck = s"$work/ck"; val out = s"$work/out"
     Files.createDirectories(Paths.get(srcDir))
-    def stage(names: Seq[String]): Unit = names.foreach { n =>
+    def stage(slices: Seq[Int]): Unit = slices.flatMap(sliceFiles).foreach { n =>
       Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
     def runOnce(): Unit = Extensions.withStatePartitions(s) {
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .option("maxFilesPerTrigger", SliceParts).parquet(srcDir)
       val events = src.as[TimedRawLine].flatMap { raw =>
         PurchaseCsv.route(raw.value).map(ev =>
           TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -328,9 +349,9 @@ object PipelineReplay {
         .start()
       Extensions.awaitBounded(q, "pipeline_recovery")
     }
-    stage(Seq("slice01.parquet", "slice02.parquet", "slice03.parquet"))
+    stage(Seq(1, 2, 3))
     runOnce() // sessions accumulate in the store; nothing emits
-    stage(Seq("slice04.parquet", "slice05.parquet", "slice06.parquet"))
+    stage(Seq(4, 5, 6))
     runOnce() // a NEW execution recovers the store and completes them
     s.read.parquet(out)
   }
@@ -379,7 +400,7 @@ object PipelineReplay {
         if (!new java.io.File(s"$fixture/_SUCCESS").exists())
           pipelineStreamingGate(s, d)
         val rows = s.read
-          .parquet(s"$fixture/slice01.parquet", s"$fixture/slice02.parquet")
+          .parquet((sliceFiles(1) ++ sliceFiles(2)).map(n => s"$fixture/$n"): _*)
           .as[TimedRawLine].flatMap { raw =>
             PurchaseCsv.route(raw.value).map(ev =>
               TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -434,8 +455,8 @@ object PipelineReplay {
       .mapValues(_._2)
     val src = s.readStream
       .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-      .option("pathGlobFilter", "slice0[3-6].parquet")
-      .option("maxFilesPerTrigger", 2).parquet(dir)
+      .option("pathGlobFilter", "slice0[3-6]*.parquet")
+      .option("maxFilesPerTrigger", 2 * SliceParts).parquet(dir)
     val name = s"graft_pipe_boot_${streamGateRuns.incrementAndGet()}"
     Extensions.withStatePartitions(s) {
       val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
@@ -469,7 +490,7 @@ object PipelineReplay {
       val name = s"graft_pipe_tws_${streamGateRuns.incrementAndGet()}"
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .option("maxFilesPerTrigger", 2 * SliceParts).parquet(dir)
       val events = src.as[TimedRawLine].flatMap { raw =>
         PurchaseCsv.route(raw.value).map(ev =>
           TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -520,14 +541,14 @@ object PipelineReplay {
       val work = Files.createTempDirectory("graft-stateread").toString
       val srcDir = s"$work/src"; val ck = s"$work/ck"; val out = s"$work/out"
       Files.createDirectories(Paths.get(srcDir))
-      Seq("slice01.parquet", "slice02.parquet", "slice03.parquet").foreach { n =>
+      Seq(1, 2, 3).flatMap(sliceFiles).foreach { n =>
         Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
           StandardCopyOption.COPY_ATTRIBUTES)
       }
       Extensions.withStatePartitions(s) {
         val src = s.readStream
           .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .option("maxFilesPerTrigger", SliceParts).parquet(srcDir)
         val events = src.as[TimedRawLine].flatMap { raw =>
           PurchaseCsv.route(raw.value).map(ev =>
             TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -596,14 +617,14 @@ object PipelineReplay {
       val work = Files.createTempDirectory("graft-twsstate").toString
       val srcDir = s"$work/src"; val ck = s"$work/ck"; val out = s"$work/out"
       Files.createDirectories(Paths.get(srcDir))
-      Seq("slice01.parquet", "slice02.parquet", "slice03.parquet").foreach { n =>
+      Seq(1, 2, 3).flatMap(sliceFiles).foreach { n =>
         Files.copy(Paths.get(fixture, n), Paths.get(srcDir, n),
           StandardCopyOption.COPY_ATTRIBUTES)
       }
       Extensions.withRocksDbTws(s) {
         val src = s.readStream
           .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .option("maxFilesPerTrigger", SliceParts).parquet(srcDir)
         val events = src.as[TimedRawLine].flatMap { raw =>
           PurchaseCsv.route(raw.value).map(ev =>
             TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -759,8 +780,8 @@ object PipelineReplay {
         .mapValues(_._2)
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[TimedRawLine].schema)
-        .option("pathGlobFilter", "slice0[3-6].parquet")
-        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .option("pathGlobFilter", "slice0[3-6]*.parquet")
+        .option("maxFilesPerTrigger", 2 * SliceParts).parquet(dir)
       val scored = scoreSessions(s,
         graft.streaming.SessionizerTws.sessionizeEventTimeWithInit(
           toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
@@ -872,7 +893,7 @@ object PipelineReplay {
       .groupByKey(_._1).mapValues(_._2)
     val rawSchema = org.apache.spark.sql.Encoders.product[TimedRawLine].schema
     val expectedStreamed = s.read.schema(rawSchema)
-      .option("pathGlobFilter", "slice0[4-6].parquet").parquet(dir).count()
+      .option("pathGlobFilter", "slice0[4-6]*.parquet").parquet(dir).count()
     def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
       PurchaseCsv.route(raw.value).map(ev =>
         TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -880,8 +901,8 @@ object PipelineReplay {
     val name = s"graft_pipe_unmigrate_${streamGateRuns.incrementAndGet()}"
     Extensions.withStatePartitions(s) {
       val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "slice0[4-6].parquet")
-        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .option("pathGlobFilter", "slice0[4-6]*.parquet")
+        .option("maxFilesPerTrigger", SliceParts + 1).parquet(dir)
       val scored = scoreSessions(s, Sessionizer.sessionizeEventTimeWithInit(
         toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
       val q = scored.writeStream.format("memory").queryName(name)
@@ -917,19 +938,19 @@ object PipelineReplay {
       .groupByKey(_._1).mapValues(_._2)
     val rawSchema = org.apache.spark.sql.Encoders.product[TimedRawLine].schema
     val expectedStreamed = s.read.schema(rawSchema)
-      .option("pathGlobFilter", "slice0[4-6].parquet").parquet(dir).count()
+      .option("pathGlobFilter", "slice0[4-6]*.parquet").parquet(dir).count()
     def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
       PurchaseCsv.route(raw.value).map(ev =>
         TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
     }
     val name = s"graft_pipe_migrate_${streamGateRuns.incrementAndGet()}"
     Extensions.withRocksDbTws(s, partitions) {
-      // 2 files/trigger: the gated property is the migration (checkpoint →
+      // one slice (+ a sentinel) per trigger: the gated property is the migration (checkpoint →
       // initial state, zero re-read), not the batch count — q222/q229
       // already price the one-file-per-trigger shape
       val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "slice0[4-6].parquet")
-        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .option("pathGlobFilter", "slice0[4-6]*.parquet")
+        .option("maxFilesPerTrigger", SliceParts + 1).parquet(dir)
       val scored = scoreSessions(s,
         graft.streaming.SessionizerTws.sessionizeEventTimeWithInit(
           toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))
@@ -990,7 +1011,7 @@ object PipelineReplay {
     val ck = s"$work/ck"
     val rawSchema = org.apache.spark.sql.Encoders.product[TimedRawLine].schema
     val expectedStreamed = s.read.schema(rawSchema)
-      .option("pathGlobFilter", "slice0[4-6].parquet").parquet(dir).count()
+      .option("pathGlobFilter", "slice0[4-6]*.parquet").parquet(dir).count()
     def toEvents(df: DataFrame) = df.as[TimedRawLine].flatMap { raw =>
       PurchaseCsv.route(raw.value).map(ev =>
         TimedLineEvent(ev.invoiceNo, raw.event_ts, ev.purchase, ev.errorReason))
@@ -1016,8 +1037,8 @@ object PipelineReplay {
         }
         .groupByKey(_._1).mapValues(_._2)
       val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "slice0[4-6].parquet")
-        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .option("pathGlobFilter", "slice0[4-6]*.parquet")
+        .option("maxFilesPerTrigger", SliceParts + 1).parquet(dir)
       val scored = scoreSessions(s,
         graft.streaming.SessionizerTws.sessionizeEventTimeWithInit(
           toEvents(src), init, gapMs = 40000L, watermarkDelay = "30 seconds"))

@@ -61,37 +61,42 @@ class PipelineStreamingSpec extends AnyFunSuite {
     assert(dups.count() === 0)
   }
 
-  test("the replay fixture splits invoices across micro-batch files") {
-    // gate ran in the first test → fixture exists; read the slice files
-    // individually (batches take them in mtime order, two per trigger)
+  test("the replay fixture splits invoices across micro-batch slices") {
+    // gate ran in the first test → fixture exists; read each SLICE (its
+    // part files together — batches take whole slices: parts share their
+    // slice's mtime and maxFilesPerTrigger scales by SliceParts)
     val dirField = PipelineReplay.getClass.getDeclaredMethods
       .find(_.getName.contains("pipelineReplayDir")).get
     dirField.setAccessible(true)
     val dir = dirField.invoke(PipelineReplay, sf).asInstanceOf[String]
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.matches("slice0[1-4]\\.parquet")).sortBy(_.getName)
-    assert(files.length === 4)
-    val perSlice = files.zipWithIndex.map { case (f, i) =>
-      spark.read.parquet(f.getAbsolutePath)
+    def sliceParts(i: Int) = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches(f"slice0$i%d_p[0-9]+\\.parquet"))
+      .map(_.getAbsolutePath)
+    (1 to 4).foreach { i =>
+      assert(sliceParts(i).length === PipelineReplay.SliceParts,
+        s"slice $i must have exactly SliceParts part files")
+    }
+    val perSlice = (1 to 4).map { i =>
+      spark.read.parquet(sliceParts(i): _*)
         .select(split(col("value"), ",").getItem(0).as("invoice_no"))
         .distinct()
-        .withColumn("slice", lit(i))
+        .withColumn("slice", lit(i - 1))
     }.reduce(_ unionByName _)
     val spanning = perSlice.groupBy("invoice_no").count()
       .filter(col("count") > 1).count()
     assert(spanning > 0,
-      "no invoice spans two slice files — the cross-batch carry is untested")
+      "no invoice spans two slices — the cross-batch carry is untested")
     // and specifically across the s2|s3 MICRO-BATCH boundary (batches take
-    // two files per trigger: [s1,s2], [s3,s4] — s1|s2 and s3|s4 joints are
+    // two slices per trigger: [s1,s2], [s3,s4] — s1|s2 and s3|s4 joints are
     // intra-batch, so only the s2→s3 spanner proves the cross-batch carry)
     val batchSpanning = perSlice.filter(col("slice").isin(1, 2))
       .groupBy("invoice_no").count().filter(col("count") > 1).count()
     assert(batchSpanning > 0,
       "no invoice spans the slice-2|slice-3 micro-batch boundary")
-    // and the sentinel batches exist (timeout sweep without no-data batches)
-    val all = new java.io.File(dir).listFiles()
-      .count(_.getName.matches("slice0[1-6]\\.parquet"))
-    assert(all === 6)
+    // and the sentinel files exist (timeout sweep without no-data batches)
+    val sentinels = new java.io.File(dir).listFiles()
+      .count(_.getName.matches("slice0[5-6]\\.parquet"))
+    assert(sentinels === 2)
   }
 
   test("scored columns: anomalies exist and are exactly score > threshold") {

@@ -72,9 +72,9 @@ class StreamGatesSpec extends AnyFunSuite {
         .parquet(names.map(n => s"$dir/$n"): _*)
         .select(split(col("value"), ",").getItem(0).as("invoice_no"))
         .distinct()
-      val bootOnly = invoices(Seq("slice01.parquet", "slice02.parquet"))
-        .except(invoices(Seq("slice03.parquet", "slice04.parquet",
-          "slice05.parquet", "slice06.parquet"))).cache()
+      val bootOnly = invoices(Seq(1, 2).flatMap(PipelineReplay.sliceFiles))
+        .except(invoices(Seq(3, 4, 5, 6).flatMap(PipelineReplay.sliceFiles)))
+        .cache()
       try {
         assert(bootOnly.count() > 0,
           "fixture must contain bootstrap-only invoices or the law is vacuous")
