@@ -490,7 +490,10 @@ object Graph {
       // the loop's stages are tiny-task orchestration: size the iteration
       // partitioning to the DATA (≥ ~500k rows per partition) instead of
       // inheriting shuffle.partitions — a 15k-node forest runs 1-task
-      // stages, a 10^9-node forest still spreads
+      // stages, a 10^9-node forest still spreads. (Round 16 re-measured
+      // the alternative: spreading the rounds across 8+ partitions at
+      // sf0.1 made q198 ~1.7× SLOWER — per-round shuffle/scheduling
+      // overhead exceeds the serialized join work at this size.)
       val parts = math.max(1, math.min(
         edges.sparkSession.sparkContext.defaultParallelism,
         (edgeRows / 500000L).toInt + 1))

@@ -960,22 +960,37 @@ object Relational {
     * (numwait DESC, suppkey) order is total, so the LIMIT frontier is
     * deterministic. */
   def loneLateSupplier(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // Rewritten round 16 (guide §2.4 "remove shuffles outright"): the
+    // original expressed "another supplier exists" / "no other late
+    // supplier" as a semi-join against the distinct (order, supplier)
+    // pairs and an anti-join against the distinct late pairs — two extra
+    // distincts plus two self-joins, all shuffling lineitem-sized frames
+    // on l_orderkey (~26 MB of exchanges at sf0.1). Both conditions are
+    // per-ORDER aggregates of the same frame: for a late (order, s) pair,
+    //   ∃ other supplier      ⇔ the order has ≥ 2 distinct suppliers,
+    //   ¬∃ other late supplier ⇔ the order has exactly 1 late supplier
+    //     (itself — so that unique supplier is min(late supplier)).
+    // One (orderkey, suppkey) aggregate + one orderkey rollup replace
+    // distinct + distinct + semi + anti; the orders side broadcasts. The
+    // lineitem scan is spread first (one-file table, guide §2.5).
+    val li = graft.Tuning.spreadNarrowScan(Tables.lineitem(s, d),
+        s"$d/lineitem.parquet", col("l_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val spo = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val late = li
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+    val perSupp = li
+      .join(broadcast(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val lone = late.as("l1")
-      .join(spo.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
-      .as("l1")
-      .join(late.as("l3"),
-        col("l1.l_orderkey") === col("l3.l_orderkey") &&
-          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        1L).otherwise(0L)).as("late"))
+    val lone = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        min(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2L && col("n_late") === 1L)
+      .select(col("late_supp").as("l_suppkey"))
     lone
       .join(broadcast(Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"))),

@@ -1006,7 +1006,10 @@ object Stats {
   }
 
   def benfordAudit(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.orders(s, d)
+    // spread the one-file scan: the 7-band leading-digit cascade + the
+    // partial aggregate are the whole cost and otherwise run single-task
+    val counts = graft.Tuning.spreadNarrowScan(Tables.orders(s, d),
+        s"$d/orders.parquet", col("o_orderkey"))
       .filter(col("o_totalprice") >= 1.0)
       .select(leadDigit(col("o_totalprice")).as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
