@@ -10,8 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitions/row-groups for free.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet schema cache, keyed by file path + (mtime, size) so a
+    * regenerated testdata file is re-inferred. Without it EVERY
+    * `spark.read.parquet` call re-lists and re-reads the footer at
+    * ANALYSIS time — driver-side, single-threaded, per query-plan
+    * construction (the bench builds each query's plan fresh per rep, so
+    * footer inference was paid ~245 × reps times per run). Passing the
+    * cached schema explicitly skips inference; the scan itself is
+    * unchanged (same columns, same pushdown). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = s"$path@${f.lastModified()}:${f.length()}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
